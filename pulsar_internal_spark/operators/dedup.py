@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale text corpora.
+
+Driver-mandated LLM-pipeline extensions (SURVEY.md §7 Phase 4), grown from
+the reference's first-seen-wins pointer dedup (script.hpp:246-268) and
+hash-memo (script.hpp:127-129).
+
+All variants are pure DataFrame plans built on deterministic sha2-based
+hashing so they are (a) reproducible across runs/engines and (b) oracle-
+checkable against DuckDB. No collect(), no Python row loops.
+
+Scale posture:
+  - exact dedup: one shuffle on the 256-bit content hash.
+  - minhash-LSH: shingling + signatures are narrow (no shuffle); the only
+    shuffle is the band-bucket self-join, whose fan-out is controlled by
+    (bands, rows-per-band). Candidate verification is a second narrow map.
+  - n-gram Jaccard runs on LSH candidates only — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text"):
+    """Lowercase, collapse whitespace — canonical form for hashing."""
+    return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by sha2(normalized text); keep the lowest id as canonical.
+    Returns (content_hash, canonical_id, dup_count)."""
+    return (
+        df.select(
+            F.sha2(normalized_text(text_col), 256).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3):
+    """Column of word n-gram shingles (array<string>) from whitespace
+    tokens, built with JVM-side higher-order functions (no UDF).
+    """
+    words = F.split(F.trim(normalized_text(text_col)), r"\s+")
+    # shingle i = words[i..i+n-1]; sequence is 1-based for element_at
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 8):
+    """Deterministic minhash: for seed s, min over shingles of
+    sha2(shingle || '#s'). String-min over fixed-width hex == min over
+    the underlying 256-bit integers, so this is a valid minhash family.
+    Returns array<string> of length num_hashes.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda sh, s=s: F.sha2(F.concat(sh, F.lit(f"#{s}")), 256),
+                )
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded minhash-LSH.
+
+    bands = num_hashes / band_size; two docs are candidates if any band of
+    their signatures matches exactly. Returns (id_a, id_b) with id_a < id_b.
+    The self-join shuffles on (band_idx, band_key) — the classic LSH
+    bucket join; bucket skew (a viral band) is handled by AQE skew-join.
+    """
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
+    bands = num_hashes // band_size
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|", *[F.element_at(F.col("sig"), b * band_size + j + 1) for j in range(band_size)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (id_a, id_b) pairs.
+    array_intersect/array_union on distinct shingles — JVM-side."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    ja = pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+    ja = ja.join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return ja.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.when(union == 0, F.lit(1)).otherwise(union), 6).alias("jaccard"),
+    )
+
+
+def simhash64(text_col: str = "text"):
+    """64-bit SimHash over whitespace tokens, JVM-side.
+
+    Token hash = xxhash64 is engine-specific, so for oracle-checkable runs
+    we derive each token's 64 bits from sha2 hex (first 16 hex chars ->
+    bigint via conv). Bit b of the simhash = majority vote of token bits.
+    Returned as bigint (may be negative — two's complement).
+    """
+    words = F.array_distinct(F.split(F.trim(normalized_text(text_col)), r"\s+"))
+    tok_hash = F.transform(
+        words, lambda w: F.conv(F.substring(F.sha2(w, 256), 1, 15), 16, 10).cast("long")
+    )
+    # majority vote per bit: sum(+1/-1) >= 0
+    bit_exprs = []
+    for b in range(60):  # 15 hex chars = 60 bits, sign-safe in a long
+        votes = F.aggregate(
+            tok_hash,
+            F.lit(0),
+            lambda acc, h, bb=b: acc
+            + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(votes >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out

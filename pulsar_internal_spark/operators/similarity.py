@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Driver-mandated extension (SURVEY.md §7 Phase 4). Two paths:
+
+  - brute_force_topk: exact cosine top-k. The query set is broadcast
+    (small by contract); the corpus side streams through one narrow stage
+    — dot products via JVM higher-order functions (zip_with/aggregate),
+    no Python in the loop. Top-k per query via window row_number. At
+    100 TB the corpus scan is embarrassingly parallel; the only shuffle is
+    the per-query top-k, keyed by query id (bounded fan-in).
+
+  - lsh_bucketed_topk: approximate path — random-hyperplane (sign) LSH
+    computed with deterministic sha2-derived planes; candidates are pairs
+    sharing a bucket, then exact cosine re-rank within buckets. Trades
+    recall for pruning the cross product; bucket skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-matches).
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
+    """Deterministic sign-LSH signature as a bit string.
+
+    Plane p's weight for dimension d is derived from sha2(f"{p}:{d}") —
+    mapped to ±1. sign(dot(v, plane)) per plane -> '0'/'1' chars.
+    Deterministic, engine-independent, no UDF.
+    """
+    bits = []
+    for p in range(num_planes):
+        # ±1 weights from the hash's first hex nibble parity
+        weights = F.array(
+            *[
+                F.when(
+                    F.conv(F.substring(F.sha2(F.lit(f"{p}:{d}"), 256), 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, exact re-rank
+    inside. Recall < 1.0 by design; raise num_planes bands for recall."""
+    sig = hyperplane_signature(F.col(vec_col), num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sig.alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sig.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+Driver-mandated extensions (SURVEY.md §7 Phase 4): language ID, quality
+scoring, token counting, document fingerprinting. All JVM-side column
+expressions (regexp/split/aggregate) — no UDFs in these paths, so they
+whole-stage-codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# tiny per-language stopword marker sets for the n-gram/keyword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "et", "les", "des", "est"),
+    "zh": ("de", "shi", "le", "zai", "you"),
+}
+
+
+def _marker_hits(text_col, markers: tuple[str, ...]):
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(normalized_text(text_col), F.lit(pat))
+
+
+def lang_id(text_col: str = "text"):
+    """Predicted language = argmax of marker-hit counts, 'und' if all 0.
+    Deterministic tie-break: language name ascending."""
+    scores = [
+        (lang, _marker_hits(text_col, m)) for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so earlier (alphabetically first) languages win ties
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def token_count(text_col: str = "text"):
+    """Whitespace token count."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text_col: str = "text"):
+    """BPE-ish subword proxy: count of word/number/punctuation units
+    (regex `\\w+|[^\\w\\s]`), the standard pre-tokenizer shape."""
+    return F.regexp_count(F.col(text_col), F.lit(r"\w+|[^\w\s]"))
+
+
+def quality_features(text_col: str = "text"):
+    """Struct of quality signals: n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, alpha_ratio."""
+    n_tok = token_count(text_col)
+    n_chars = F.length(F.col(text_col))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    alpha = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]"))
+    stop = _marker_hits(text_col, LANG_MARKERS["en"])
+    safe_tok = F.when(n_tok == 0, F.lit(1)).otherwise(n_tok)
+    safe_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
+    return F.struct(
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / safe_tok, 4).alias("avg_token_len"),
+        F.round(punct / safe_chars, 4).alias("punct_ratio"),
+        F.round(stop / safe_tok, 4).alias("stopword_ratio"),
+        F.round(alpha / safe_chars, 4).alias("alpha_ratio"),
+    )
+
+
+def quality_score(text_col: str = "text"):
+    """Scalar quality score in [0,1]: rewards stopword presence and
+    sane token lengths, penalizes punctuation soup. Deterministic,
+    rounded for oracle comparison."""
+    f = quality_features(text_col)
+    score = (
+        F.least(f["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.4
+        + F.when((f["avg_token_len"] >= 3) & (f["avg_token_len"] <= 10), 1.0)
+        .otherwise(0.3)
+        * 0.3
+        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.3
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text_col: str = "text"):
+    """Document fingerprint: sha2 over the whitespace-normalized,
+    lowercased text — the scalable stand-in for the reference's memoized
+    script hash (script.hpp:74-133)."""
+    return F.sha2(normalized_text(text_col), 256)
+
+
+def is_binary_like(text_col: str = "text"):
+    """The reference's IsLuauBytecode heuristic (closures.hpp:229-251):
+    first byte <= 10, or > 20% non-printables in the first 100 bytes."""
+    head = F.substring(F.col(text_col), 1, 100)
+    nonprint = F.length(F.regexp_replace(head, r"[\x20-\x7e]", ""))
+    frac = nonprint / F.greatest(F.length(head), F.lit(1))
+    first = F.ascii(F.col(text_col))
+    return (first <= 10) | (frac > 0.2)

@@ -1,0 +1,74 @@
+"""Hierarchy (instance-tree) operators.
+
+The reference's only queryable store is a tree of instances; its scans are
+hand-rolled loops (SURVEY.md §2.2): `getnilinstances` = orphan detection
+(instance.hpp:59-104), `getactors`/`GetDescendants` = recursive traversal
+(miscellaneous.hpp:185-221). Spark-first restatement: the tree is an edge
+table (child -> parent FK); orphans are a LEFT ANTI self-join; descendants
+are an iterative broadcast-join loop (frontier expansion).
+
+Scale posture: anti/semi joins shuffle on the FK — correct and AQE-sized.
+The descendants loop broadcasts only the *frontier* (small by construction
+when traversing from a single root); depth is bounded, and each iteration
+is one job so lineage stays shallow (checkpoint if depth grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orphans(nodes: DataFrame, parents: DataFrame, node_fk: str, parent_key: str) -> DataFrame:
+    """Rows of ``nodes`` whose FK has no match in ``parents`` —
+    `getnilinstances` as a LEFT ANTI join."""
+    return nodes.join(
+        parents, nodes[node_fk] == parents[parent_key], "left_anti"
+    )
+
+
+def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> DataFrame:
+    """Dense 1-based re-index — the reference's `++index` re-sequencing
+    after each scan (instance.hpp:30,44). Global row_number over an
+    explicit deterministic order; at scale prefer per-partition ids
+    (monotonically_increasing_id) unless the dense property is required.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(idx_name, F.row_number().over(w))
+
+
+def descendants(
+    edges: DataFrame,
+    roots: DataFrame,
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+    root_col: str = "id",
+    max_depth: int = 32,
+) -> DataFrame:
+    """All transitive children of ``roots`` over the edge table —
+    `game:GetDescendants()` (miscellaneous.hpp:192-196) as iterative
+    frontier-expansion joins. Returns (id, depth).
+
+    The frontier is broadcast each round (small relative to edges);
+    the loop stops early when a round adds no rows.
+    """
+    frontier = roots.select(F.col(root_col).alias("id")).distinct()
+    seen = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier),
+                edges[parent_col] == frontier["id"],
+                "inner",
+            )
+            .select(F.col(child_col).alias("id"))
+            .distinct()
+        )
+        nxt = nxt.join(seen.select("id"), "id", "left_anti")
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        frontier = nxt
+    return seen

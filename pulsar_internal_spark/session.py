@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (100 TB target, tested on local[32]):
+  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+    and dynamic broadcast-join conversion replace any hand-scheduling.
+  - ``spark.sql.shuffle.partitions`` defaults to 2x local cores here; on a
+    real cluster this is overridden to ~2-3x total executor cores (AQE
+    coalesces down, so erring high is safe).
+  - Arrow enabled for the Pandas-UDF exact-parity scalar layer.
+  - Session timezone pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pulsar_internal_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master``/``shuffle_partitions`` default from env (SPARK_GRAFT_CPUS)
+    so the same code runs under the driver harness and on a cluster where
+    ``master`` is supplied by spark-submit.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # 8 MiB ingest-message guard from the reference TCP server
+        # (reference: module/internal/misc/server/server.cpp:84-85) is kept
+        # as an engine conf so sources can consult it uniformly.
+        .config("spark.pulsar.ingest.maxMessageBytes", str(8 * 1024 * 1024))
+        # Parquet vectorized reader + pushdown are defaults; pinned
+        # explicitly because the whole engine depends on them at scale.
+        # parquet TIMESTAMP(NANOS) (events.ts) reads as long nanos; the
+        # catalog (sources/tables.py) converts to TimestampType by
+        # truncating to micros — same conversion DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()

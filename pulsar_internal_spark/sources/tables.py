@@ -1,0 +1,64 @@
+"""Batch table catalog over the driver-generated parquet fixtures.
+
+The reference's only queryable store is the Roblox instance tree plus a
+handful of in-memory vectors (SURVEY.md §1.1 D2-D5). The rebuild's catalog
+is a conventional star schema: the driver fixtures (TESTDATA.md).
+
+Scale notes: reads are plain ``spark.read.parquet`` so partition pruning,
+predicate pushdown and column pruning all apply; nothing here collects to
+the driver. At 100 TB the same call reads a partitioned directory tree —
+callers never assume single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Accepts either ``<dir>/<name>.parquet``
+    (driver layout) or a partitioned directory ``<dir>/<name>/``."""
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    df = spark.read.parquet(path)
+    # With spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(NANOS) columns
+    # surface as LongType nanos; normalize to TimestampType by truncating
+    # to micros (identical to DuckDB's ns -> us conversion). Applies only
+    # to the known event-time column.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer DIV (not double /): ns-since-epoch exceeds double's
+        # 53-bit mantissa, float division would corrupt microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so ``spark.sql`` plans can
+    reference them by name (the engine's ``loadstring`` analogue —
+    SURVEY.md §2.12: dynamic query compilation)."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

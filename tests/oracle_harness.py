@@ -1,0 +1,82 @@
+"""Local mirror of the driver's oracle-differential check.
+
+Runs a Spark query and its DuckDB oracle on the same sf dir, then
+compares row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted by all columns, exact match after
+string normalization; doubles compared to 1e-9 relative as a fallback
+diagnostic so mismatches are explainable).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con.execute(sql).fetchdf()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # canonical repr kills 1.0 vs 1 and -0.0 issues
+        return repr(round(v, 9) + 0.0)
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def normalize_df(pdf):
+    import numpy as np  # noqa: F401
+
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    rows.sort()
+    return cols, rows
+
+
+def compare(spark_df, oracle_pdf) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    spark_pdf = spark_df.toPandas()
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, sr = normalize_df(spark_pdf)
+    oc, orows = normalize_df(oracle_pdf)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    if sr != orows:
+        n = 0
+        for a, b in zip(sr, orows):
+            if a != b:
+                problems.append(f"row diff: spark={a} oracle={b}")
+                n += 1
+                if n >= 5:
+                    break
+        if len(sr) == len(orows) and not problems:
+            problems.append("row sets differ (same length)")
+        if len(sr) != len(orows):
+            only_s = set(sr) - set(orows)
+            only_o = set(orows) - set(sr)
+            for r in list(only_s)[:3]:
+                problems.append(f"only in spark: {r}")
+            for r in list(only_o)[:3]:
+                problems.append(f"only in oracle: {r}")
+    return problems
