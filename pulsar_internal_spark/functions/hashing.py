@@ -164,3 +164,16 @@ def make_xor_crypt_udf(key: str):
         return s.map(lambda v: xor_crypt(v, key) if v is not None else None)
 
     return xor_crypt_udf
+
+
+def make_xor_roundtrip_udf(key: str):
+    """(plaintext, ciphertext_hex) -> decrypt(ct) == plaintext."""
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def xor_roundtrip_udf(name: pd.Series, ct: pd.Series) -> pd.Series:
+        return pd.Series(
+            xor_decrypt(c, key).decode("utf-8") == n for n, c in zip(name, ct)
+        )
+
+    return xor_roundtrip_udf

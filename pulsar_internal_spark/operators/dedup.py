@@ -48,14 +48,28 @@ def word_shingles(text_col: str = "text", n: int = 3):
     tokens, built with JVM-side higher-order functions (no UDF).
     """
     words = F.split(F.trim(normalized_text(text_col)), r"\s+")
-    # shingle i = words[i..i+n-1]; sequence is 1-based for element_at
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
+    # shingle i = words[i..i+n-1]; sequence is 1-based for element_at.
+    # Guard: sequence(1, 0) DESCENDS in Spark, so short texts must map to
+    # an empty array explicitly.
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
     )
+    return F.when(F.size(words) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _seeded_sha(seed: int):
+    """Arity-1 lambda factory: a 2-arg lambda would make Spark pass the
+    array index as the second argument (higher-order-function arity
+    dispatch), silently corrupting the seed."""
+    tag = f"#{seed}"
+
+    def fn(sh):
+        return F.sha2(F.concat(sh, F.lit(tag)), 256)
+
+    return fn
 
 
 def minhash_signature(shingles_col, num_hashes: int = 8):
@@ -66,12 +80,7 @@ def minhash_signature(shingles_col, num_hashes: int = 8):
     """
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda sh, s=s: F.sha2(F.concat(sh, F.lit(f"#{s}")), 256),
-                )
-            )
+            F.array_min(F.transform(shingles_col, _seeded_sha(s)))
             for s in range(num_hashes)
         ]
     )
@@ -161,15 +170,19 @@ def simhash64(text_col: str = "text"):
     tok_hash = F.transform(
         words, lambda w: F.conv(F.substring(F.sha2(w, 256), 1, 15), 16, 10).cast("long")
     )
-    # majority vote per bit: sum(+1/-1) >= 0
+    # majority vote per bit: sum(+1/-1) >= 0. NB: the merge lambda must be
+    # exactly arity-2 (see _seeded_sha note), hence the factory.
+    def _vote(bit: int):
+        def fn(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fn
+
     bit_exprs = []
     for b in range(60):  # 15 hex chars = 60 bits, sign-safe in a long
-        votes = F.aggregate(
-            tok_hash,
-            F.lit(0),
-            lambda acc, h, bb=b: acc
-            + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        votes = F.aggregate(tok_hash, F.lit(0), _vote(b))
         bit_exprs.append(F.when(votes >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bit_exprs[0]
     for e in bit_exprs[1:]:

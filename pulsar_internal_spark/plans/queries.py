@@ -28,6 +28,7 @@ from ..operators import dedup as dedup_ops
 from ..operators import similarity as sim_ops
 from ..operators import textops
 from ..operators import tree as tree_ops
+from ..shipping import ensure_shipped
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -663,6 +664,464 @@ def method_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method", "valid")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# =========================================================================
+# LLM-pipeline family (driver-mandated, SURVEY.md §7 Phase 4)
+# =========================================================================
+
+# DuckDB restatement of operators/dedup.py's shingle + minhash pipeline;
+# shared prefix for the near-dup oracles.
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), h ->
+           list_min(list_transform(shingles, s -> sha256(s || '#' || CAST(h AS VARCHAR))))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id AS id, b AS band_idx, sig[b*2+1] || '|' || sig[b*2+2] AS band_key
+  FROM sig, unnest(range(0, 4)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+)
+"""
+
+
+@_register("minhash_band_candidates", _SHINGLE_CTE + "SELECT id_a, id_b FROM cand")
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: shingle -> 8-hash minhash
+    signature -> 4 bands of 2 -> bucket self-join. Deterministic
+    (sha2-seeded hash family), hence oracle-checkable. The only shuffle
+    is the band-bucket join; AQE splits skewed buckets."""
+    return dedup_ops.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2
+    )
+
+
+@_register(
+    "near_dup_jaccard",
+    _SHINGLE_CTE
+    + r"""
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1
+                         ELSE len(list_distinct(a.s || b.s)) END), 6) AS jaccard
+    FROM cand c JOIN dsh a ON c.id_a = a.doc_id JOIN dsh b ON c.id_b = b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1
+                         ELSE len(list_distinct(a.s || b.s)) END), 6) >= 0.5
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification: exact 3-gram Jaccard on LSH candidates only
+    (never all-pairs), thresholded at 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    scored = dedup_ops.jaccard_pairs(docs, cand)
+    return scored.filter(F.col("jaccard") >= 0.5)
+
+
+@_register(
+    "embedding_cosine_topk",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id % 100 = 0
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the (small) query
+    set against the corpus; dot products via JVM zip_with/aggregate (no
+    Python); per-query top-k via ranking window. Query set scales with
+    the corpus (vec_id % 100) so the plan shape is SF-invariant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.brute_force_topk(emb, queries_df, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@_register("lsh_bucket_cosine_topk")  # deterministic but not tersely SQL-expressible
+def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-LSH (sha2-derived hyperplanes) buckets, then
+    exact cosine re-rank inside buckets. Rows-only driver check — the
+    64-dim plane constants make the SQL oracle impractical; recall is
+    asserted against brute force in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@_register("simhash_fingerprints")  # conv(hex) has no DuckDB analogue; rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (sha2-derived token bits, majority
+    vote per bit) + hamming-adjacent bucket counts. Rows-only driver
+    check; determinism asserted in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup_ops.simhash64("text").alias("simhash")
+    )
+
+
+# =========================================================================
+# Text analysis family (driver-mandated)
+# =========================================================================
+
+_LANG_HIT = (
+    r"len(regexp_extract_all(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '{pat}'))"
+)
+
+
+def _lang_hits_sql(markers: tuple[str, ...]) -> str:
+    return _LANG_HIT.format(pat=r"\b(" + "|".join(markers) + r")\b")
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_hits_sql(textops.LANG_MARKERS['de'])} AS h_de,
+             {_lang_hits_sql(textops.LANG_MARKERS['en'])} AS h_en,
+             {_lang_hits_sql(textops.LANG_MARKERS['es'])} AS h_es,
+             {_lang_hits_sql(textops.LANG_MARKERS['fr'])} AS h_fr,
+             {_lang_hits_sql(textops.LANG_MARKERS['zh'])} AS h_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN GREATEST(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax, alphabetical
+    tie-break) cross-tabulated against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textops.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "quality_scores",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+             len(regexp_extract_all(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                                    '\b(the|and|of|to|is)\b')) AS stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             ROUND(CAST(n_chars AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS avg_token_len,
+             ROUND(CAST(punct AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 4) AS punct_ratio,
+             ROUND(CAST(stop AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS stopword_ratio,
+             ROUND(CAST(alpha AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 4) AS alpha_ratio
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio, alpha_ratio,
+           ROUND(LEAST(stopword_ratio * 2.0, 1.0) * 0.4
+                 + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.3 END) * 0.3
+                 + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3, 4) AS quality
+    FROM r
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + scalar score (length/punct/
+    stopword ratios) — pure column arithmetic, whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    f = textops.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["avg_token_len"].alias("avg_token_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        textops.quality_score("text").alias("quality"),
+    )
+
+
+@_register(
+    "token_counts_by_source",
+    r"""
+    SELECT source,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish pre-tokenizer regex),
+    aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(textops.token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(textops.bpe_ish_token_count("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    r"""
+    SELECT lang,
+           CAST(COUNT(DISTINCT sha256(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+             AS distinct_fingerprints,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalized sha2 — the reference's
+    memoized script hash, script.hpp:74-133) + distinct census."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct(textops.fingerprint("text")).alias("distinct_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# =========================================================================
+# Multimodal family (driver-mandated; D6 envelope generalized)
+# =========================================================================
+
+
+@_register(
+    "multimodal_envelope",
+    """
+    SELECT doc_id,
+           (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS payload_len,
+           substr(sha256(text), 1, 16) AS checksum16
+    FROM documents
+    """,
+)
+def multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: binary payload + typed metadata struct
+    (operators/multimodal.py). Checksums prove the bytes survive the
+    binary column path."""
+    from ..operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = mm.attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.payload_len").cast("long").alias("payload_len"),
+        F.col("meta.checksum").alias("checksum16"),
+    )
+
+
+@_register("multimodal_features")  # mapInPandas; rows-only driver check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas; STUB decoder — container has no codecs). Returns
+    doc_id, modality, payload_len, feat_dim, feat_sum."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_payload(docs), dim=8)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "payload_len",
+        F.size("feature").alias("feat_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@_register(
+    "envelope_header_parse",
+    """
+    WITH env AS (
+      SELECT doc_id,
+             lpad(lower(to_hex(octet_length(substr(text,1,64)::BLOB))), 8, '0') AS size_hex,
+             lower(hex(substr(text,1,64)::BLOB)) AS payload_hex
+      FROM documents
+    ), built AS (
+      SELECT doc_id, size_hex,
+             '52534231'
+               || substr(size_hex,7,2) || substr(size_hex,5,2)
+               || substr(size_hex,3,2) || substr(size_hex,1,2)
+               || payload_hex AS envelope_hex
+      FROM env
+    )
+    SELECT doc_id,
+           substr(envelope_hex,1,8) = '52534231' AS magic_ok,
+           substr(envelope_hex,15,2) || substr(envelope_hex,13,2)
+             || substr(envelope_hex,11,2) || substr(envelope_hex,9,2) AS parsed_size_hex,
+           (substr(envelope_hex,15,2) || substr(envelope_hex,13,2)
+             || substr(envelope_hex,11,2) || substr(envelope_hex,9,2)) = size_hex AS size_ok
+    FROM built
+    """,
+)
+def envelope_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 envelope header roundtrip (bytecode.cpp:129-155: 'RSB1' magic +
+    4-byte LE size + payload): build the envelope as hex, parse the
+    little-endian size back out with pure string ops. The XOR/zstd body
+    codec is functions/encoding.py (golden-tested — byte loops don't
+    belong in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.substring("text", 1, 64), "utf-8")
+    size_hex = F.lpad(F.lower(F.hex(F.length(payload))), 8, "0")
+    le = F.concat(
+        F.substring(size_hex, 7, 2), F.substring(size_hex, 5, 2),
+        F.substring(size_hex, 3, 2), F.substring(size_hex, 1, 2),
+    )
+    envelope_hex = F.concat(F.lit("52534231"), le, F.lower(F.hex(payload)))
+    parsed = F.concat(
+        F.substring(envelope_hex, 15, 2), F.substring(envelope_hex, 13, 2),
+        F.substring(envelope_hex, 11, 2), F.substring(envelope_hex, 9, 2),
+    )
+    return docs.select(
+        "doc_id",
+        (F.substring(envelope_hex, 1, 8) == "52534231").alias("magic_ok"),
+        parsed.alias("parsed_size_hex"),
+        (parsed == size_hex).alias("size_ok"),
+    )
+
+
+# =========================================================================
+# Exact-parity golden queries (SURVEY.md §2.8): the Spark side runs the
+# Arrow-batched pandas UDFs; the oracle is a VALUES literal computed by
+# the pure-Python reference implementations over the nation table (25
+# rows, identical at every SF — verified in tests). This is the
+# golden-value strategy from SURVEY.md §5 for functions DuckDB lacks.
+# =========================================================================
+
+
+def _nation_rows() -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        p = f"/root/testdata/{sf}/nation.parquet"
+        try:
+            t = pq.read_table(p, columns=["n_nationkey", "n_name"])
+            return sorted(zip(t[0].to_pylist(), t[1].to_pylist()))
+        except Exception:
+            continue
+    raise FileNotFoundError("nation.parquet not found under /root/testdata")
+
+
+def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(c) for c in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)})"
+
+
+def _register_golden() -> None:
+    from ..functions import hashing as H
+
+    nations = _nation_rows()
+
+    ORACLES["djb2_hash_nation"] = _values_oracle(
+        [(k, n, H.djb2_hex(n)) for k, n in nations],
+        ["n_nationkey", "n_name", "djb2"],
+    )
+
+    @_register("djb2_hash_nation")
+    def djb2_hash_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """`crypt.hash` = djb2, 16-hex (crypt.hpp:346-369). Spark side:
+        Arrow-batched pandas UDF; oracle: pure-Python golden VALUES."""
+        ensure_shipped(spark)
+        return _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", H.djb2_udf("n_name").alias("djb2")
+        )
+
+    ORACLES["derive_bytes_nation"] = _values_oracle(
+        [(k, n, H.derive_bytes(n, 32)) for k, n in nations],
+        ["n_nationkey", "n_name", "derived32"],
+    )
+
+    @_register("derive_bytes_nation")
+    def derive_bytes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """`crypt.derive` deterministic byte expansion (crypt.hpp:371-398),
+        hex-encoded."""
+        ensure_shipped(spark)
+        return _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", H.derive32_udf("n_name").alias("derived32")
+        )
+
+    ORACLES["blake2_lookalike_nation"] = _values_oracle(
+        [(k, n, H.blake2_lookalike(n)) for k, n in nations],
+        ["n_nationkey", "n_name", "fingerprint96"],
+    )
+
+    @_register("blake2_lookalike_nation")
+    def blake2_lookalike_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reference script-fingerprint hash (script.hpp:40-72): ARX over
+        8 u64 lanes, first 6 lanes as 96 hex chars."""
+        ensure_shipped(spark)
+        return _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", H.blake2_lookalike_udf("n_name").alias("fingerprint96")
+        )
+
+    _KEY = "pulsar"
+    ORACLES["xor_crypt_nation"] = _values_oracle(
+        [
+            (k, n, H.xor_crypt(n, _KEY), H.xor_decrypt(H.xor_crypt(n, _KEY), _KEY).decode() == n)
+            for k, n in nations
+        ],
+        ["n_nationkey", "n_name", "ciphertext_hex", "roundtrip_ok"],
+    )
+
+    @_register("xor_crypt_nation")
+    def xor_crypt_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """`crypt.encrypt` XOR stream cipher (crypt.hpp:224-266) with the
+        deterministic-IV mode (IV = sha256(key||data)[:16]); roundtrip
+        proven column-side."""
+        ensure_shipped(spark)
+        enc = H.make_xor_crypt_udf(_KEY)
+        roundtrip = H.make_xor_roundtrip_udf(_KEY)
+
+        df = _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", enc("n_name").alias("ciphertext_hex")
+        )
+        return df.withColumn("roundtrip_ok", roundtrip("n_name", "ciphertext_hex"))
+
+
+_register_golden()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -36,6 +36,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
 
+    # Python workers must import this package (pandas UDFs pickle by
+    # reference). Exporting PYTHONPATH before the JVM launches covers
+    # local mode; shipping.ensure_shipped covers foreign sessions.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo + (os.pathsep + existing if existing else "")
+        )
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
