@@ -60,27 +60,31 @@ def word_shingles(text_col: str = "text", n: int = 3):
     )
 
 
-def _seeded_sha(seed: int):
+def _digest_chunk(slot: int):
     """Arity-1 lambda factory: a 2-arg lambda would make Spark pass the
     array index as the second argument (higher-order-function arity
-    dispatch), silently corrupting the seed."""
-    tag = f"#{seed}"
+    dispatch), silently corrupting the slot."""
+    start = 1 + 8 * slot
 
-    def fn(sh):
-        return F.sha2(F.concat(sh, F.lit(tag)), 256)
+    def fn(h):
+        return F.substring(h, start, 8)
 
     return fn
 
 
-def minhash_signature(shingles_col, num_hashes: int = 8):
-    """Deterministic minhash: for seed s, min over shingles of
-    sha2(shingle || '#s'). String-min over fixed-width hex == min over
-    the underlying 256-bit integers, so this is a valid minhash family.
-    Returns array<string> of length num_hashes.
+def minhash_signature(hashed_shingles_col, num_hashes: int = 8):
+    """Deterministic minhash over pre-hashed shingles: hash function h =
+    hex chars [8h, 8h+8) of each shingle's sha2-256 digest; signature
+    slot h = min over shingles. One sha2 per shingle total (not one per
+    hash function) — 8x less hashing than seeded re-digesting, and the
+    string-min runs over 8-char strings instead of 64-char. String-min
+    over fixed-width hex == min over the underlying 32-bit integers, so
+    each chunk is a valid minhash family member. Returns array<string>.
     """
+    assert num_hashes <= 8, "sha2-256 digest yields eight 8-hex-char chunks"
     return F.array(
         *[
-            F.array_min(F.transform(shingles_col, _seeded_sha(s)))
+            F.array_min(F.transform(hashed_shingles_col, _digest_chunk(s)))
             for s in range(num_hashes)
         ]
     )
@@ -102,9 +106,16 @@ def minhash_lsh_candidates(
     bucket join; bucket skew (a viral band) is handled by AQE skew-join.
     """
     assert num_hashes % band_size == 0
-    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
     bands = num_hashes // band_size
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    # Stage the per-shingle sha2 into its own projection so the digest is
+    # computed once per shingle, not once per signature slot.
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(text_col, shingle_n), lambda s: F.sha2(s, 256)).alias("hs"),
+    )
+    banded = hashed.select(
+        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
+    ).select(
         "id",
         F.explode(
             F.array(
@@ -170,21 +181,26 @@ def simhash64(text_col: str = "text"):
     tok_hash = F.transform(
         words, lambda w: F.conv(F.substring(F.sha2(w, 256), 1, 15), 16, 10).cast("long")
     )
-    # majority vote per bit: sum(+1/-1) >= 0. NB: the merge lambda must be
-    # exactly arity-2 (see _seeded_sha note), hence the factory.
-    def _vote(bit: int):
-        def fn(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fn
-
-    bit_exprs = []
-    for b in range(60):  # 15 hex chars = 60 bits, sign-safe in a long
-        votes = F.aggregate(tok_hash, F.lit(0), _vote(b))
-        bit_exprs.append(F.when(votes >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
-    return out
+    # 15 hex chars = 60 bits, sign-safe in a long. Majority vote per bit:
+    # sum(+1/-1) >= 0 -> bit set. A single aggregate pass carries the full
+    # 60-slot vote array — one sha2 per token total (the per-bit-aggregate
+    # formulation re-evaluated the token-hash transform 60 times).
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    votes = F.aggregate(
+        tok_hash,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, pw: a + F.when(h.bitwiseAND(pw) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, pw: F.when(v >= 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

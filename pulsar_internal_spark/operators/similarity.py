@@ -73,28 +73,32 @@ def brute_force_topk(
     )
 
 
+def _plane_weights(p: int, dim: int) -> list[float]:
+    """±1 weight for plane p, dimension d = parity of the first hex nibble
+    of sha256(f"{p}:{d}"). Computed driver-side with hashlib — the weights
+    are plan constants, so baking them in as literals keeps the expression
+    tree tiny (the sha2-expression form made Catalyst analyze/codegen a
+    512-node subtree per signature)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.sha256(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1 == 1
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     """Deterministic sign-LSH signature as a bit string.
 
-    Plane p's weight for dimension d is derived from sha2(f"{p}:{d}") —
+    Plane p's weight for dimension d is derived from sha256(f"{p}:{d}") —
     mapped to ±1. sign(dot(v, plane)) per plane -> '0'/'1' chars.
     Deterministic, engine-independent, no UDF.
     """
     bits = []
     for p in range(num_planes):
-        # ±1 weights from the hash's first hex nibble parity
-        weights = F.array(
-            *[
-                F.when(
-                    F.conv(F.substring(F.sha2(F.lit(f"{p}:{d}"), 256), 1, 1), 16, 10)
-                    .cast("int")
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
+        weights = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
         proj = F.aggregate(
             F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),

@@ -683,11 +683,14 @@ WITH toks AS (
               THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
               ELSE [] END AS shingles
   FROM toks
+), hs AS (
+  SELECT doc_id, list_transform(shingles, s -> sha256(s)) AS hashes
+  FROM sh
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 8), h ->
-           list_min(list_transform(shingles, s -> sha256(s || '#' || CAST(h AS VARCHAR))))) AS sig
-  FROM sh
+           list_min(list_transform(hashes, x -> substr(x, 1 + 8*h, 8)))) AS sig
+  FROM hs
 ), banded AS (
   SELECT doc_id AS id, b AS band_idx, sig[b*2+1] || '|' || sig[b*2+2] AS band_key
   FROM sig, unnest(range(0, 4)) AS t(b)
