@@ -1,0 +1,19 @@
+"""Structured Streaming layer (SURVEY.md §2.11 / §7 Phase 3).
+
+Maps the reference's tick-driven dataflow onto Spark micro-batches:
+
+  - ingest.py    — script-submission stream (TCP ingest analogue:
+                   length-framed messages -> one file per message),
+                   FIFO order, 8 MiB guard, at-most-N-per-trigger.
+  - windows.py   — event-time windowed aggregation with watermark (the
+                   late-data policy the reference never defined).
+  - state.py     — keyed last-write-wins cache as a stateful streaming
+                   operator (cache.hpp replace/invalidate semantics).
+"""
+
+from pulsar_internal_spark.streaming.ingest import (  # noqa: F401
+    read_submission_stream,
+    run_fifo_sink,
+)
+from pulsar_internal_spark.streaming.state import streaming_lww_cache  # noqa: F401
+from pulsar_internal_spark.streaming.windows import windowed_event_counts  # noqa: F401

@@ -1,0 +1,101 @@
+"""Script-submission ingest stream.
+
+Reference lifecycle (SURVEY.md §3A): a TCP server (reference:
+misc/server/server.cpp:18-106) receives 4-byte-length-framed UTF-8
+messages (8 MiB cap at server.cpp:84-85), enqueues them FIFO
+(globals.hpp:75), and a render-tick handler pops ONE message per tick
+(scheduler.cpp:81-128).
+
+Spark restatement: each message is one dropped file (the file boundary
+replaces the length frame — self-describing, splittable, replayable);
+``readStream`` with ``latestFirst=false`` preserves arrival order,
+``maxFilesPerTrigger`` reproduces at-most-N-per-tick, the trigger
+interval is the RenderStepped tick, and checkpointing replaces the
+session-watchdog re-init (tphandler.cpp:34-76) — a restarted stream
+resumes from the last committed batch instead of replaying the world.
+
+At scale the file-drop source is the standard landing-zone pattern: the
+directory listing is driver-side but incremental, and each micro-batch
+is a normal distributed read.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_MESSAGE_BYTES = 8 * 1024 * 1024  # server.cpp:84-85
+
+
+def read_submission_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+    max_message_bytes: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of submissions: (submission_id, script, bytes,
+    oversized). One file == one message; FIFO by file-modification order.
+
+    ``max_files_per_trigger=1`` is the reference's one-pop-per-tick
+    (scheduler.cpp:92-99); raise it for throughput. Oversized messages are
+    flagged, not dropped — the guard filter is explicit downstream so the
+    rejection is observable (the reference silently closes the socket).
+    """
+    if max_message_bytes is None:
+        max_message_bytes = int(
+            spark.conf.get(
+                "spark.pulsar.ingest.maxMessageBytes",
+                str(DEFAULT_MAX_MESSAGE_BYTES),
+            )
+        )
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    return raw.select(
+        F.input_file_name().alias("submission_id"),
+        F.col("value").alias("script"),
+        F.octet_length("value").alias("bytes"),
+        (F.octet_length("value") > F.lit(max_message_bytes)).alias("oversized"),
+    )
+
+
+def guard_filter(submissions: DataFrame) -> DataFrame:
+    """Drop oversized messages (the 8 MiB cap, applied declaratively)."""
+    return submissions.filter(~F.col("oversized"))
+
+
+def run_fifo_sink(
+    submissions: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str = "submission_fifo",
+):
+    """Drive the submission stream through ``foreachBatch``.
+
+    ``process_batch(batch_df, batch_id)`` must be idempotent on
+    ``batch_id`` — Spark may re-run a batch after failure; keying every
+    side effect by batch id gives the exactly-once ingest the reference's
+    mutex-guarded queue only approximates (it loses in-flight messages on
+    crash; a checkpointed stream does not).
+
+    ``trigger`` forwards to ``DataStreamWriter.trigger`` (e.g.
+    ``{"processingTime": "1 second"}`` — the RenderStepped tick — or
+    ``{"availableNow": True}`` for drain-and-stop in tests).
+    """
+    writer = (
+        guard_filter(submissions)
+        .writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process_batch)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

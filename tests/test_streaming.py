@@ -1,0 +1,218 @@
+"""Streaming-semantics tests (SURVEY.md §5 item 3): FIFO consume,
+at-most-N-per-trigger, 8 MiB guard, checkpoint restart, watermarked
+windows, and stateful last-write-wins with tombstones.
+
+All tests use the file-drop source with availableNow/processAllAvailable
+triggers so they drain deterministically and terminate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_internal_spark.streaming import (
+    read_submission_stream,
+    run_fifo_sink,
+    streaming_lww_cache,
+    windowed_event_counts,
+)
+
+
+def _drop(path: str, idx: int, body: str) -> None:
+    # zero-padded names keep listing order == arrival order in one batch
+    with open(os.path.join(path, f"{idx:06d}.txt"), "w") as f:
+        f.write(body)
+
+
+def _await(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_fifo_order_and_guard(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(5):
+        _drop(str(inbox), i, f"print('msg {i}')")
+        time.sleep(0.05)  # distinct mod-times -> stable FIFO order
+
+    seen: list[tuple[int, list[str]]] = []
+    stream = read_submission_stream(spark, str(inbox), max_files_per_trigger=2)
+
+    def collect(batch_df, batch_id):
+        rows = batch_df.orderBy("submission_id").collect()
+        seen.append((batch_id, [r.script for r in rows]))
+
+    q = run_fifo_sink(
+        stream, collect, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    _await(q)
+
+    # at-most-2-per-trigger: 5 files -> 3 batches (2,2,1)
+    sizes = [len(b) for _, b in seen if b]
+    assert sizes == [2, 2, 1]
+    flat = [s for _, b in seen for s in b]
+    assert flat == [f"print('msg {i}')" for i in range(5)]
+
+
+def test_oversized_messages_guarded(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop(str(inbox), 0, "small payload")
+    big = "x" * (1024 + 1)
+    _drop(str(inbox), 1, big)
+
+    # shrink the cap so the test doesn't write 8 MiB
+    stream = read_submission_stream(
+        spark, str(inbox), max_files_per_trigger=None, max_message_bytes=1024
+    )
+    got: list[str] = []
+
+    def collect(batch_df, batch_id):
+        got.extend(r.script for r in batch_df.collect())
+
+    q = run_fifo_sink(
+        stream, collect, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    _await(q)
+    assert got == ["small payload"]
+
+
+def test_checkpoint_restart_no_replay(spark, tmp_path):
+    """The session-watchdog analogue (tphandler.cpp:34-76): a restarted
+    stream resumes from the checkpoint instead of reprocessing."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _drop(str(inbox), 0, "first")
+
+    got: list[str] = []
+
+    def collect(batch_df, batch_id):
+        got.extend(r.script for r in batch_df.collect())
+
+    stream = read_submission_stream(spark, str(inbox), max_files_per_trigger=None)
+    q = run_fifo_sink(stream, collect, ckpt, trigger={"availableNow": True})
+    _await(q)
+    assert got == ["first"]
+
+    _drop(str(inbox), 1, "second")
+    q2 = run_fifo_sink(
+        read_submission_stream(spark, str(inbox), max_files_per_trigger=None),
+        collect,
+        ckpt,
+        trigger={"availableNow": True},
+    )
+    _await(q2)
+    assert got == ["first", "second"]  # "first" not replayed
+
+
+def test_windowed_counts_with_watermark_streaming(spark, tmp_path):
+    """Watermarked tumbling-window counts over a file-drop JSON stream."""
+    inbox = tmp_path / "events"
+    inbox.mkdir()
+    rows = [
+        {"ts": "2026-01-01T10:00:30", "event_type": "click"},
+        {"ts": "2026-01-01T10:20:00", "event_type": "click"},
+        {"ts": "2026-01-01T10:40:00", "event_type": "view"},
+        {"ts": "2026-01-01T11:05:00", "event_type": "click"},
+    ]
+    with open(inbox / "batch0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    src = (
+        spark.readStream.schema("ts STRING, event_type STRING")
+        .json(str(inbox))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    counts = windowed_event_counts(
+        src, ts_col="ts", keys=("event_type",), window="1 hour", watermark="30 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = {
+        (r.window_start.hour, r.event_type): r.cnt
+        for r in spark.table("win_counts").collect()
+    }
+    assert out == {(10, "click"): 2, (10, "view"): 1, (11, "click"): 1}
+
+
+def test_streaming_lww_cache_replace_and_invalidate(spark, tmp_path):
+    """cache.hpp semantics end-to-end: replace overwrites, invalidate
+    (tombstone) deletes, state survives across micro-batches."""
+    inbox = tmp_path / "writes"
+    inbox.mkdir()
+
+    def write_batch(name: str, recs: list[dict]) -> None:
+        with open(inbox / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs))
+
+    write_batch(
+        "b0.json",
+        [
+            {"key": "a", "seq": 1, "value": "v1", "is_tombstone": False},
+            {"key": "a", "seq": 2, "value": "v2", "is_tombstone": False},
+            {"key": "b", "seq": 1, "value": "w1", "is_tombstone": False},
+        ],
+    )
+
+    src = spark.readStream.schema(
+        "key STRING, seq LONG, value STRING, is_tombstone BOOLEAN"
+    ).json(str(inbox))
+    out = streaming_lww_cache(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    state = {r.key: r for r in spark.table("lww").collect()}
+    assert state["a"].value == "v2" and state["a"].cached
+    assert state["b"].value == "w1" and state["b"].cached
+
+    # second micro-batch: invalidate "a" (state carried across batches)
+    write_batch(
+        "b1.json", [{"key": "a", "seq": 3, "value": None, "is_tombstone": True}]
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    latest = {}
+    for r in spark.table("lww").collect():
+        if r.key not in latest or r.seq > latest[r.key].seq:
+            latest[r.key] = r
+    assert latest["a"].cached is False and latest["a"].value is None
+    assert latest["b"].cached is True
+
+
+def test_batch_and_streaming_window_agree(spark):
+    """windowed_event_counts is one definition for both engines modes —
+    the batch form is what the hourly_event_windows oracle checks."""
+    df = spark.createDataFrame(
+        [
+            Row(ts="2026-01-01T10:00:30", event_type="click"),
+            Row(ts="2026-01-01T10:59:59", event_type="click"),
+            Row(ts="2026-01-01T11:00:00", event_type="click"),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.window_start.hour, r.cnt)
+        for r in windowed_event_counts(df, window="1 hour").collect()
+    }
+    assert out == {(10, 2), (11, 1)}
