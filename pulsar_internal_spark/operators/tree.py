@@ -29,14 +29,41 @@ def orphans(nodes: DataFrame, parents: DataFrame, node_fk: str, parent_key: str)
 
 def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> DataFrame:
     """Dense 1-based re-index — the reference's `++index` re-sequencing
-    after each scan (instance.hpp:30,44). Global row_number over an
-    explicit deterministic order; at scale prefer per-partition ids
-    (monotonically_increasing_id) unless the dense property is required.
+    after each scan (instance.hpp:30,44).
+
+    A bare ``row_number() OVER (ORDER BY ...)`` moves ALL rows to one
+    partition — a non-starter at 100 TB. This is the scalable zipWithIndex
+    idiom instead: range-partition on the order keys (so partition order
+    == global order), number rows within each partition, then add each
+    partition's cumulative row-count offset (a #partitions-sized driver
+    exchange, not a data collect). Requires ``order_cols`` to be a total
+    order for a deterministic result — same contract as the window form.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(idx_name, F.row_number().over(w))
+    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = ranged.withColumn("_local", F.row_number().over(w))
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    return (
+        local.withColumn(idx_name, (F.col("_local") + offset_expr).cast("int"))
+        .drop("_pid", "_local")
+    )
 
 
 def descendants(

@@ -1020,6 +1020,288 @@ def envelope_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Coverage-completion family: remaining SURVEY.md §2 [Q] rows
+# =========================================================================
+
+
+@_register(
+    "descendants_tree",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 'n' || n_nationkey AS child_id, 'r' || n_regionkey AS parent_id FROM nation
+      UNION ALL
+      SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+    ), rec AS (
+      SELECT 'r' || r_regionkey AS id, 0 AS depth FROM region WHERE r_regionkey <= 1
+      UNION ALL
+      SELECT e.child_id, rec.depth + 1 FROM rec JOIN edges e ON e.parent_id = rec.id
+    )
+    SELECT id, CAST(depth AS INTEGER) AS depth FROM rec
+    """,
+)
+def descendants_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`game:GetDescendants` / `getactors` recursive traversal
+    (miscellaneous.hpp:185-221): iterative frontier-expansion broadcast
+    joins over a region -> nation -> customer edge table, from two roots.
+    Each round broadcasts only the frontier; stops when a round adds
+    nothing."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    region = _t(spark, sf_dir, "region")
+    edges = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child_id"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent_id"),
+        )
+    )
+    roots = region.filter(F.col("r_regionkey") <= 1).select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id")
+    )
+    return tree_ops.descendants(edges, roots, root_col="id").select(
+        "id", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@_register(
+    "scalar_subquery_orders",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`isnetworkowner` predicate chain (instance.hpp:106-165): class
+    filter AND equality against a scalar derived from another query ->
+    conjunctive filter + broadcast scalar subquery (a 1-row join, never a
+    driver collect)."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.round(F.avg("o_totalprice"), 2).alias("_avg"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter((F.col("o_totalprice") > F.col("_avg")) & (F.col("o_orderstatus") == "O"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "function_hash_sha2",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sha256(concat_ws(',', l_orderkey, l_partkey, l_suppkey, l_linenumber)) AS fn_hash
+    FROM lineitem
+    """,
+)
+def function_hash_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`getfunctionhash` (crypt.hpp:472-499): SHA-256 over a CSV of the
+    function's shape integers -> sha2(concat_ws(',', ...), 256), the
+    exact structural analogue, fully JVM-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sha2(
+            F.concat_ws(",", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+            256,
+        ).alias("fn_hash"),
+    )
+
+
+@_register(
+    "set_ops_user_cohorts",
+    """
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n_users,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT), MIN(user_id), MAX(user_id)
+    FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.7 — the Spark-superset of the
+    reference's dedup-as-union): INTERSECT and EXCEPT between event
+    cohorts, summarized to one row each."""
+    events = _t(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = events.filter(F.col("event_type") == "error").select("user_id")
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("op"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        ).select("op", "n_users", "min_user", "max_user")
+
+    return summarize(purch.intersect(errs), "intersect").unionByName(
+        summarize(purch.distinct().exceptAll(errs.distinct()), "except")
+    )
+
+
+@_register(
+    "cube_event_stats",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(hour(ts) AS INT), -1) AS hr,
+           CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY CUBE(event_type, hour(ts))
+    """,
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping_id — all four grouping-set combinations in one
+    shuffle (SURVEY.md §2.4 Spark-superset aggregates)."""
+    events = _t(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    return (
+        events.cube("event_type", "hr")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "gid",
+            "cnt",
+        )
+    )
+
+
+@_register(
+    "word_explode_counts",
+    r"""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split_regex(
+            trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS w
+          FROM documents)
+    WHERE w <> '' GROUP BY w
+    """,
+)
+def word_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + explode (SURVEY.md §2.10): token counts over
+    the corpus — split -> explode -> hash aggregate (partial map-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(dedup_ops.normalized_text("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "timestamp_format_minutes",
+    """
+    SELECT strftime(ts, '%H:%M') AS hhmm, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def timestamp_format_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logger timestamp formatting (Logger.hpp:119-125, strftime
+    '%H:%M:%S') -> date_format; grouped per minute bucket."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.date_format("ts", "HH:mm").alias("hhmm"))
+        .groupBy("hhmm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "top_accounts_limit",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def top_accounts_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY.md §2.6 — the reference only has
+    hard caps; this is the idiomatic top-k). Spark plans it as
+    TakeOrderedAndProject: per-partition top-10 then a driver-side merge
+    of k*partitions rows — no global sort."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@_register(
+    "http_record_shape",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'purchase' THEN 201 WHEN 'error' THEN 500
+                WHEN 'view' THEN 304 ELSE 200 END AS status_code,
+           CASE event_type WHEN 'purchase' THEN 201 WHEN 'error' THEN 500
+                WHEN 'view' THEN 304 ELSE 200 END < 400 AS success,
+           'content-type,x-req-k' AS header_keys,
+           props->>'k' AS req_k,
+           2 AS n_headers
+    FROM events
+    """,
+)
+def http_record_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 HTTP response record (http.hpp:450-496): STRUCT construction
+    with MAP-typed headers, then map_keys / element_at / size projections
+    — the record is built as a real nested type and flattened for the
+    oracle compare."""
+    events = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "purchase", 201)
+        .when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "view", 304)
+        .otherwise(200)
+    )
+    record = F.struct(
+        (code < 400).alias("Success"),
+        code.alias("StatusCode"),
+        F.create_map(
+            F.lit("content-type"), F.lit("application/json"),
+            F.lit("x-req-k"), F.get_json_object("props", "$.k"),
+        ).alias("Headers"),
+        F.col("props").alias("Body"),
+    )
+    return events.select("event_id", record.alias("r")).select(
+        "event_id",
+        F.col("r.StatusCode").alias("status_code"),
+        F.col("r.Success").alias("success"),
+        F.array_join(F.array_sort(F.map_keys("r.Headers")), ",").alias("header_keys"),
+        F.element_at("r.Headers", "x-req-k").alias("req_k"),
+        F.size(F.map_keys("r.Headers")).alias("n_headers"),
+    )
+
+
+@_register("approx_distinct_users")  # HLL sketch values are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct per event type (SURVEY.md §2.4 superset) —
+    the 100 TB form of the census counter: HLL++ sketch, one pass, no
+    exact-distinct shuffle. Rows-only driver check; relative error vs
+    exact is asserted in tests/test_queries_vs_oracle.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+# =========================================================================
 # Exact-parity golden queries (SURVEY.md §2.8): the Spark side runs the
 # Arrow-batched pandas UDFs; the oracle is a VALUES literal computed by
 # the pure-Python reference implementations over the nation table (25

@@ -32,3 +32,36 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_rows_only_queries_return_rows(spark, sf_dir):
+    """Queries without an oracle still get the driver's rows-only check."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        assert QUERIES[name](spark, sf_dir).count() > 0, name
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must track the exact distinct count
+    (the HLL sketch is engine-specific, so no DuckDB oracle)."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.sources.tables import load_table
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k]), (
+            k,
+            approx[k],
+            exact[k],
+        )
