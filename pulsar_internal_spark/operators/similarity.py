@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.tables import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -51,18 +53,23 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self-matches).
     Returns (query_id, neighbor_id, cos_sim, rank)."""
+    # Norms are per-vector, so compute them once per side BEFORE the join
+    # (inside the join they'd be re-derived for every (query, neighbor)
+    # pair). spread(): cosine scoring is compute-bound, partition by cores.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,15 +127,17 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates share an LSH bucket, exact re-rank
     inside. Recall < 1.0 by design; raise num_planes bands for recall."""
     sig = hyperplane_signature(F.col(vec_col), num_planes, dim)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sig.alias("bucket"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         sig.alias("bucket"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -136,7 +145,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

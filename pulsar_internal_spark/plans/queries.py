@@ -29,7 +29,7 @@ from ..operators import similarity as sim_ops
 from ..operators import textops
 from ..operators import tree as tree_ops
 from ..shipping import ensure_shipped
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -779,7 +779,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (sha2-derived token bits, majority
     vote per bit) + hamming-adjacent bucket counts. Rows-only driver
     check; determinism asserted in tests/test_dedup.py."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", dedup_ops.simhash64("text").alias("simhash")
     )

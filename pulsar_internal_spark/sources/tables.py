@@ -50,6 +50,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-partitioned.
+
+    Spark sizes scan partitions by BYTES (maxPartitionBytes), so a small
+    parquet file of heavy rows (documents to shingle+hash, embeddings to
+    score) lands in ONE task and serializes the whole pipeline on one
+    core. Compute-heavy operators call this before their expensive
+    projection: a 5k-row shuffle is microseconds; a 31-core idle stage is
+    seconds. At 100 TB the scan already yields >= parallelism partitions
+    and this is a no-op — the check keeps it from ever ADDING a shuffle
+    to a well-partitioned input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
