@@ -81,8 +81,16 @@ def descendants(
     The frontier is broadcast each round (small relative to edges);
     the loop stops early when a round adds no rows.
     """
-    frontier = roots.select(F.col(root_col).alias("id")).distinct()
-    seen = frontier.withColumn("depth", F.lit(0))
+    # Each round's frontier is materialized with an eager localCheckpoint:
+    # without it, round k's plan re-derives rounds 1..k-1 (the union/join
+    # lineage compounds), and the final materialization re-runs the whole
+    # loop again. With it, every edge-scan + join runs exactly once. On a
+    # cluster prefer reliable checkpoint(dir) if executors may be lost.
+    frontier = (
+        roots.select(F.col(root_col).alias("id")).distinct().localCheckpoint()
+    )
+    parts = [frontier.withColumn("depth", F.lit(0))]
+    seen_ids = frontier
     for depth in range(1, max_depth + 1):
         nxt = (
             edges.join(
@@ -92,10 +100,15 @@ def descendants(
             )
             .select(F.col(child_col).alias("id"))
             .distinct()
+            .join(seen_ids, "id", "left_anti")
+            .localCheckpoint()
         )
-        nxt = nxt.join(seen.select("id"), "id", "left_anti")
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        parts.append(nxt.withColumn("depth", F.lit(depth)))
+        seen_ids = seen_ids.unionByName(nxt)
         frontier = nxt
-    return seen
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the 100 TB posture, checked in CI.
+
+Correctness tests prove the numbers; these prove the SHAPE — filters
+reach the parquet scan, projections prune columns, small dimensions
+broadcast, top-k avoids a global sort, and nothing funnels the data
+through a single partition. A regression here is invisible at sf0.001
+and fatal at 100 TB, which is exactly why it's asserted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pulsar_internal_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "class_filter_scan")
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan, plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """The pricing summary needs 7 of lineitem's 11 columns; the scan
+    schema must not include the unused ones."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "ReadSchema" in plan
+    assert "l_partkey" not in plan and "l_suppkey" not in plan, plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_region")
+    assert "BroadcastHashJoin" in plan, plan
+    # the orders<->customer fact join must NOT be a nested-loop join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "blocklist_anti_join")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_accounts_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_compaction_is_single_aggregation_not_window(spark, sf_dir):
+    """LWW compaction must be a hash aggregate (partial map-side), never a
+    per-key window sort."""
+    plan = _plan(spark, sf_dir, "compaction_lww")
+    assert "Window" not in plan, plan
+    assert "Aggregate" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["orphan_customers", "minhash_band_candidates", "exact_dedup_docs"],
+)
+def test_no_single_partition_exchange(spark, sf_dir, name):
+    """No operator may funnel the whole dataset into one partition
+    (Exchange SinglePartition = the classic global-window mistake).
+    Single-row scalar subqueries are exempt — their input is one row."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    """Relational queries must stay inside WholeStageCodegen (JVM,
+    vectorized); a Python-UDF (BatchEvalPython) node in these plans means
+    the hot path fell off the fast path."""
+    for name in ["pricing_summary", "revenue_by_region", "function_hash_sha2"]:
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()  # AQE only shows codegen spans once the plan is final
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # codegen stages print as "*(n) Operator" in the plan string
+        assert "*(1)" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """The ANN scoring join must broadcast the small query side, keeping
+    the corpus scan shuffle-free."""
+    plan = _plan(spark, sf_dir, "embedding_cosine_topk")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
