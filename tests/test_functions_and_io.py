@@ -1,0 +1,151 @@
+"""Unit tests for the scalar-function layer, RSB1 codec, validated
+sinks, and loadstring/loadfile (SURVEY.md §2.1/§2.8/§2.12 [I] rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pulsar_internal_spark.functions import encoding as enc
+from pulsar_internal_spark.functions import hashing as H
+from pulsar_internal_spark.functions.registry import register_all_functions
+from pulsar_internal_spark.plans.loadstring import (
+    BinarySourceError,
+    loadfile,
+    loadstring,
+    looks_binary,
+)
+from pulsar_internal_spark.sources.sinks import (
+    BlockedExtensionError,
+    SandboxEscapeError,
+    append_table,
+    normalize_sink_path,
+    write_table,
+)
+
+
+# ---------------------------------------------------------------- RSB1
+
+
+@pytest.mark.parametrize("key", [b"\x00\x00\x00\x00", b"\x13\x37\xab\xcd"])
+@pytest.mark.parametrize(
+    "payload",
+    [b"", b"print('hi')", b"x" * 10_000, bytes(range(256)) * 17],
+)
+def test_rsb1_roundtrip(key, payload):
+    env = enc.rsb1_encode(payload, key=key)
+    assert enc.rsb1_decode(env) == payload
+
+
+def test_rsb1_layout():
+    """Envelope = 4B masked key + 4B LE size + zstd frame, all XOR'd with
+    the bytecode.cpp:129-155 schedule. With the zero key, the size field
+    is only masked by the position term i*41."""
+    payload = b"hello world"
+    env = enc.rsb1_encode(payload, key=b"\x00\x00\x00\x00")
+    size = bytes((env[4 + i] ^ ((0 + (4 + i) * 41) & 0xFF)) for i in range(4))
+    assert int.from_bytes(size, "little") == len(payload)
+
+
+def test_rsb1_rejects_short_input():
+    with pytest.raises(ValueError):
+        enc.rsb1_decode(b"RSB")
+
+
+# ------------------------------------------------- golden scalar parity
+
+
+def test_djb2_known_values():
+    # djb2 with hash*33+c over bytes, 16-hex (crypt.hpp:346-369);
+    # independently computed in pure Python here.
+    def ref(s: str) -> str:
+        h = 5381
+        for b in s.encode():
+            h = (h * 33 + b) & 0xFFFFFFFFFFFFFFFF
+        return f"{h:016x}"
+
+    for s in ["", "a", "hello", "ALGERIA", "ünïcode"]:
+        assert H.djb2_hex(s) == ref(s)
+
+
+def test_derive_bytes_formula():
+    # out[i] = value[i%len] ^ (i & 0xFF) ^ ((i >> 8) & 0xFF)  (crypt.hpp:371-398)
+    v = "key"
+    raw = bytes.fromhex(H.derive_bytes(v, 300))
+    vb = v.encode()
+    for i in (0, 1, 2, 3, 255, 256, 299):
+        assert raw[i] == vb[i % len(vb)] ^ (i & 0xFF) ^ ((i >> 8) & 0xFF)
+
+
+def test_xor_crypt_roundtrip_and_iv():
+    ct = H.xor_crypt("secret data", "k1")
+    assert H.xor_decrypt(ct, "k1").decode() == "secret data"
+    # deterministic-IV mode: same (data, key) -> same ciphertext
+    assert ct == H.xor_crypt("secret data", "k1")
+    assert ct != H.xor_crypt("secret data", "k2")
+
+
+def test_registry_aliases_usable_from_sql(spark):
+    names = register_all_functions(spark)
+    assert {"crypt_hash", "djb2", "derive32", "scripthash"} <= set(names)
+    row = spark.sql("SELECT djb2('hello') AS a, crypt_hash('hello') AS b").first()
+    assert row.a == row.b == H.djb2_hex("hello")
+
+
+# ------------------------------------------------------------ sinks
+
+
+def test_write_table_codecs_roundtrip(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    for codec in ("zstd", "lz4"):
+        out = write_table(df, f"out_{codec}", str(tmp_path), codec=codec)
+        back = spark.read.parquet(out)
+        assert back.count() == 100
+        part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+        assert codec in part  # spark embeds the codec name in the file name
+
+
+def test_append_table(spark, tmp_path):
+    df = spark.range(10)
+    write_table(df, "t", str(tmp_path))
+    append_table(df, "t", str(tmp_path))
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 20
+
+
+def test_blocked_extensions(spark, tmp_path):
+    df = spark.range(1)
+    for bad in ("evil.exe", "x.ps1", "a/b/archive.zip"):
+        with pytest.raises(BlockedExtensionError):
+            write_table(df, bad, str(tmp_path))
+
+
+def test_sandbox_escape_refused(tmp_path):
+    with pytest.raises(SandboxEscapeError):
+        normalize_sink_path("../outside", str(tmp_path / "root"))
+    # backslash paths are normalized, not escapes (filesys.hpp:50-84)
+    p = normalize_sink_path("sub\\dir\\f", str(tmp_path / "root"))
+    assert p.endswith("root/sub/dir/f")
+
+
+# -------------------------------------------------------- loadstring
+
+
+def test_loadstring_runs_sql_over_views(spark, sf_dir):
+    df = loadstring(
+        spark, "SELECT COUNT(*) AS n FROM nation", sf_dir=sf_dir
+    )
+    assert df.first().n == 25
+
+
+def test_loadstring_rejects_binary():
+    assert looks_binary("\x00\x01\x02")
+    assert not looks_binary("SELECT 1")
+    with pytest.raises(BinarySourceError):
+        loadstring(None, "\x00\x01binary blob")
+
+
+def test_loadfile(spark, sf_dir, tmp_path):
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT n_name FROM nation WHERE n_nationkey = 0")
+    assert loadfile(spark, str(p), sf_dir=sf_dir).count() == 1
