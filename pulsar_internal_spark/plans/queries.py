@@ -767,7 +767,7 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-LSH (sha2-derived hyperplanes) buckets, then
     exact cosine re-rank inside buckets. Rows-only driver check — the
     64-dim plane constants make the SQL oracle impractical; recall is
-    asserted against brute force in tests/test_similarity.py."""
+    asserted against brute force in tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     out = sim_ops.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)

@@ -1,0 +1,152 @@
+"""Operator-level tests: LSH recall vs brute force, compaction vs a
+dict-replay oracle (property-based), cycle-safe traversal, dense
+reindex, multimodal plumbing (SURVEY.md §5 rebuild strategy items 2-3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulsar_internal_spark.operators import multimodal as mm
+from pulsar_internal_spark.operators import similarity as sim
+from pulsar_internal_spark.operators import tree as tree_ops
+from pulsar_internal_spark.operators.compaction import compact_last_write_wins
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_lsh_results_subset_of_brute_force(spark, sf_dir):
+    """Every LSH-bucketed result must carry the exact cosine the
+    brute-force path computes for that pair (the bucket join prunes
+    pairs, never alters scores), and recall must be non-trivial."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(10)
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    lsh = sim.lsh_bucketed_topk(emb, queries, k=5, num_planes=4).collect()
+    assert lsh, "LSH returned nothing"
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}
+    bf_pairs = set(bf_scores)
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh}
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(r.cos_sim - bf_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+    recall = len(lsh_pairs & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.1, f"recall collapsed: {recall}"
+
+
+def test_brute_force_topk_ranks_correctly(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.brute_force_topk(emb, emb.limit(3), k=4).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+# ------------------------------------------------------------ compaction
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # key
+            st.integers(0, 50),  # seq
+            st.sampled_from(["v1", "v2", "v3"]),  # value
+            st.booleans(),  # tombstone
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_compaction_matches_dict_replay(spark, ops):
+    """compact_last_write_wins == replaying the ops into a dict in seq
+    order (cache.hpp replace/invalidate semantics). Ties on (key, seq)
+    are broken by the payload-struct max, mirrored here."""
+    rows = [
+        Row(key=k, seq=s, value=v, is_tombstone=t) for (k, s, v, t) in ops
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.key: (r.seq, r.value, r.is_tombstone)
+        for r in compact_last_write_wins(
+            df, key_cols=["key"], seq_col="seq"
+        ).collect()
+    }
+    replay: dict = {}
+    for k, s, v, t in ops:
+        cur = replay.get(k)
+        # max over struct(seq, value, is_tombstone): True > False
+        cand = (s, v, t)
+        if cur is None or cand > cur:
+            replay[k] = cand
+    assert out == replay
+
+    # tombstone filtering drops exactly the keys whose winner is a delete
+    alive = {
+        r.key
+        for r in compact_last_write_wins(
+            df, key_cols=["key"], seq_col="seq", tombstone_col="is_tombstone"
+        ).collect()
+    }
+    assert alive == {k for k, (s, v, t) in replay.items() if not t}
+
+
+# ------------------------------------------------------------ tree
+
+
+def test_descendants_terminates_on_cycle(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("a", "c"), ("d", "b")],
+        ["child_id", "parent_id"],
+    )
+    roots = spark.createDataFrame([("a",)], ["id"])
+    out = {r.id: r.depth for r in tree_ops.descendants(edges, roots).collect()}
+    # a(0) -> b(1) -> {c,d}(2); the c->a back-edge must not loop
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 2}
+
+
+def test_reindex_dense_across_partitions(spark):
+    df = spark.range(0, 1000).repartition(13).selectExpr("id AS k")
+    out = tree_ops.reindex(df, ["k"]).collect()
+    by_k = {r.k: r.idx for r in out}
+    assert sorted(by_k.values()) == list(range(1, 1001))
+    assert by_k[0] == 1 and by_k[999] == 1000
+    # order-preserving: idx == rank of k
+    assert all(by_k[k] == k + 1 for k in range(1000))
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    feats = mm.extract_features(mm.attach_payload(docs), dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.modality in mm.MODALITIES
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    again = {r.doc_id: r.feature for r in feats.collect()}
+    assert all(again[r.doc_id] == r.feature for r in rows)
+
+
+def test_multimodal_stub_raises_beyond_capability(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    with pytest.raises(Exception, match="real codecs"):
+        mm.extract_features(mm.attach_payload(docs), dim=64).collect()
