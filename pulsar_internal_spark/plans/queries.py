@@ -1288,6 +1288,98 @@ def http_record_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "provenance_flags",
+    """
+    SELECT c_custkey % 2 = 0 AS is_executor,
+           c_acctbal >= 0 AS is_c_closure,
+           c_mktsegment = 'AUTOMOBILE' AS from_hook,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer GROUP BY 1, 2, 3
+    """,
+)
+def provenance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance predicates (`checkcaller`/`isexecutorclosure`/
+    `iscclosure`, miscellaneous.hpp:72-76, closures.hpp:347-394):
+    boolean provenance columns computed in-plan, then a census over the
+    flag combinations."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            (F.col("c_custkey") % 2 == 0).alias("is_executor"),
+            (F.col("c_acctbal") >= 0).alias("is_c_closure"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("from_hook"),
+        )
+        .groupBy("is_executor", "is_c_closure", "from_hook")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "executor_identity",
+    """
+    SELECT 'Pulsar' AS executor_name, '1.0.0' AS version,
+           r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def executor_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`identifyexecutor` constants (miscellaneous.hpp:59-70) as lit()
+    columns stamped onto a grouped result."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .select(
+            F.lit("Pulsar").alias("executor_name"),
+            F.lit("1.0.0").alias("version"),
+            "r_name",
+            "n_nations",
+        )
+    )
+
+
+@_register(
+    "registry_scan",
+    """
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_objects, CAST(SUM(sz) AS BIGINT) AS total_size
+    FROM (
+      SELECT 'customer' AS kind, CAST(length(c_name) AS BIGINT) AS sz FROM customer
+      UNION ALL SELECT 'supplier', CAST(length(s_name) AS BIGINT) FROM supplier
+      UNION ALL SELECT 'part', CAST(length(p_name) AS BIGINT) FROM part
+      UNION ALL SELECT 'document', n_chars FROM documents
+    ) GROUP BY kind
+    """,
+)
+def registry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`getregistry`/`getgc` full-catalog scan (miscellaneous.hpp:162-183,
+    223-227): union every object kind into one typed census — the
+    widened-type-predicate dump as a multi-table UNION ALL."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.length("c_name").cast("long").alias("sz")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.length("s_name").cast("long").alias("sz")
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.lit("part").alias("kind"), F.length("p_name").cast("long").alias("sz")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.lit("document").alias("kind"), F.col("n_chars").alias("sz")
+    )
+    return (
+        c.unionByName(s).unionByName(p).unionByName(d)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("sz").alias("total_size"),
+        )
+    )
+
+
 @_register("approx_distinct_users")  # HLL sketch values are engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event type (SURVEY.md §2.4 superset) —

@@ -103,3 +103,25 @@ def append_table(
 ) -> str:
     """`appendfile`: validated append write."""
     return write_table(df, path, base_dir, fmt=fmt, codec=codec, mode="append")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table — the co-located-join lever.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT shuffling either side (Spark matches bucket files 1:1). At
+    100 TB this converts the recurring fact-fact shuffle into a one-time
+    write-side cost; pick ``num_buckets`` ~ cluster cores x small factor.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
