@@ -71,6 +71,43 @@ def guard_filter(submissions: DataFrame) -> DataFrame:
     return submissions.filter(~F.col("oversized"))
 
 
+def read_socket_submissions(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 6969,
+    max_message_bytes: int | None = None,
+) -> DataFrame:
+    """TCP ingest, literally: Spark's socket source on the reference's
+    loopback endpoint (server.cpp:18-22 listens on 127.0.0.1:6969).
+
+    Framing difference, by design: the reference uses a 4-byte big-endian
+    length prefix (server.cpp:39-67); the socket source is line-delimited
+    (one message per \\n). Same stream semantics, self-describing frames.
+    Returns the same schema as ``read_submission_stream`` minus the file
+    id: (script, bytes, oversized). The socket source is dev/test-grade
+    (no replay); production ingest is the file-drop landing zone or a
+    durable bus behind it.
+    """
+    if max_message_bytes is None:
+        max_message_bytes = int(
+            spark.conf.get(
+                "spark.pulsar.ingest.maxMessageBytes",
+                str(DEFAULT_MAX_MESSAGE_BYTES),
+            )
+        )
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("script"),
+        F.octet_length("value").alias("bytes"),
+        (F.octet_length("value") > F.lit(max_message_bytes)).alias("oversized"),
+    )
+
+
 def run_fifo_sink(
     submissions: DataFrame,
     process_batch: Callable[[DataFrame, int], None],

@@ -1,0 +1,85 @@
+"""Async side-effect + rejoin — the reference's yield queue (D4).
+
+Reference lifecycle (SURVEY.md §3C, yield.cpp:14-41): a blocking call
+(HTTP etc.) suspends the caller, runs on a detached worker thread, and
+its continuation rejoins the engine on a later tick via the yield queue
+(drained one per tick, yield.cpp:4-12).
+
+Spark restatement: inside ``foreachBatch``, fan the batch's side-effect
+calls across a bounded thread pool (the detached workers), collect the
+completed results, and append them to a results directory that is ITSELF
+a streaming source — so downstream consumers see side-effect results
+rejoin the dataflow on a later micro-batch, exactly the yield-queue
+rejoin-on-tick-boundary shape. Results are written under a batch-id
+subdirectory, making retries idempotent (a re-run batch overwrites its
+own output, never duplicates it).
+
+Scale posture: the pool bounds in-flight blocking calls per executor
+batch; results flow through files (replayable, checkpoint-friendly), not
+driver memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+RESULT_SCHEMA = "submission_id STRING, result STRING, ok BOOLEAN"
+
+
+def make_yield_processor(
+    side_effect: Callable[[str], str],
+    results_dir: str,
+    max_workers: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function: run ``side_effect(script)``
+    per submission on a bounded pool, then append the outcomes as one
+    JSON-lines file under ``results_dir/batch=<id>/``.
+
+    The per-batch collect is bounded by the ingest rate limit
+    (maxFilesPerTrigger) — the driver only ever holds one micro-batch of
+    small result records, mirroring the one-tick yield drain.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("submission_id", "script").collect()
+        if not rows:
+            return
+
+        def run(row):
+            try:
+                return {
+                    "submission_id": row.submission_id,
+                    "result": side_effect(row.script),
+                    "ok": True,
+                }
+            except Exception as exc:  # the reference pcall-wraps (execution.cpp:96)
+                return {
+                    "submission_id": row.submission_id,
+                    "result": f"error: {exc}",
+                    "ok": False,
+                }
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(run, rows))
+
+        out_dir = os.path.join(results_dir, f"batch={batch_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        # idempotent on batch_id: a retried batch rewrites the same file
+        with open(os.path.join(out_dir, "results.jsonl"), "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+    return process
+
+
+def read_yield_results(spark: SparkSession, results_dir: str) -> DataFrame:
+    """The rejoin side: stream the results directory back into the
+    dataflow (RunYield draining the queue, yield.cpp:4-12)."""
+    return spark.readStream.schema(RESULT_SCHEMA).json(
+        results_dir, pathGlobFilter="*.jsonl", recursiveFileLookup=True
+    )

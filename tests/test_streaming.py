@@ -216,3 +216,55 @@ def test_batch_and_streaming_window_agree(spark):
         for r in windowed_event_counts(df, window="1 hour").collect()
     }
     assert out == {(10, 2), (11, 1)}
+
+
+def test_yield_async_sideeffect_rejoin(spark, tmp_path):
+    """D4 yield-queue shape end-to-end: blocking side effects run on a
+    worker pool inside foreachBatch; their results rejoin the dataflow
+    as a later streaming read (SURVEY.md §3C)."""
+    from pulsar_internal_spark.streaming.yields import (
+        make_yield_processor,
+        read_yield_results,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    results_dir = str(tmp_path / "yields")
+    for i in range(4):
+        _drop(str(inbox), i, f"payload-{i}")
+        time.sleep(0.02)
+
+    def side_effect(script: str) -> str:  # the blocking host call
+        return script.upper()
+
+    stream = read_submission_stream(spark, str(inbox), max_files_per_trigger=2)
+    q = run_fifo_sink(
+        stream,
+        make_yield_processor(side_effect, results_dir, max_workers=4),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    _await(q)
+
+    # rejoin: read the results back as a stream and drain it
+    rq = (
+        read_yield_results(spark, results_dir)
+        .writeStream.format("memory")
+        .queryName("yield_results")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(rq)
+    got = {r.result for r in spark.table("yield_results").collect() if r.ok}
+    assert got == {f"PAYLOAD-{i}" for i in range(4)}
+
+
+def test_socket_submissions_schema(spark):
+    """The socket-source variant builds without a live server (lazy
+    source); schema and guard column must match the file-drop source."""
+    from pulsar_internal_spark.streaming.ingest import read_socket_submissions
+
+    df = read_socket_submissions(spark, port=16969)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["script", "bytes", "oversized"]
