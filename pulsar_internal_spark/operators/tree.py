@@ -41,8 +41,13 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     """
     from pyspark.sql.window import Window
 
-    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint: the counts job below and the final materialization
+    # would otherwise each re-derive the full upstream plan (plus the
+    # range sampling pass) — materialize the ranged input once.
+    ranged = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = ranged.withColumn("_local", F.row_number().over(w))

@@ -1380,6 +1380,63 @@ def registry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE word <> '' GROUP BY doc_id, word
+    ), df_t AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY tf * ln(CAST(n_docs AS DOUBLE)/df) DESC, tf.word) AS BIGINT) AS rk
+    FROM tf JOIN df_t ON tf.word = df_t.word CROSS JOIN n
+    QUALIFY rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, pure DataFrame (no MLlib): tf =
+    per-(doc, word) count; idf = ln(N/df) with the corpus size joined in
+    as a broadcast scalar (never a driver collect); ranking window per
+    doc. Two shuffles (tf, df) plus the bounded per-doc top-k — the
+    standard large-corpus keyword-extraction shape."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(dedup_ops.normalized_text("text")), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (
+        tf.join(dft, "word")
+        .join(F.broadcast(n))
+        .withColumn("_score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "word", F.round("_score", 6).alias("tfidf"), "rk"
+        )
+    )
+
+
 @_register("approx_distinct_users")  # HLL sketch values are engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event type (SURVEY.md §2.4 superset) —
