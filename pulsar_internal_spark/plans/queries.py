@@ -1437,6 +1437,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("random_payloads")  # rand() streams are engine-specific; rows-only
+def random_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`crypt.generatebytes`/`generatekey`/`random_string`
+    (crypt.hpp:311-344, 39-52): N random bytes, base64-encoded, default
+    32, hard cap 1 MiB. Spark form: seeded rand() -> sha2 expansion ->
+    unhex -> base64, fully JVM-side; the cap is applied declaratively
+    with least(). Deterministic per seed WITHIN Spark (rows-only driver
+    check; length/charset asserted in tests)."""
+    nation = _t(spark, sf_dir, "nation")
+    requested = (F.col("n_nationkey") % 64 + 1) * 1024 * 32  # varied sizes
+    n_bytes = F.least(requested, F.lit(1024 * 1024))  # crypt.hpp:315 cap
+    # 32 pseudo-random bytes: sha2 over (name, seeded rand) -> 64 hex chars
+    seed_hex = F.sha2(
+        F.concat(F.col("n_name"), F.rand(seed=42).cast("string")), 256
+    )
+    return nation.select(
+        "n_nationkey",
+        n_bytes.alias("n_bytes_capped"),
+        F.base64(F.unhex(seed_hex)).alias("key_b64"),
+    )
+
+
 @_register("approx_distinct_users")  # HLL sketch values are engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event type (SURVEY.md §2.4 superset) —

@@ -65,3 +65,12 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
             approx[k],
             exact[k],
         )
+
+
+def test_random_payloads_shape(spark, sf_dir):
+    """generatebytes parity: 32 bytes -> 44 base64 chars; cap at 1 MiB."""
+    rows = QUERIES["random_payloads"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert len(r.key_b64) == 44  # 32 bytes, RFC-4648 with padding
+        assert r.n_bytes_capped <= 1024 * 1024
