@@ -36,6 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
+    if name == "events":
+        # TIMESTAMP(NANOS) columns need this runtime conf; our session
+        # factory sets it, but the driver hands entry()/queries() a
+        # session of ITS OWN — be self-sufficient on foreign sessions.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # With spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(NANOS) columns
     # surface as LongType nanos; normalize to TimestampType by truncating
