@@ -1437,6 +1437,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "iscached_probe",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    ), probes AS (SELECT range * 5 AS probe_id FROM range(0, 40))
+    SELECT p.probe_id, l.user_id IS NOT NULL AS iscached
+    FROM probes p
+    LEFT JOIN (SELECT * FROM latest WHERE event_type <> 'error') l
+      ON p.probe_id = l.user_id
+    """,
+)
+def iscached_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cache.iscached` (cache.hpp:45-58): probe a key list against the
+    compacted keyed state, where a key whose LATEST record is an
+    invalidation (here: event_type 'error' as the tombstone analogue) is
+    NOT cached. Compaction = one max_by aggregate; probe = broadcast
+    left join projecting presence."""
+    events = _t(spark, sf_dir, "events")
+    latest = compaction_ops.compact_last_write_wins(
+        events,
+        key_cols=["user_id"],
+        seq_col="ts",
+        payload_cols=["event_id", "event_type"],
+    ).filter(F.col("event_type") != "error")
+    probes = spark.range(0, 40).select((F.col("id") * 5).alias("probe_id"))
+    return (
+        F.broadcast(probes)
+        .join(latest, probes["probe_id"] == latest["user_id"], "left")
+        .select("probe_id", F.col("user_id").isNotNull().alias("iscached"))
+    )
+
+
 @_register("random_payloads")  # rand() streams are engine-specific; rows-only
 def random_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`crypt.generatebytes`/`generatekey`/`random_string`
