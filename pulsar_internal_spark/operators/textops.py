@@ -78,7 +78,13 @@ def quality_score(text_col: str = "text"):
     """Scalar quality score in [0,1]: rewards stopword presence and
     sane token lengths, penalizes punctuation soup. Deterministic,
     rounded for oracle comparison."""
-    f = quality_features(text_col)
+    return quality_score_from(quality_features(text_col))
+
+
+def quality_score_from(f):
+    """Score from an (ideally staged — see shingles_of note in dedup.py)
+    quality_features struct column, so the regexp features are computed
+    once, not re-derived per consumer."""
     score = (
         F.least(f["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.4
         + F.when((f["avg_token_len"] >= 3) & (f["avg_token_len"] <= 10), 1.0)

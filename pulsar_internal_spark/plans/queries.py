@@ -865,16 +865,19 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + scalar score (length/punct/
     stopword ratios) — pure column arithmetic, whole-stage codegen."""
-    docs = _t(spark, sf_dir, "documents")
-    f = textops.quality_features("text")
-    return docs.select(
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # stage the features struct so each regexp feature is computed once
+    # per row, then project fields + the score FROM the staged struct
+    staged = docs.select("doc_id", textops.quality_features("text").alias("_f"))
+    f = F.col("_f")
+    return staged.select(
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
         f["avg_token_len"].alias("avg_token_len"),
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
         f["alpha_ratio"].alias("alpha_ratio"),
-        textops.quality_score("text").alias("quality"),
+        textops.quality_score_from(f).alias("quality"),
     )
 
 
