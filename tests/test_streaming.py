@@ -268,3 +268,51 @@ def test_socket_submissions_schema(spark):
     df = read_socket_submissions(spark, port=16969)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["script", "bytes", "oversized"]
+
+
+def test_lww_state_survives_query_restart(spark, tmp_path):
+    """State checkpointing: a NEW query started from the same checkpoint
+    must still know the keys folded by the old one (the reference loses
+    its cache on re-init, tphandler.cpp:34-76 — the rebuild does not)."""
+    inbox = tmp_path / "writes"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, recs):
+        with open(inbox / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs))
+
+    emitted: list = []
+
+    def start():
+        src = spark.readStream.schema(
+            "key STRING, seq LONG, value STRING, is_tombstone BOOLEAN"
+        ).json(str(inbox))
+        return (
+            streaming_lww_cache(src)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_batch("b0.json", [{"key": "a", "seq": 5, "value": "v5", "is_tombstone": False}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    # restart; a LOWER-seq write for "a" must lose against restored state
+    write_batch("b1.json", [{"key": "a", "seq": 3, "value": "stale", "is_tombstone": False}])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    latest = {}
+    for r in emitted:
+        if r.key not in latest or r.seq > latest[r.key].seq:
+            latest[r.key] = r
+    assert latest["a"].seq == 5 and latest["a"].value == "v5"
