@@ -17,6 +17,7 @@ a hot path at scale — columnar codecs (parquet zstd) cover storage.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 MAGIC = b"RSB1"
@@ -46,6 +47,40 @@ def rsb1_decode(envelope: bytes) -> bytes:
     size = int.from_bytes(buf[4:8], "little")
     out = pa.Codec("zstd").decompress(bytes(buf[8:]), size, asbytes=True)
     return out
+
+
+def rsb1_envelope_hex(text: str) -> str:
+    """Hex RSB1 envelope of a text payload with a content-derived 4-byte
+    key (sha256 prefix) — the golden-oracle form used by the
+    rsb1_envelope_nation query. Deterministic: fixed zstd codec +
+    deterministic key."""
+    import hashlib
+
+    key = hashlib.sha256(text.encode("utf-8")).digest()[:4]
+    return rsb1_encode(text.encode("utf-8"), key=key).hex()
+
+
+def rsb1_roundtrip_ok(text: str, envelope_hex: str) -> bool:
+    return rsb1_decode(bytes.fromhex(envelope_hex)) == text.encode("utf-8")
+
+
+def make_rsb1_udfs():
+    """(envelope_udf, roundtrip_udf) as Arrow-batched pandas UDFs.
+    Built lazily so this module stays importable without pyspark."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType, StringType
+
+    @pandas_udf(StringType())
+    def envelope_udf(s: pd.Series) -> pd.Series:
+        return s.map(rsb1_envelope_hex)
+
+    @pandas_udf(BooleanType())
+    def roundtrip_udf(text: pd.Series, env: pd.Series) -> pd.Series:
+        return pd.Series(
+            [rsb1_roundtrip_ok(t, e) for t, e in zip(text, env)]
+        )
+
+    return envelope_udf, roundtrip_udf
 
 
 def rsb1_encode(payload: bytes, key: bytes = b"\x00\x00\x00\x00") -> bytes:

@@ -1615,7 +1615,32 @@ def _register_golden() -> None:
         return df.withColumn("roundtrip_ok", roundtrip("n_name", "ciphertext_hex"))
 
 
+def _register_rsb1_golden() -> None:
+    from ..functions import encoding as E
+
+    nations = _nation_rows()
+    ORACLES["rsb1_envelope_nation"] = _values_oracle(
+        [(k, n, E.rsb1_envelope_hex(n), True) for k, n in nations],
+        ["n_nationkey", "n_name", "envelope_hex", "roundtrip_ok"],
+    )
+
+    @_register("rsb1_envelope_nation")
+    def rsb1_envelope_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """D6 compressed envelope end-to-end IN-PLAN (bytecode.cpp:
+        129-155): build the full RSB1 envelope (masked key + LE size +
+        XOR'd zstd frame) per row with an Arrow UDF and prove the decode
+        roundtrip column-side. Oracle = driver-computed golden VALUES —
+        byte-identical zstd across driver and workers."""
+        ensure_shipped(spark)
+        env_udf, rt_udf = E.make_rsb1_udfs()
+        df = _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", env_udf("n_name").alias("envelope_hex")
+        )
+        return df.withColumn("roundtrip_ok", rt_udf("n_name", "envelope_hex"))
+
+
 _register_golden()
+_register_rsb1_golden()
 
 
 def queries() -> dict[str, QueryFn]:
