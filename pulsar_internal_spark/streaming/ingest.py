@@ -21,6 +21,7 @@ is a normal distributed read.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,23 @@ def read_socket_submissions(
         F.col("value").alias("script"),
         F.octet_length("value").alias("bytes"),
         (F.octet_length("value") > F.lit(max_message_bytes)).alias("oversized"),
+    )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose ``id_cols`` were already
+    seen, with state bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the continuous form of the
+    batch content-hash dedup in operators/dedup.py. At 100 TB the state
+    store only holds keys inside the watermark window, so memory is
+    bounded by ingest rate x horizon, not corpus size."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
     )
 
 

@@ -113,3 +113,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """write_table(partition_by=...) must yield reads where a partition
+    predicate prunes directories (PartitionFilters), not data filters."""
+    from pulsar_internal_spark.sources.sinks import write_table
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 4 AS shard")
+    out = write_table(df, "parts", str(tmp_path), partition_by=["shard"])
+    read = spark.read.parquet(out).filter(F.col("shard") == 2)
+    read.collect()
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "shard" in plan.split("PartitionFilters")[1][:120], plan
+    assert read.count() == 250

@@ -316,3 +316,51 @@ def test_lww_state_survives_query_restart(spark, tmp_path):
         if r.key not in latest or r.seq > latest[r.key].seq:
             latest[r.key] = r
     assert latest["a"].seq == 5 and latest["a"].value == "v5"
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: repeats of a doc id within the
+    watermark horizon are emitted once, across micro-batches."""
+    from pulsar_internal_spark.streaming.ingest import streaming_exact_dedup
+
+    inbox = tmp_path / "docs"
+    inbox.mkdir()
+
+    def write_batch(name, recs):
+        with open(inbox / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs))
+
+    write_batch(
+        "b0.json",
+        [
+            {"doc_id": 1, "ts": "2026-01-01T10:00:00", "text": "a"},
+            {"doc_id": 1, "ts": "2026-01-01T10:00:05", "text": "a-dup"},
+            {"doc_id": 2, "ts": "2026-01-01T10:00:10", "text": "b"},
+        ],
+    )
+    src = (
+        spark.readStream.schema("doc_id LONG, ts STRING, text STRING")
+        .json(str(inbox))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = streaming_exact_dedup(src, ["doc_id"], "ts", watermark="1 hour")
+    emitted: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: another duplicate of 1, plus a fresh id
+    write_batch(
+        "b1.json",
+        [
+            {"doc_id": 1, "ts": "2026-01-01T10:01:00", "text": "a-again"},
+            {"doc_id": 3, "ts": "2026-01-01T10:01:05", "text": "c"},
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    ids = sorted(r.doc_id for r in emitted)
+    assert ids == [1, 2, 3]
