@@ -1,0 +1,126 @@
+"""Length-prefixed frame data source — the reference's wire format.
+
+The reference's TCP server reads messages framed as a 4-byte BIG-ENDIAN
+length followed by that many UTF-8 bytes, with an 8 MiB per-message cap
+(misc/server/server.cpp:39-67 read loop, :84-85 cap). This module
+implements that exact framing as a PySpark Python Data Source
+(SURVEY.md §4 named it the one optional custom-source candidate), so
+frame logs captured from the wire can be read distributively:
+
+    spark.dataSource.register(LengthPrefixedFrames)
+    df = spark.read.format("lpframes").load("/path/to/frames-dir")
+    # -> (file, frame_idx, payload, n_bytes, oversized)
+
+Partitioning: one partition per .bin file — frames are variable-length
+and not seekable mid-file, so the file is the natural split unit (the
+100 TB layout is many capped frame files, e.g. one per producer epoch,
+not one giant file). Each partition streams its file; oversized frames
+are FLAGGED (the reference kills the connection; we keep the evidence
+and let a declarative filter drop them).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_FRAME_BYTES = 8 * 1024 * 1024  # server.cpp:84-85
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("payload", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("oversized", BooleanType()),
+    ]
+)
+
+
+def write_frames(path: str, payloads: list[bytes]) -> None:
+    """Producer-side helper: frame payloads into one .bin file with the
+    reference's 4-byte BE length prefix (server.cpp framing)."""
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack(">I", len(p)))
+            f.write(p)
+
+
+def iter_frames(path: str, cap: int = MAX_FRAME_BYTES) -> Iterator[tuple[int, bytes, bool]]:
+    """Yield (frame_idx, payload, oversized) from one framed file.
+    An oversized frame is still consumed (the length is trusted for
+    framing) but flagged; a truncated trailing frame raises."""
+    idx = 0
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(4)
+            if not hdr:
+                return
+            if len(hdr) < 4:
+                raise ValueError(f"{path}: truncated length header at frame {idx}")
+            n = struct.unpack(">I", hdr)[0]
+            body = f.read(n)
+            if len(body) < n:
+                raise ValueError(f"{path}: truncated frame {idx} (want {n}, got {len(body)})")
+            yield idx, body, n > cap
+            idx += 1
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _LPFrameReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lpframes: 'path' option (or load(path)) is required")
+        self.cap = int(options.get("maxframebytes", MAX_FRAME_BYTES))
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".bin")
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        fname = os.path.basename(partition.path)
+        for idx, body, oversized in iter_frames(partition.path, self.cap):
+            yield (
+                fname,
+                idx,
+                body.decode("utf-8", errors="replace"),
+                len(body),
+                oversized,
+            )
+
+
+class LengthPrefixedFrames(DataSource):
+    """spark.read.format("lpframes") — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lpframes"
+
+    def schema(self) -> StructType:
+        return FRAME_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _LPFrameReader(self.options)
