@@ -1475,6 +1475,34 @@ def iscached_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "session_blob_json",
+    """
+    SELECT event_id,
+           to_json(struct_pack(
+             GameId := user_id,
+             PlaceId := event_id % 1000,
+             EventType := event_type)) AS session_blob
+    FROM events
+    """,
+)
+def session_blob_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-header JSON blob (http.hpp:66-72,164-174: nlohmann
+    dump() of {"GameId","PlaceId"} stuffed into request headers) ->
+    to_json(struct(...)) per row, byte-identical across engines."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("GameId"),
+                (F.col("event_id") % 1000).alias("PlaceId"),
+                F.col("event_type").alias("EventType"),
+            )
+        ).alias("session_blob"),
+    )
+
+
 @_register("random_payloads")  # rand() streams are engine-specific; rows-only
 def random_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`crypt.generatebytes`/`generatekey`/`random_string`
