@@ -115,6 +115,87 @@ def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     return F.concat(*bits)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    then exact re-rank inside the ``nprobe`` closest cells per query.
+
+    The 100 TB shape: centroids are trained on a SAMPLE (kmeans over the
+    full corpus is unnecessary — cells only need to partition space),
+    the corpus is assigned once (narrow map vs a broadcast centroid
+    table), and each query scans ~nprobe/num_centroids of the corpus.
+    Recall rises with nprobe; nprobe == num_centroids degenerates to
+    brute force. Deterministic for a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = spread(corpus)
+    with_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    km = KMeans(k=num_centroids, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(with_vec.select("_v"))
+    c = model.transform(with_vec).select(
+        "neighbor_id", "cv", F.col("cell"), _norm(F.col("cv")).alias("cn")
+    )
+
+    # query -> nprobe nearest cells via a broadcast centroid cross-score
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "centroid", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    scored = (
+        c.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -774,6 +774,20 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
+@_register("ivf_cosine_topk")  # kmeans centroids are engine-specific; rows-only
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse cells (seeded, sample-trainable) + exact
+    cosine re-rank inside nprobe probed cells — the second approximate
+    scale path beside sign-LSH. Rows-only driver check; recall vs brute
+    force asserted in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @_register("simhash_fingerprints")  # conv(hex) has no DuckDB analogue; rows-only
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (sha2-derived token bits, majority

@@ -150,3 +150,25 @@ def test_multimodal_stub_raises_beyond_capability(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="real codecs"):
         mm.extract_features(mm.attach_payload(docs), dim=64).collect()
+
+
+def test_ivf_recall_and_score_exactness(spark, sf_dir):
+    """IVF results carry exact cosines and reach reasonable recall at
+    nprobe=half the cells; nprobe=all cells == brute force exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(8)
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}
+
+    ivf = sim.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4).collect()
+    assert ivf
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(r.cos_sim - bf_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+    recall = len({(r.query_id, r.neighbor_id) for r in ivf} & set(bf_scores)) / len(bf_scores)
+    assert recall >= 0.3, recall
+
+    full = sim.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=8).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in bf
+    }
