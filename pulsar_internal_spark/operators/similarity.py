@@ -124,6 +124,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     then exact re-rank inside the ``nprobe`` closest cells per query.
@@ -144,7 +145,12 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
-    km = KMeans(k=num_centroids, seed=seed, featuresCol="_v", predictionCol="cell")
+    # cells only partition space — a few Lloyd iterations suffice; full
+    # convergence buys recall nothing nprobe doesn't buy cheaper
+    km = KMeans(
+        k=num_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="_v", predictionCol="cell",
+    )
     model = km.fit(with_vec.select("_v"))
     c = model.transform(with_vec).select(
         "neighbor_id", "cv", F.col("cell"), _norm(F.col("cv")).alias("cn")
