@@ -774,6 +774,43 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
+@_register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked: candidate pairs come
+    only from the same blocking key (label — in production a coarse
+    cluster/LSH bucket), so the pair join is sum-of-blocks quadratic,
+    never corpus-quadratic. Exact cosine + threshold inside blocks."""
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        sim_ops._norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        sim_ops._norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        sim_ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.35
+    )
+
+
 @_register("ivf_cosine_topk")  # kmeans centroids are engine-specific; rows-only
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse cells (seeded, sample-trainable) + exact
