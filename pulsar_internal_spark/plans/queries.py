@@ -1519,11 +1519,17 @@ def iscached_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["event_id", "event_type"],
     ).filter(F.col("event_type") != "error")
     probes = spark.range(0, 40).select((F.col("id") * 5).alias("probe_id"))
-    return (
-        F.broadcast(probes)
-        .join(latest, probes["probe_id"] == latest["user_id"], "left")
-        .select("probe_id", F.col("user_id").isNotNull().alias("iscached"))
-    )
+    # Scale shape: the BIG compacted side streams through a LEFT SEMI
+    # against the broadcast probe list (BroadcastHashJoin supports semi
+    # with build-right; a broadcast LEFT side of a left-outer does not
+    # exist, so probing that way would shuffle the big side). The final
+    # outer join is tiny x tiny.
+    cached_keys = latest.join(
+        F.broadcast(probes), latest["user_id"] == probes["probe_id"], "left_semi"
+    ).select(F.col("user_id").alias("hit"))
+    return probes.join(
+        cached_keys, probes["probe_id"] == cached_keys["hit"], "left"
+    ).select("probe_id", F.col("hit").isNotNull().alias("iscached"))
 
 
 @_register(
