@@ -149,3 +149,18 @@ def test_loadfile(spark, sf_dir, tmp_path):
     p = tmp_path / "q.sql"
     p.write_text("SELECT n_name FROM nation WHERE n_nationkey = 0")
     assert loadfile(spark, str(p), sf_dir=sf_dir).count() == 1
+
+
+def test_registry_full_alias_surface(spark):
+    """The widened alias set is callable from SQL text and roundtrips."""
+    register_all_functions(spark)
+    r = spark.sql("""
+        SELECT base64decode(base64encode('hello world')) AS b64_rt,
+               crypt_decrypt(crypt_encrypt('secret', 'k'), 'k') AS xor_rt,
+               rsb1_decode(rsb1_encode('payload')) AS rsb1_rt,
+               dumpstring(rsb1_encode_keyed('bytecode')) AS keyed_rt
+    """).first()
+    assert r.b64_rt == "hello world"
+    assert r.xor_rt == "secret"
+    assert r.rsb1_rt == "payload"
+    assert r.keyed_rt == "bytecode"
