@@ -1343,6 +1343,27 @@ def http_record_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "files_census",
+    """
+    SELECT 'documents.parquet' AS fname, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents
+    """,
+)
+def files_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`listfiles` (filesys.hpp:328-377): per-file row census via
+    input_file_name() — the distributed form of a directory listing
+    (each scan task knows its split's file; grouping by it is free)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("fname")
+        )
+        .groupBy("fname")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@_register(
     "provenance_flags",
     """
     SELECT c_custkey % 2 = 0 AS is_executor,
