@@ -27,12 +27,43 @@ def _marker_hits(text_col, markers: tuple[str, ...]):
     return F.regexp_count(normalized_text(text_col), F.lit(pat))
 
 
+def _marker_hits_on(norm_col, markers: tuple[str, ...]):
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(norm_col, F.lit(pat))
+
+
 def lang_id(text_col: str = "text"):
     """Predicted language = argmax of marker-hit counts, 'und' if all 0.
-    Deterministic tie-break: language name ascending."""
+    Deterministic tie-break: language name ascending.
+
+    Single-column-expression form; the hot path is ``lang_id_from`` over
+    a STAGED hits array (this form re-normalizes the text once per
+    marker-set reference)."""
     scores = [
         (lang, _marker_hits(text_col, m)) for lang, m in sorted(LANG_MARKERS.items())
     ]
+    return _argmax_lang(scores)
+
+
+def lang_hits(norm_col):
+    """Array of per-language marker-hit counts over a staged normalized
+    text column, in sorted-language order — compute once, consume many."""
+    return F.array(
+        *[_marker_hits_on(norm_col, m) for _, m in sorted(LANG_MARKERS.items())]
+    )
+
+
+def lang_id_from(hits_col):
+    """argmax over a staged lang_hits array (hits evaluated exactly
+    once per row, vs ~3x per language in the inline form)."""
+    langs = sorted(LANG_MARKERS)
+    scores = [
+        (lang, F.element_at(hits_col, i + 1)) for i, lang in enumerate(langs)
+    ]
+    return _argmax_lang(scores)
+
+
+def _argmax_lang(scores):
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     # reversed so earlier (alphabetically first) languages win ties

@@ -877,9 +877,12 @@ def _lang_hits_sql(markers: tuple[str, ...]) -> str:
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-marker argmax, alphabetical
     tie-break) cross-tabulated against the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "lang", textops.lang_hits(dedup_ops.normalized_text("text")).alias("_hits")
+    )
     return (
-        docs.select("lang", textops.lang_id("text").alias("pred_lang"))
+        staged.select("lang", textops.lang_id_from(F.col("_hits")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
