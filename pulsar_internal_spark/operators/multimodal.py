@@ -85,3 +85,78 @@ def extract_features(df: DataFrame, dim: int = 8, batch_size_hint: int = 1024) -
             )
 
     return df.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_len", LongType()),
+    ]
+)
+
+
+def resize(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """STUB resize stage: real pipelines decode + PIL/ffmpeg-resize the
+    payload; the container has no codecs, so the stub derives the
+    "resized" byte length deterministically (width*height*3 capped by the
+    source length) while keeping the mapInPandas plumbing — batch shape,
+    schema, and partition passthrough — production-real."""
+    if width > 4096 or height > 4096:
+        raise NotImplementedError("real codecs not available in this container")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = width * height * 3
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "width": width,
+                    "height": height,
+                    "resized_len": [min(n, max(len(p), 1) * 3) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA_MM = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_k: int = 4, max_frames: int = 8) -> DataFrame:
+    """STUB frame sampler for video payloads: treats the payload as a
+    sequence of fixed-size pseudo-frames, emits every k-th (bounded) with
+    a per-frame checksum. One input row fans out to <= max_frames rows —
+    the real decode swaps into the same mapInPandas loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_bytes = 256
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["modality"] != "video":
+                    continue
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for j, f in enumerate(range(0, n_frames, every_k)):
+                    if j >= max_frames:
+                        break
+                    chunk = bytes(payload[f * frame_bytes : (f + 1) * frame_bytes])
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sums.append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA_MM)

@@ -889,6 +889,64 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_clean_corpus",
+    rf"""
+    WITH dedup AS (
+      SELECT doc_id, text,
+             trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM documents
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        ORDER BY doc_id) = 1
+    ), scored AS (
+      SELECT doc_id, text, norm,
+             {_lang_hits_sql(textops.LANG_MARKERS['de'])} AS h_de,
+             {_lang_hits_sql(textops.LANG_MARKERS['en'])} AS h_en,
+             {_lang_hits_sql(textops.LANG_MARKERS['es'])} AS h_es,
+             {_lang_hits_sql(textops.LANG_MARKERS['fr'])} AS h_fr,
+             {_lang_hits_sql(textops.LANG_MARKERS['zh'])} AS h_zh,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct
+      FROM dedup
+    ), feats AS (
+      SELECT doc_id, norm, n_tokens, n_chars,
+             CASE WHEN GREATEST(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred,
+             ROUND(CAST(n_chars AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS avg_token_len,
+             ROUND(CAST(punct AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 4) AS punct_ratio,
+             ROUND(CAST(h_en AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS stopword_ratio
+      FROM scored
+    ), q AS (
+      SELECT doc_id, lang_pred, n_tokens, n_chars, sha256(norm) AS fingerprint,
+             ROUND(LEAST(stopword_ratio * 2.0, 1.0) * 0.4
+                   + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.3 END) * 0.3
+                   + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3, 4) AS quality
+      FROM feats
+    )
+    SELECT doc_id, lang_pred, quality, n_tokens, CAST(n_chars AS INT) AS n_chars, fingerprint
+    FROM q WHERE lang_pred = 'en' AND quality >= 0.5
+    """,
+)
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline (operators/pipelines.py):
+    exact dedup -> language filter -> quality filter -> stats, one
+    shuffle total — every stage an already-oracle-checked primitive, and
+    the composition itself oracle-checked here."""
+    from ..operators import pipelines
+
+    out = pipelines.clean_corpus(
+        _t(spark, sf_dir, "documents"), lang="en", min_quality=0.5
+    )
+    return out.withColumn("n_chars", F.col("n_chars").cast("int"))
+
+
+@_register(
     "quality_scores",
     r"""
     WITH feats AS (

@@ -172,3 +172,28 @@ def test_ivf_recall_and_score_exactness(spark, sf_dir):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
         (r.query_id, r.neighbor_id, r.rank) for r in bf
     }
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    payloads = mm.attach_payload(docs)
+
+    rs = mm.resize(payloads, width=8, height=8).collect()
+    assert len(rs) == 30
+    for r in rs:
+        assert r.width == 8 and r.height == 8
+        assert 0 < r.resized_len <= 8 * 8 * 3
+
+    frames = mm.frame_sample(payloads, every_k=2, max_frames=3).collect()
+    assert frames, "video modality docs must emit frames"
+    by_doc: dict = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    for doc_id, fs in by_doc.items():
+        assert doc_id % 3 == 2  # only 'video' modality (id % 3 == 2)
+        assert len(fs) <= 3
+        assert all(f.frame_idx % 2 == 0 for f in fs)
+        assert all(len(f.frame_checksum) == 16 for f in fs)
+
+    with pytest.raises(Exception, match="real codecs"):
+        mm.resize(payloads, width=10000).collect()
