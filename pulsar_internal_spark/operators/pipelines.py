@@ -55,7 +55,7 @@ def clean_corpus(
         textops.quality_score(text_col).alias("quality"),
         textops.token_count(text_col).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
-        F.sha2(F.col("_norm"), 256).alias("fingerprint"),
+        F.col("_h").alias("fingerprint"),  # == sha2(norm), already computed
     )
     return scored.filter(
         (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
