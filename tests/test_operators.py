@@ -197,3 +197,34 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
 
     with pytest.raises(Exception, match="real codecs"):
         mm.resize(payloads, width=10000).collect()
+
+
+def test_minhash_lsh_finds_planted_near_duplicates(spark):
+    """SURVEY.md §7 risk register: fix seeds, assert recall on planted
+    duplicates. Each base doc gets a variant with one word changed
+    (high shingle overlap); LSH must recover most planted pairs and
+    exact Jaccard must confirm them."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"while carrying a basket of fresh green apples to market"
+        for i in range(20)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text.replace("basket", "bundle")))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cand = D.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"planted-duplicate recall too low: {recall}"
+
+    scored = D.jaccard_pairs(docs, cand)
+    confirmed = {
+        (r.id_a, r.id_b) for r in scored.filter(F.col("jaccard") >= 0.5).collect()
+    }
+    assert planted & pairs <= confirmed, "LSH hits must pass exact-jaccard verify"
