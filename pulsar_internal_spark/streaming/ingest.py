@@ -109,6 +109,26 @@ def read_socket_submissions(
     )
 
 
+def filter_blocklisted(
+    submissions: DataFrame,
+    blocklist: DataFrame,
+    key_expr=None,
+    blocked_col: str = "blocked_name",
+) -> DataFrame:
+    """The unsafe-name blocklist hook (env.cpp:29-119) applied at ingest:
+    drop submissions whose first token is on the blocklist dimension —
+    a stream-static broadcast LEFT ANTI join (the static side broadcasts;
+    the stream never shuffles)."""
+    if key_expr is None:
+        key_expr = F.element_at(F.split(F.trim("script"), r"\s+"), 1)
+    keyed = submissions.withColumn("_key", key_expr)
+    return keyed.join(
+        F.broadcast(blocklist),
+        keyed["_key"] == blocklist[blocked_col],
+        "left_anti",
+    ).drop("_key")
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     id_cols: Sequence[str],
@@ -132,6 +152,7 @@ def run_fifo_sink(
     checkpoint_dir: str,
     trigger: dict | None = None,
     query_name: str = "submission_fifo",
+    close_sentinel: str | None = None,
 ):
     """Drive the submission stream through ``foreachBatch``.
 
@@ -144,13 +165,44 @@ def run_fifo_sink(
     ``trigger`` forwards to ``DataStreamWriter.trigger`` (e.g.
     ``{"processingTime": "1 second"}`` — the RenderStepped tick — or
     ``{"availableNow": True}`` for drain-and-stop in tests).
+
+    ``close_sentinel``: the OnClose event (websocket.hpp:211-254 — fired
+    once, unrefs the stream state). A message whose script equals the
+    sentinel ends the stream: rows in its batch are processed (sentinel
+    excluded), then a watcher thread stops the query. The returned query
+    still ends via the normal stop path, so the checkpoint stays valid
+    for a later reconnect.
     """
+    import threading
+
+    closed = threading.Event()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if close_sentinel is not None:
+            has_close = (
+                batch_df.filter(F.col("script") == close_sentinel).limit(1).count() > 0
+            )
+            batch_df = batch_df.filter(F.col("script") != close_sentinel)
+            process_batch(batch_df, batch_id)
+            if has_close:
+                closed.set()
+        else:
+            process_batch(batch_df, batch_id)
+
     writer = (
         guard_filter(submissions)
         .writeStream.queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(process_batch)
+        .foreachBatch(process)
     )
     if trigger:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    query = writer.start()
+
+    if close_sentinel is not None:
+        def watch():
+            closed.wait()
+            query.stop()
+
+        threading.Thread(target=watch, daemon=True).start()
+    return query

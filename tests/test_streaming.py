@@ -364,3 +364,51 @@ def test_streaming_exact_dedup(spark, tmp_path):
     q.awaitTermination(60)
     ids = sorted(r.doc_id for r in emitted)
     assert ids == [1, 2, 3]
+
+
+def test_blocklist_filter_at_ingest(spark, tmp_path):
+    """Unsafe-name hook at ingest: submissions whose first token is on
+    the blocklist dimension are dropped by a stream-static anti join."""
+    from pulsar_internal_spark.streaming.ingest import filter_blocklisted
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop(str(inbox), 0, "keypress evil args")
+    _drop(str(inbox), 1, "print hello")
+    blocklist = spark.createDataFrame(
+        [("keypress",), ("setclipboard",)], ["blocked_name"]
+    )
+    stream = filter_blocklisted(
+        read_submission_stream(spark, str(inbox), max_files_per_trigger=None),
+        blocklist,
+    )
+    got: list[str] = []
+    q = run_fifo_sink(
+        stream,
+        lambda bdf, bid: got.extend(r.script for r in bdf.collect()),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    _await(q)
+    assert got == ["print hello"]
+
+
+def test_close_sentinel_stops_stream(spark, tmp_path):
+    """OnClose semantics: the sentinel message ends the stream after its
+    batch's real rows are processed; the query terminates on its own."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop(str(inbox), 0, "real work")
+    time.sleep(0.05)
+    _drop(str(inbox), 1, "__CLOSE__")
+
+    got: list[str] = []
+    q = run_fifo_sink(
+        read_submission_stream(spark, str(inbox), max_files_per_trigger=None),
+        lambda bdf, bid: got.extend(r.script for r in bdf.collect()),
+        str(tmp_path / "ckpt"),
+        trigger={"processingTime": "250 milliseconds"},
+        close_sentinel="__CLOSE__",
+    )
+    assert q.awaitTermination(30), "stream must stop itself on the sentinel"
+    assert got == ["real work"]
