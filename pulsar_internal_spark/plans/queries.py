@@ -421,6 +421,36 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "grouping_sets_accounts",
+    """
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS INT), -1) AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def grouping_sets_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third §2.4 superset form beside ROLLUP
+    and CUBE): three independent groupings in one pass over the fact."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupingSets([["c_mktsegment"], ["c_nationkey"], []], "c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("int"), F.lit(-1)).alias("nation_key"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@_register(
     "distinct_users_by_type",
     """
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -12,8 +12,15 @@ Maps the reference's tick-driven dataflow onto Spark micro-batches:
 """
 
 from pulsar_internal_spark.streaming.ingest import (  # noqa: F401
+    filter_blocklisted,
+    read_socket_submissions,
     read_submission_stream,
     run_fifo_sink,
+    streaming_exact_dedup,
 )
 from pulsar_internal_spark.streaming.state import streaming_lww_cache  # noqa: F401
 from pulsar_internal_spark.streaming.windows import windowed_event_counts  # noqa: F401
+from pulsar_internal_spark.streaming.yields import (  # noqa: F401
+    make_yield_processor,
+    read_yield_results,
+)
