@@ -74,3 +74,50 @@ def test_random_payloads_shape(spark, sf_dir):
     for r in rows:
         assert len(r.key_b64) == 44  # 32 bytes, RFC-4648 with padding
         assert r.n_bytes_capped <= 1024 * 1024
+
+
+def test_every_query_documents_its_lineage():
+    """Every query carries a docstring, and most cite the reference
+    (file:line) or SURVEY.md — the parity-evidence convention the
+    suite is built on."""
+    import re
+
+    missing = [n for n, fn in QUERIES.items() if not (fn.__doc__ or "").strip()]
+    assert not missing, f"undocumented queries: {missing}"
+    cited = [
+        n
+        for n, fn in QUERIES.items()
+        if re.search(r"\w+\.(hpp|cpp):\d+|SURVEY\.md", fn.__doc__ or "")
+    ]
+    assert len(cited) >= int(0.6 * len(QUERIES)), (
+        f"only {len(cited)}/{len(QUERIES)} queries cite provenance"
+    )
+
+
+def test_bench_contract(tmp_path):
+    """bench.py must emit ONE JSON line with the driver-contract shape.
+    Runs at sf0.001 in a subprocess (fresh JVM) to prove the script
+    works standalone."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "query_suite_wall_seconds"
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert set(d["queries"]) == set(QUERIES)
+    assert d["sf"] == 0.001
