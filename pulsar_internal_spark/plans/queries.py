@@ -792,12 +792,41 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
-@_register("lsh_bucket_cosine_topk")  # deterministic but not tersely SQL-expressible
+def _lsh_oracle_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """Generate the sign-LSH oracle with the SAME plane weights the Spark
+    operator bakes in (sim_ops._plane_weights) as DuckDB list literals."""
+    planes = [sim_ops._plane_weights(p, dim) for p in range(num_planes)]
+
+    def wlit(w):
+        return "[" + ", ".join(str(x) for x in w) + "]"
+
+    sig = "||".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {wlit(w)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for w in planes
+    )
+    return f"""
+    WITH sigd AS (
+      SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
+    ), qs AS (SELECT * FROM sigd WHERE vec_id % 100 = 0)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.vec_id) AS BIGINT) AS rank
+    FROM qs q JOIN sigd c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+    QUALIFY rank <= 5
+    """
+
+
+@_register("lsh_bucket_cosine_topk", _lsh_oracle_sql())
 def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-LSH (sha2-derived hyperplanes) buckets, then
-    exact cosine re-rank inside buckets. Rows-only driver check — the
-    64-dim plane constants make the SQL oracle impractical; recall is
-    asserted against brute force in tests/test_operators.py."""
+    exact cosine re-rank inside buckets. Oracle-checked: the oracle SQL
+    is GENERATED with the same plane-weight constants the operator uses
+    (sim_ops._plane_weights), so bucketing and re-rank are compared
+    end-to-end; recall vs brute force additionally asserted in
+    tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     out = sim_ops.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)
