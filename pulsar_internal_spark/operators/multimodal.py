@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -35,7 +35,7 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("modality", StringType()),
         StructField("payload_len", LongType()),
-        StructField("feature", ArrayType(FloatType())),
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 

@@ -1123,7 +1123,27 @@ def multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_features")  # mapInPandas; rows-only driver check
+@_register(
+    "multimodal_features",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+             CAST(octet_length(text::BLOB) AS BIGINT) AS payload_len,
+             sha256(text) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, modality, payload_len,
+             list_transform(range(0, 8), i ->
+               CAST((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) AS DOUBLE) / 255.0) AS feats
+      FROM f
+    )
+    SELECT doc_id, modality, payload_len, CAST(8 AS INT) AS feat_dim,
+           ROUND(list_aggregate(feats, 'sum'), 6) AS feat_sum
+    FROM b
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas; STUB decoder — container has no codecs). Returns
