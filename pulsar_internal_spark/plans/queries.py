@@ -1721,6 +1721,72 @@ def session_blob_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "path_normalization",
+    r"""
+    SELECT doc_id,
+           'C:\Dragonite\' || replace(
+             regexp_replace(source || '/docs//' || CAST(doc_id AS VARCHAR) || '.txt',
+                            '/+', '/', 'g'),
+             '/', '\') AS norm_path,
+           regexp_replace(
+             'C:\Dragonite\' || replace(
+               regexp_replace(source || '/docs//' || CAST(doc_id AS VARCHAR) || '.txt',
+                              '/+', '/', 'g'),
+               '/', '\'),
+             '\\[^\\]*$', '') AS parent_dir
+    FROM documents
+    """,
+)
+def path_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Sandbox path normalization (filesys.hpp:50-84): forward-slash ->
+    backslash rewrite, duplicate-separator collapse, base-path
+    (`C:\Dragonite\`) prefixing, and the parent-directory derivation
+    used before CreateDirectory. Pure string plan: regexp_replace +
+    translate, whole-stage codegen, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("source"), F.lit("/docs//"), F.col("doc_id").cast("string"), F.lit(".txt")
+    )
+    collapsed = F.regexp_replace(raw, "/+", "/")
+    win_path = F.concat(F.lit("C:\\Dragonite\\"), F.translate(collapsed, "/", "\\"))
+    staged = docs.select("doc_id", win_path.alias("norm_path"))
+    return staged.select(
+        "doc_id",
+        "norm_path",
+        F.regexp_replace("norm_path", r"\\[^\\]*$", "").alias("parent_dir"),
+    )
+
+
+@_register(
+    "calling_script_lineage",
+    """
+    SELECT user_id,
+           COALESCE(c_name, '(none)') AS owner_name,
+           (c_name IS NOT NULL) AS owned
+    FROM (SELECT DISTINCT user_id FROM events) t
+    LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def calling_script_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`getcallingscript`/`getscriptfromthread` (script.hpp:222-232,
+    345-360): thread-userdata -> owning script instance, nil when the
+    thread has no owner. Lineage = left-outer FK lookup from the thread
+    census (distinct event users) to the owner dim; broadcast builds the
+    RIGHT side (the only build shape BroadcastHashJoin supports for
+    left-outer), so the big fact side never shuffles."""
+    threads = _t(spark, sf_dir, "events").select("user_id").distinct()
+    owners = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        threads.join(F.broadcast(owners), threads.user_id == owners.c_custkey, "left")
+        .select(
+            "user_id",
+            F.coalesce("c_name", F.lit("(none)")).alias("owner_name"),
+            F.col("c_name").isNotNull().alias("owned"),
+        )
+    )
+
+
 @_register("random_payloads")  # rand() streams are engine-specific; rows-only
 def random_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`crypt.generatebytes`/`generatekey`/`random_string`
