@@ -49,6 +49,13 @@ def clean_corpus(
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_canon_id"))
     deduped = hashed.join(canon, "_h").filter(F.col(id_col) == F.col("_canon_id"))
 
+    # _nd (non-deterministic) blocks PushPredicateThroughNonJoin from
+    # re-inlining the filter below into this projection: inlined, the
+    # lang/quality expression tree repeats the regex-hits array ~25x,
+    # overflows janino's method limit, and the whole filter falls back
+    # to interpreted eval at the scan (re-running every regex per
+    # reference). Staged, the regexes run once per row and the filter
+    # is a two-column comparison inside whole-stage codegen.
     scored = deduped.select(
         id_col,
         textops.lang_id_from(textops.lang_hits(F.col("_norm"))).alias("lang_pred"),
@@ -56,7 +63,13 @@ def clean_corpus(
         textops.token_count(text_col).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
         F.col("_h").alias("fingerprint"),  # == sha2(norm), already computed
+        F.monotonically_increasing_id().alias("_nd"),
     )
+    # `_nd >= 0` is always true but not constant-foldable, so _nd stays
+    # referenced (ColumnPruning would otherwise drop it and re-enable
+    # the pushdown this guard exists to block).
     return scored.filter(
-        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
-    )
+        (F.col("_nd") >= 0)
+        & (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+    ).drop("_nd")
