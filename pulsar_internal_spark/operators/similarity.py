@@ -124,7 +124,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 8,
+    max_iter: int = 4,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     then exact re-rank inside the ``nprobe`` closest cells per query.
@@ -139,6 +139,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # count the raw input (metadata-only for parquet) BEFORE spread():
+    # counting through the repartition would execute the exchange.
+    n_corpus = corpus.count()
     corpus = spread(corpus)
     with_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -146,12 +149,20 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
     # cells only partition space — a few Lloyd iterations suffice; full
-    # convergence buys recall nothing nprobe doesn't buy cheaper
+    # convergence buys recall nothing nprobe doesn't buy cheaper. Train
+    # on a seeded sample: every Lloyd iteration is a full pass over the
+    # train set, and a few thousand points pin 16 cells as well as the
+    # whole corpus would (at 100 TB a full-corpus fit is off the table).
+    target = max(num_centroids * 128, 2048)
+    frac = min(1.0, target / max(n_corpus, 1))
+    train = with_vec.select("_v") if frac >= 1.0 else (
+        with_vec.select("_v").sample(False, frac, seed)
+    )
     km = KMeans(
         k=num_centroids, seed=seed, maxIter=max_iter,
         featuresCol="_v", predictionCol="cell",
     )
-    model = km.fit(with_vec.select("_v"))
+    model = km.fit(train)
     c = model.transform(with_vec).select(
         "neighbor_id", "cv", F.col("cell"), _norm(F.col("cv")).alias("cn")
     )
