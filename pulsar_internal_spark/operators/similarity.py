@@ -142,6 +142,7 @@ def ivf_topk(
     # count the raw input (metadata-only for parquet) BEFORE spread():
     # counting through the repartition would execute the exchange.
     n_corpus = corpus.count()
+    raw_corpus = corpus
     corpus = spread(corpus)
     with_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -153,13 +154,20 @@ def ivf_topk(
     # on a seeded sample: every Lloyd iteration is a full pass over the
     # train set, and a few thousand points pin 16 cells as well as the
     # whole corpus would (at 100 TB a full-corpus fit is off the table).
+    # Train lineage deliberately bypasses spread(): kmeans|| init plus
+    # every Lloyd pass re-evaluates its input, and the sample is a few
+    # thousand points — one partition straight off the raw scan turns
+    # each of those ~10 internal jobs into a single task.
     target = max(num_centroids * 128, 2048)
     frac = min(1.0, target / max(n_corpus, 1))
-    train = with_vec.select("_v") if frac >= 1.0 else (
-        with_vec.select("_v").sample(False, frac, seed)
-    )
+    sampled = raw_corpus if frac >= 1.0 else raw_corpus.sample(False, frac, seed)
+    train = sampled.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v")
+    ).coalesce(1)
+    # random init: kmeans|| spends ~5 extra passes buying convergence
+    # speed that coarse cells don't need
     km = KMeans(
-        k=num_centroids, seed=seed, maxIter=max_iter,
+        k=num_centroids, seed=seed, maxIter=max_iter, initMode="random",
         featuresCol="_v", predictionCol="cell",
     )
     model = km.fit(train)
@@ -167,17 +175,26 @@ def ivf_topk(
         "neighbor_id", "cv", F.col("cell"), _norm(F.col("cv")).alias("cn")
     )
 
-    # query -> nprobe nearest cells via a broadcast centroid cross-score
-    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    # query -> nprobe nearest cells. The trained centroids are plan
+    # CONSTANTS, so inline them as a literal array-of-structs and explode
+    # — no createDataFrame round-trip, no broadcast exchange.
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
+            )
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
     )
     q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
+        q.select("query_id", "qv", "qn", F.explode(cent_lit).alias("_c"))
+        .select("query_id", "qv", "qn", F.col("_c.cell").alias("cell"), F.col("_c.centroid").alias("centroid"))
         .withColumn(
             "dist2",
             F.aggregate(

@@ -115,8 +115,10 @@ def blocklist_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is on a blocklist dimension -> broadcast LEFT ANTI join (the 90-name
     list generalizes to any size; broadcast keeps it shuffle-free)."""
     docs = _t(spark, sf_dir, "documents")
-    blocklist = spark.createDataFrame(
-        [("src0",), ("src7",), ("src13",)], ["blocked_source"]
+    # VALUES inline table: stays JVM-side (createDataFrame would round a
+    # Python list through an RDD job just to build a 3-row dim)
+    blocklist = spark.sql(
+        "SELECT * FROM VALUES ('src0'), ('src7'), ('src13') AS t(blocked_source)"
     )
     return docs.join(
         F.broadcast(blocklist),
@@ -298,9 +300,12 @@ def capability_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-row static table scanned linearly) -> broadcast hash join against a
     tiny dimension, then aggregate."""
     events = _t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
-        [(i, f"lvl{i}", (1 << (i + 1)) - 1) for i in range(8)],
-        ["identity", "cap_name", "capabilities"],
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), 'lvl{i}', CAST({(1 << (i + 1)) - 1} AS BIGINT))"
+        for i in range(8)
+    )
+    dim = spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(identity, cap_name, capabilities)"
     )
     return (
         events.withColumn("identity", F.col("user_id") % 8)
