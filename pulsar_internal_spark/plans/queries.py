@@ -523,6 +523,55 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "session_windows_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '4 hours', '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 4-hour inactivity gap —
+    `session_window`, the third windowing form beside tumbling and
+    sliding (SURVEY.md §2.11: the reference has only tick batching; the
+    late-data/window policy is ours to define). Spark's session merge is
+    one shuffle on (user, overlapping-window); the oracle re-derives
+    sessions as a gaps-and-islands cumulative sum. Window end = last
+    event + gap in both engines."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # =========================================================================
 # Scalar-function family (SURVEY.md §2.8-2.10)
 # =========================================================================

@@ -23,4 +23,5 @@ from pulsar_internal_spark.streaming.windows import windowed_event_counts  # noq
 from pulsar_internal_spark.streaming.yields import (  # noqa: F401
     make_yield_processor,
     read_yield_results,
+    rejoin_results_stream,
 )

@@ -83,3 +83,43 @@ def read_yield_results(spark: SparkSession, results_dir: str) -> DataFrame:
     return spark.readStream.schema(RESULT_SCHEMA).json(
         results_dir, pathGlobFilter="*.jsonl", recursiveFileLookup=True
     )
+
+
+def rejoin_results_stream(
+    submissions: DataFrame,
+    results: DataFrame,
+    max_delay: str = "5 minutes",
+    watermark: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream rejoin: the submission stream joined to its async
+    result stream — the yield queue's resume-on-tick (yield.cpp:24-37)
+    as a first-class streaming join.
+
+    ``submissions`` needs (submission_id, submitted_at TIMESTAMP);
+    ``results`` needs (submission_id, completed_at TIMESTAMP, result, ok).
+    A result only matches within ``max_delay`` of its submission — the
+    reference's HTTP timeout (http.hpp:124: 30 s) as a join range
+    condition. With ``how='left_outer'`` submissions whose result never
+    arrived inside the horizon emerge with NULL result once the
+    watermark passes: an observable timeout row.
+
+    Scale posture: the range condition + watermarks bound BOTH state
+    stores (each side evicts rows older than watermark + max_delay);
+    without them a stream-stream join buffers forever.
+    """
+    from pyspark.sql import functions as F
+
+    s = submissions.withWatermark("submitted_at", watermark)
+    r = results.select(
+        F.col("submission_id").alias("r_submission_id"),
+        "completed_at",
+        "result",
+        "ok",
+    ).withWatermark("completed_at", watermark)
+    cond = (
+        (s["submission_id"] == r["r_submission_id"])
+        & (r["completed_at"] >= s["submitted_at"])
+        & (r["completed_at"] <= s["submitted_at"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return s.join(r, cond, how).drop("r_submission_id")

@@ -412,3 +412,55 @@ def test_close_sentinel_stops_stream(spark, tmp_path):
     )
     assert q.awaitTermination(30), "stream must stop itself on the sentinel"
     assert got == ["real work"]
+
+
+def test_stream_stream_rejoin_within_delay(spark, tmp_path):
+    """rejoin_results_stream: a result matches only within max_delay of
+    its submission (the HTTP-timeout range condition); late results
+    produce no joined row."""
+    from pulsar_internal_spark.streaming import rejoin_results_stream
+
+    sub_dir, res_dir = tmp_path / "subs", tmp_path / "res"
+    sub_dir.mkdir(), res_dir.mkdir()
+
+    def put(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    put(sub_dir, "s.jsonl", [
+        {"submission_id": "a", "submitted_at": "2024-01-01 00:00:00"},
+        {"submission_id": "b", "submitted_at": "2024-01-01 00:00:10"},
+        {"submission_id": "c", "submitted_at": "2024-01-01 00:00:20"},
+    ])
+    put(res_dir, "r.jsonl", [
+        # a: completes in 30s -> joins
+        {"submission_id": "a", "completed_at": "2024-01-01 00:00:30",
+         "result": "ok-a", "ok": True},
+        # b: completes 10 min later -> outside max_delay, no row
+        {"submission_id": "b", "completed_at": "2024-01-01 00:10:10",
+         "result": "late-b", "ok": True},
+        # c: completes before submission (clock skew) -> no row
+        {"submission_id": "c", "completed_at": "2023-12-31 23:59:00",
+         "result": "early-c", "ok": True},
+    ])
+
+    subs = spark.readStream.schema(
+        "submission_id STRING, submitted_at TIMESTAMP"
+    ).json(str(sub_dir))
+    res = spark.readStream.schema(
+        "submission_id STRING, completed_at TIMESTAMP, result STRING, ok BOOLEAN"
+    ).json(str(res_dir))
+
+    joined = rejoin_results_stream(subs, res, max_delay="5 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("rejoin_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _await(q)
+    rows = {r.submission_id: r for r in spark.sql("SELECT * FROM rejoin_t").collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"].result == "ok-a" and rows["a"].ok
