@@ -572,6 +572,75 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sliding_event_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts) - (k * INTERVAL '1 hour'),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 4-hour windows every hour, so
+    each event lands in exactly four overlapping buckets — the second
+    Spark windowing form (SURVEY.md §2.5/§2.11 superset). The oracle
+    re-derives membership by fanning each event to trunc(ts)-k hours,
+    k=0..3 — the same epoch-aligned window starts Spark assigns."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "4 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           ROUND(MIN(value), 2) AS v_min,
+           ROUND(MAX(value), 2) AS v_max
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile family over the event log — the statistics
+    superset of the reference's counting loops (SURVEY.md §2.4; the
+    sketch variant is approx_distinct_users). Spark `percentile` and
+    DuckDB `quantile_cont` share continuous interpolation, so values
+    match to rounding."""
+    events = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.element_at(pct, 1), 6).alias("p50"),
+            F.round(F.element_at(pct, 2), 6).alias("p90"),
+            F.round(F.element_at(pct, 3), 6).alias("p99"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+        )
+        .select("event_type", "p50", "p90", "p99", "v_min", "v_max")
+    )
+
+
 # =========================================================================
 # Scalar-function family (SURVEY.md §2.8-2.10)
 # =========================================================================
