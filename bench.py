@@ -37,8 +37,17 @@ def main() -> None:
     spark = get_spark(app_name="pulsar_internal_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer reads
+    # warmup: JVM + codegen + parquet footer reads, plus the two lazily
+    # initialized subsystems whose startup would otherwise be billed to
+    # whichever query alphabetically hits them first — the Python UDF
+    # worker pool (blake2 pays ~2 s of worker spawn + package shipping)
+    # and the MLlib class graph (ivf pays ~5 s of class loading)
     _materialize(QUERIES["class_filter_scan"](spark, sf_dir))
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
+    _materialize(QUERIES["blake2_lookalike_nation"](spark, warm_sf))
+    _materialize(QUERIES["ivf_cosine_topk"](spark, warm_sf))
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
