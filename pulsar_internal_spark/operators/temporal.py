@@ -1,0 +1,88 @@
+"""Temporal joins — operators Spark lacks as built-ins, composed from
+DataFrame primitives (driver-mandated extension family; SURVEY.md §7
+Phase 4 design stance: partition-parallel, no driver loops).
+
+The as-of join ("latest right-side row at or before each left-side
+time") is the canonical training-data alignment primitive: join events
+to the most recent model/state snapshot, prices to trades, orders to
+sessions. Spark has no ASOF JOIN; the naive rewrite (inequality join +
+per-left-row max) explodes to O(L*R) pairs under a range predicate.
+
+Implementation here is the scalable union-and-carry shape:
+
+    tag left rows 1, right rows 0
+    union on (key, t, tag, payload-cols)          -- narrow
+    window PARTITION BY key ORDER BY (t, tag)
+           ROWS UNBOUNDED PRECEDING..CURRENT      -- ONE shuffle on key
+    last(payload, ignorenulls=true) carries the latest right payload
+    keep tag==1 rows                              -- the joined output
+
+Cost: one hash exchange + one sort — the same budget as a regular
+sort-merge join, with no pair explosion. Right-side rows must be unique
+per (key, t) for determinism; callers dedupe with an aggregate (see
+`asof_latest_order` in plans/queries.py).
+
+At 100 TB: the shuffle keys on the join key, so skewed keys salt the
+same way joins do; state per partition is one sort run (spillable), and
+no row set is ever collected or broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    carry_time_as: str = "asof_time",
+) -> DataFrame:
+    """Left as-of join: every `left` row, plus `payload` columns from the
+    latest `right` row with the same `on` key and
+    ``right_time <= left_time`` (NULLs when no such row exists).
+
+    `right` must be unique per (on, right_time); ties at equal time sort
+    the right row first, so a left row at exactly the right row's time
+    matches it (>= semantics, DuckDB-ASOF-compatible).
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_pt"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.col(right_time).alias("_pt"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        *lcols,
+        "_tag",
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in payload],
+        F.last("_pt", ignorenulls=True).over(w).alias(carry_time_as),
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *lcols,
+        *[F.col(f"_c_{c}").alias(c) for c in payload],
+        carry_time_as,
+    )

@@ -573,6 +573,53 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_latest_order",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_order_key,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event aligned to the user's latest order at or
+    before the event time — the temporal-alignment primitive Spark
+    lacks as a built-in, implemented as operators/temporal.asof_join
+    (tagged union + carry-forward window, ONE shuffle, no pair
+    explosion). Oracle is DuckDB's native ASOF LEFT JOIN. Right side is
+    deduped per (key, time) for deterministic tie-break in both
+    engines."""
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    j = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey"],
+        carry_time_as="_asof_ts",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.date_format("_asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_order_date"),
+    )
+
+
+@_register(
     "sliding_event_windows",
     """
     SELECT strftime(date_trunc('hour', ts) - (k * INTERVAL '1 hour'),

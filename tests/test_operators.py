@@ -228,3 +228,46 @@ def test_minhash_lsh_finds_planted_near_duplicates(spark):
         (r.id_a, r.id_b) for r in scored.filter(F.col("jaccard") >= 0.5).collect()
     }
     assert planted & pairs <= confirmed, "LSH hits must pass exact-jaccard verify"
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """asof_join: >= tie semantics, NULL before first right row, and the
+    one-shuffle plan shape (no pair explosion, no extra exchange)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators.temporal import asof_join
+
+    left = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP '2024-01-01 00:00:00'),"   # before any right row -> NULL
+        "(1, TIMESTAMP '2024-01-01 01:00:00'),"   # exactly at r1 -> matches r1
+        "(1, TIMESTAMP '2024-01-01 02:30:00'),"   # between r1 and r2 -> r1
+        "(2, TIMESTAMP '2024-01-01 05:00:00')"    # other key -> r3
+        " AS t(k, t_left)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP '2024-01-01 01:00:00', 'r1'),"
+        "(1, TIMESTAMP '2024-01-01 03:00:00', 'r2'),"
+        "(2, TIMESTAMP '2024-01-01 04:00:00', 'r3')"
+        " AS t(k, t_right, payload)"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t_left", right_time="t_right",
+        payload=["payload"],
+    )
+    rows = {(r.k, str(r.t_left)): r.payload for r in out.collect()}
+    assert rows == {
+        (1, "2024-01-01 00:00:00"): None,
+        (1, "2024-01-01 01:00:00"): "r1",
+        (1, "2024-01-01 02:30:00"): "r1",
+        (2, "2024-01-01 05:00:00"): "r3",
+    }
+    # count only the final AQE plan (the string repeats nodes in the
+    # "== Initial Plan ==" section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    # one hash exchange for the window; a pair-exploding rewrite would
+    # show a Join node
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
+    assert "Join" not in final_plan, final_plan
