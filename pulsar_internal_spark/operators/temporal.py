@@ -86,3 +86,52 @@ def asof_join(
         *[F.col(f"_c_{c}").alias(c) for c in payload],
         carry_time_as,
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join WITHOUT an equi-key: pair every `left`
+    row with every `right` interval where
+    ``right_start <= left_time < right_end``.
+
+    Spark's planner turns a pure inequality join into a broadcast
+    nested-loop — O(L*R) comparisons. This operator manufactures the
+    missing equi-key by time-bucketing: each right interval explodes to
+    the buckets it touches (ceil(len/bucket)+1 rows), each left row maps
+    to exactly one bucket, and the join becomes a hash equi-join on
+    bucket with the range predicate as a residual condition. A left row
+    matches an interval in exactly one bucket (its own), so no dedup
+    pass is needed.
+
+    ``right_end`` is a column name or Column (e.g. ``F.col(s) +
+    F.expr("INTERVAL 1 HOUR")``); pick ``bucket_seconds`` ~ the typical
+    interval length so intervals touch ~2 buckets.
+
+    At 100 TB: shuffle keys on bucket; hot buckets are time skew —
+    choose the bucket width against interval length, and AQE's
+    skew-join split handles residual hotspots.
+    """
+    end_col = F.col(right_end) if isinstance(right_end, str) else right_end
+    l2 = left.withColumn(
+        "_rb", F.floor(F.unix_timestamp(F.col(left_time)) / bucket_seconds)
+    )
+    r2 = (
+        right.withColumn("_re", end_col)
+        .withColumn("_b0", F.floor(F.unix_timestamp(F.col(right_start)) / bucket_seconds))
+        .withColumn("_b1", F.floor(F.unix_timestamp(F.col("_re")) / bucket_seconds))
+        .withColumn("_rb", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .drop("_b0", "_b1")
+    )
+    cond = (
+        (l2["_rb"] == r2["_rb"])
+        & (l2[left_time] >= r2[right_start])
+        & (l2[left_time] < r2["_re"])
+    )
+    return l2.join(r2, cond, how).drop(r2["_rb"]).drop("_rb", "_re")

@@ -620,6 +620,45 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incident_window_counts",
+    """
+    SELECT e.event_id, CAST(COUNT(i.ts) AS BIGINT) AS n_incidents
+    FROM events e
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') i
+      ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key-less interval join: error events open 1-hour incident
+    windows; count the windows covering each event. Naive Spark plans
+    this inequality join as a broadcast nested-loop (O(L*R)); the
+    operators/temporal.range_join bucketing rewrite makes it a hash
+    equi-join on the time bucket with the range predicate residual —
+    the scalable form."""
+    from ..operators.temporal import range_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts")
+    incidents = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.col("ts").alias("incident_start"))
+    )
+    j = range_join(
+        events,
+        incidents,
+        left_time="ts",
+        right_start="incident_start",
+        right_end=F.col("incident_start") + F.expr("INTERVAL 1 HOUR"),
+        bucket_seconds=3600,
+        how="left",
+    )
+    return j.groupBy("event_id").agg(
+        F.count("incident_start").alias("n_incidents")
+    )
+
+
+@_register(
     "sliding_event_windows",
     """
     SELECT strftime(date_trunc('hour', ts) - (k * INTERVAL '1 hour'),

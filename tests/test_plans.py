@@ -87,3 +87,11 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     the corpus scan shuffle-free."""
     plan = _plan(spark, sf_dir, "embedding_cosine_topk")
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketing rewrite must plan the equi-key-less interval join
+    as a hash equi-join on the time bucket — never a nested loop."""
+    plan = _plan(spark, sf_dir, "incident_window_counts")
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
