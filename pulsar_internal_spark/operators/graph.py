@@ -1,0 +1,86 @@
+"""Connected components — the clustering step after candidate-pair
+generation (driver-mandated dedup family, SURVEY.md §7 Phase 4).
+
+Near-dup detectors (minhash-LSH, simhash, embedding threshold) emit
+PAIRS; production dedup keeps one document per connected component of
+the pair graph. This module computes components with iterative
+min-label propagation plus pointer jumping:
+
+    per round:
+      1. propagate: label(v) <- min(label(v), min(label(u)) over
+         neighbors u)                                  -- shuffle on edge key
+      2. hop: label(v) <- label(label(v))              -- pointer jumping
+
+Propagation alone needs O(diameter) rounds; the hop step contracts
+label chains so convergence is O(log n) rounds. Each round
+localCheckpoints (lineage would otherwise compound across rounds — the
+same discipline as operators/tree.descendants); on a cluster swap for
+reliable checkpoint(dir).
+
+Convergence is detected with a monotone checksum: labels only ever
+decrease, so sum(label) strictly decreases on any change — one scan
+aggregate per round instead of a self-join diff.
+
+At 100 TB: state per round is one (node, label) pair per node and the
+symmetric edge list; every step is a keyed join/aggregate (no driver
+collect except the O(1) checksum per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 15,
+    edges_canonical: bool = False,
+) -> DataFrame:
+    """(id, cluster_id) for every node in `edges`; cluster_id = the
+    minimum node id reachable in the undirected pair graph.
+    Deterministic for any edge order.
+
+    ``edges_canonical=True`` asserts each undirected edge appears
+    exactly once (e.g. produced with ``src < dst``) — skips a
+    distinct shuffle on the symmetrized list.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1. propagate: min label over self + neighbors
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # 2. hop: label(v) <- label(label(v)) (pointer jumping)
+        parent = prop.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        hopped = prop.join(parent, prop["label"] == parent["p_id"], "left").select(
+            "id", F.coalesce("p_label", "label").alias("label")
+        )
+        labels = hopped.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -620,6 +620,57 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_cooccurrence_components",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b
+        ON date_trunc('minute', a.ts) = date_trunc('minute', b.ts)
+       AND a.user_id < b.user_id
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    )
+    SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def user_cooccurrence_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the user co-occurrence graph (edges =
+    users with events in the same minute) — the pair-graph clustering
+    step every near-dup pipeline needs after candidate generation
+    (operators/graph.py: min-label propagation + pointer jumping,
+    O(log n) rounds). Oracle computes the same components by recursive
+    transitive closure + MIN — tractable at oracle scale, quadratic at
+    ours, which is exactly why the iterative operator exists."""
+    from ..operators.graph import connected_components
+
+    events = _t(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("m"), "user_id"
+    )
+    a = events.alias("a")
+    b = events.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    return connected_components(edges, edges_canonical=True).select(
+        "id", "cluster_id"
+    )
+
+
+@_register(
     "incident_window_counts",
     """
     SELECT e.event_id, CAST(COUNT(i.ts) AS BIGINT) AS n_incidents

@@ -271,3 +271,24 @@ def test_asof_join_semantics_and_plan(spark):
     # show a Join node
     assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
     assert "Join" not in final_plan, final_plan
+
+
+def test_connected_components_two_islands(spark):
+    """connected_components: min-id labels, chain + triangle islands,
+    canonical-edge fast path agrees with the safe path."""
+    from pulsar_internal_spark.operators.graph import connected_components
+
+    edges = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 2), (2, 3), (3, 4),"   # chain: component 1
+        "(10, 11), (11, 12), (10, 12)"  # triangle: component 10
+        " AS t(src, dst)"
+    )
+    for canonical in (True, False):
+        out = {
+            r.id: r.cluster_id
+            for r in connected_components(
+                edges, edges_canonical=canonical
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}, out
