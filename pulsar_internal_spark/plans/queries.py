@@ -1028,6 +1028,55 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "near_dup_clusters",
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + r"""
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    , pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN dsh a ON c.id_a = a.doc_id JOIN dsh b ON c.id_b = b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1
+                          ELSE len(list_distinct(a.s || b.s)) END), 6) >= 0.5
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM comp
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone near-dup pipeline, end-to-end and oracle-checked:
+    minhash-LSH candidates -> exact-jaccard verification (>= 0.5) ->
+    connected components over the verified pair graph -> cluster id +
+    size per member doc. This is the full shape of production corpus
+    dedup (keep min doc_id per cluster); every stage is the scalable
+    operator form (banded self-join, candidates-only verify, O(log n)
+    component rounds)."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    pairs = dedup_ops.jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "cluster_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+
+
+@_register(
     "embedding_cosine_topk",
     """
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
