@@ -710,6 +710,59 @@ def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread across one column per event
+    type. The explicit value list keeps it a single-pass hash aggregate
+    (no extra distinct-values job, and the output schema is static —
+    the only pivot shape that scales)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@_register(
+    "quality_unpivot",
+    """
+    SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS v FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_words', CAST(len(string_split_regex(
+      trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS DOUBLE) FROM documents
+    """,
+)
+def quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-doc metrics to long (doc_id, metric, v)
+    rows — `unpivot` is one narrow Generate per row (no shuffle), the
+    shape feature-store exports use."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(
+            F.split(
+                F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))), r"\s+"
+            )
+        ).cast("double").alias("n_words"),
+    )
+    return staged.unpivot("doc_id", ["n_chars", "n_words"], "metric", "v")
+
+
+@_register(
     "sliding_event_windows",
     """
     SELECT strftime(date_trunc('hour', ts) - (k * INTERVAL '1 hour'),
