@@ -292,3 +292,52 @@ def test_connected_components_two_islands(spark):
             ).collect()
         }
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}, out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """connected_components == pure-Python union-find on arbitrary
+    small graphs (self-loops and duplicate edges included)."""
+    from pulsar_internal_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges]
+    )
+    got = {
+        r.id: r.cluster_id for r in connected_components(df).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize: min member per root
+    roots: dict = {}
+    for x, r in want.items():
+        roots.setdefault(find(r), []).append(x)
+    expect = {x: min(members) for r, members in roots.items() for x in members}
+    assert got == expect
