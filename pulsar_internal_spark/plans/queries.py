@@ -710,6 +710,58 @@ def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_min(embedding::DOUBLE[]) AS vmin,
+             list_max(embedding::DOUBLE[]) AS vmax
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, x, vmin,
+             CASE WHEN vmax = vmin THEN 1.0
+                  ELSE (vmax - vmin) / 255.0 END AS scale
+      FROM v
+    ), c AS (
+      SELECT vec_id, x, vmin, scale,
+             list_transform(x, e -> CAST(round((e - vmin) / scale) AS INT)) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           ROUND(list_max(list_transform(range(1, len(x) + 1),
+                 i -> abs(x[i] - (vmin + codes[i] * scale)))), 6) AS max_abs_err
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (similarity.quantize_embeddings):
+    affine per-vector 0..255 codes — 4x less memory per corpus vector,
+    so 4x more corpus fits a broadcast/cache budget; coarse-score on
+    codes, re-rank survivors on full precision. Checked here via code
+    checksum + max reconstruction error per vector (bounded by
+    scale/2), all JVM higher-order functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_ops.quantize_embeddings(emb)
+    recon_err = F.array_max(
+        F.zip_with(
+            "_v",
+            "codes",
+            lambda e, c: F.abs(
+                e - (F.col("vmin") + c.cast("double") * F.col("scale"))
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("code_sum"),
+        F.round(recon_err, 6).alias("max_abs_err"),
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
