@@ -762,6 +762,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation over genuinely hot keys (5 event types x
+    20% of all rows each): operators/skew.salted_agg spreads each hot
+    key over 16 salt reducers, then merges partials — AQE splits skewed
+    JOINS but not skewed aggregations, so this is the explicit fix.
+    Result is identical to the plain GROUP BY (the oracle)."""
+    from ..operators import skew as skew_ops
+
+    events = _t(spark, sf_dir, "events")
+    out = skew_ops.salted_agg(
+        events,
+        ["event_type"],
+        aggs={
+            "n_events": ("count", None),
+            "total_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,

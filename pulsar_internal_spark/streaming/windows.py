@@ -49,3 +49,36 @@ def windowed_event_counts(
             "cnt",
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("user_id",),
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: per-key activity runs split by ``gap`` of
+    inactivity. In streaming mode Spark MERGES overlapping candidate
+    sessions as events arrive, emitting a session only once the
+    watermark passes its end — so each session is final when it
+    appears (append mode). Batch form is checked by the
+    `session_windows_events` oracle query.
+
+    Returns (session_start, session_end, *keys, cnt).
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[F.col(k) for k in keys],
+            "cnt",
+        )
+    )

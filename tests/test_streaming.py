@@ -464,3 +464,50 @@ def test_stream_stream_rejoin_within_delay(spark, tmp_path):
     rows = {r.submission_id: r for r in spark.sql("SELECT * FROM rejoin_t").collect()}
     assert set(rows) == {"a"}
     assert rows["a"].result == "ok-a" and rows["a"].ok
+
+
+def test_streaming_session_windows_merge(spark, tmp_path):
+    """Streaming session windows: events within the gap merge into one
+    session (even across micro-batches); events past the gap open a new
+    one. Append mode emits only watermark-finalized sessions."""
+    from pulsar_internal_spark.streaming.windows import session_windowed_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def put(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # user 1: a 3-event session then a separate late-hour session;
+    # user 2: one singleton. The 12:00 row only advances the watermark.
+    put("a.jsonl", [
+        {"ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"ts": "2024-01-01 00:03:00", "user_id": 1},
+        {"ts": "2024-01-01 00:06:00", "user_id": 1},
+        {"ts": "2024-01-01 01:00:00", "user_id": 1},
+        {"ts": "2024-01-01 00:00:30", "user_id": 2},
+        {"ts": "2024-01-01 12:00:00", "user_id": 99},
+    ])
+
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id BIGINT").json(str(src))
+    out = session_windowed_counts(stream, gap="5 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _await(q)
+    rows = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.cnt)
+        for r in spark.sql("SELECT * FROM sessions_t").collect()
+        if r.user_id != 99
+    }
+    assert rows == {
+        (1, "2024-01-01 00:00:00"): ("2024-01-01 00:11:00", 3),
+        (1, "2024-01-01 01:00:00"): ("2024-01-01 01:05:00", 1),
+        (2, "2024-01-01 00:00:30"): ("2024-01-01 00:05:30", 1),
+    }
