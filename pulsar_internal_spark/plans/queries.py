@@ -762,6 +762,97 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantized_rerank_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_min(embedding::DOUBLE[]) AS vmin,
+             list_max(embedding::DOUBLE[]) AS vmax
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, x, vmin,
+             CASE WHEN vmax = vmin THEN 1.0 ELSE (vmax - vmin) / 255.0 END AS scale
+      FROM v
+    ), recon AS (
+      SELECT vec_id, x,
+             list_transform(x, e -> vmin + round((e - vmin) / scale) * scale) AS xr
+      FROM s
+    ), q AS (
+      SELECT vec_id AS query_id, x AS qx FROM v WHERE vec_id % 100 = 0
+    ), pool AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id, q.qx, r.x AS cx,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(q.qx, r.xr), 6) DESC, r.vec_id
+             ) AS crank
+      FROM q JOIN recon r ON r.vec_id != q.query_id
+      QUALIFY crank <= 20
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(list_cosine_similarity(qx, cx), 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(list_cosine_similarity(qx, cx), 6) DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM pool QUALIFY rank <= 5
+    """,
+)
+def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval over int8-quantized vectors: coarse cosine on
+    the RECONSTRUCTED (vmin + code*scale) corpus picks a 20-candidate
+    pool per query; exact cosine on full precision re-ranks to top-5.
+    At 100 TB the codes tier is what gets broadcast/cached (4x smaller,
+    embedding_quantize_int8); only pool survivors touch full precision.
+    Pool and final ranks order by ROUND(...,6) + id so both engines
+    tie-break identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = sim_ops.quantize_embeddings(emb)  # vec_id, codes, vmin, scale, _v
+    recon = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_v").alias("cx"),
+        F.zip_with(
+            "_v",
+            "codes",
+            lambda e, c: F.col("vmin") + c.cast("double") * F.col("scale"),
+        ).alias("xr"),
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qx"),
+    )
+    coarse = (
+        spread(recon)
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qx",
+            "cx",
+            F.round(
+                sim_ops.cosine(F.col("qx"), F.col("xr")), 6
+            ).alias("coarse_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_sim"), F.asc("neighbor_id")
+    )
+    pool = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= 20
+    )
+    exact = pool.select(
+        "query_id",
+        "neighbor_id",
+        F.round(sim_ops.cosine(F.col("qx"), F.col("cx")), 6).alias("cos_sim"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(we)).filter(
+        F.col("rank") <= 5
+    )
+
+
+@_register(
     "salted_hot_key_agg",
     """
     SELECT event_type,
