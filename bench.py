@@ -43,6 +43,8 @@ def main() -> None:
     # worker pool (blake2 pays ~2 s of worker spawn + package shipping)
     # and the MLlib class graph (ivf pays ~5 s of class loading)
     _materialize(QUERIES["class_filter_scan"](spark, sf_dir))
+    # events-table scan path (nanos->timestamp) warms separately
+    _materialize(QUERIES["distinct_users_by_type"](spark, sf_dir))
     warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(warm_sf):
         warm_sf = sf_dir
