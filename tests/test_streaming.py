@@ -511,3 +511,62 @@ def test_streaming_session_windows_merge(spark, tmp_path):
         (1, "2024-01-01 01:00:00"): ("2024-01-01 01:05:00", 1),
         (2, "2024-01-01 00:00:30"): ("2024-01-01 00:05:30", 1),
     }
+
+
+def test_stream_stream_rejoin_left_outer_timeout(spark, tmp_path):
+    """left_outer rejoin: a submission whose result never arrives inside
+    max_delay emerges with NULL result once the watermark passes its
+    horizon — the observable-timeout row (http.hpp:124 30s timeout)."""
+    from pulsar_internal_spark.streaming import rejoin_results_stream
+
+    sub_dir, res_dir = tmp_path / "subs", tmp_path / "res"
+    sub_dir.mkdir(), res_dir.mkdir()
+
+    def put(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    put(sub_dir, "00.jsonl", [
+        {"submission_id": "a", "submitted_at": "2024-01-01 00:00:00"},
+        {"submission_id": "b", "submitted_at": "2024-01-01 00:00:10"},
+    ])
+    put(res_dir, "00.jsonl", [
+        {"submission_id": "a", "completed_at": "2024-01-01 00:00:30",
+         "result": "ok-a", "ok": True},
+    ])
+    # later traffic on BOTH sides advances the watermark past b's horizon
+    for i, h in ((1, 2), (2, 4)):
+        put(sub_dir, f"0{i}.jsonl", [
+            {"submission_id": f"zs{i}", "submitted_at": f"2024-01-01 0{h}:00:00"}])
+        put(res_dir, f"0{i}.jsonl", [
+            {"submission_id": f"zr{i}", "completed_at": f"2024-01-01 0{h}:00:00",
+             "result": "x", "ok": True}])
+
+    subs = (
+        spark.readStream.schema("submission_id STRING, submitted_at TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).json(str(sub_dir))
+    )
+    res = (
+        spark.readStream.schema(
+            "submission_id STRING, completed_at TIMESTAMP, result STRING, ok BOOLEAN"
+        )
+        .option("maxFilesPerTrigger", 1).json(str(res_dir))
+    )
+    joined = rejoin_results_stream(
+        subs, res, max_delay="5 minutes", watermark="1 minute", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("rejoin_lo_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _await(q)
+    rows = {
+        r.submission_id: (r.result, r.ok)
+        for r in spark.sql("SELECT * FROM rejoin_lo_t").collect()
+    }
+    assert rows["a"] == ("ok-a", True)
+    assert rows["b"] == (None, None)  # the timeout row
