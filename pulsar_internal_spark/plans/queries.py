@@ -890,6 +890,73 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_running_totals",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER w, 2) AS running_value,
+           ROUND(value - COALESCE(lag(value) OVER w, 0.0), 2) AS delta_prev,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: per-user running SUM, lag-delta, and
+    ntile quartile in one pass — ONE shuffle on user_id serves all
+    three frames (Spark reuses the sort). Ordering ties broken by
+    event_id so both engines agree row-for-row."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(wo), F.lit(0.0)), 2
+        ).alias("delta_prev"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+    )
+
+
+@_register(
+    "fuzzy_nation_match",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching: name pairs within edit distance 4 —
+    levenshtein is the classic entity-resolution primitive (dedup on
+    dirty keys). Tiny dim self-join broadcasts; at scale the same
+    predicate runs over LSH-blocked candidates, never all pairs."""
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_nationkey").alias("k_a"), F.col("n_name").alias("name_a")
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("k_b"), F.col("n_name").alias("name_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("k_a") < F.col("k_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
