@@ -957,6 +957,43 @@ def fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dataset_split_assignment",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+                  THEN 'train'
+                WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment WITHOUT RNG: bucket each
+    doc by the first byte of sha256(doc_id) — 00..cb train (~80%),
+    cc..e5 val (~10%), rest test. Hash-based splits survive reruns,
+    engine changes, and partial reprocessing (the property rand()-based
+    splits lack); lexical compare on lowercase hex == numeric compare.
+    Narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.sha2(F.col("doc_id").cast("string"), 256), 1, 2
+        ).alias("_b"),
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_b") <= "cb", F.lit("train"))
+        .when(F.col("_b") <= "e5", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
