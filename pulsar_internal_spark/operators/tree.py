@@ -117,3 +117,27 @@ def descendants(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def zorder_code(a, b, bits: int = 8):
+    """Morton (Z-order) interleave of two small non-negative ints — the
+    multi-dimensional clustering key for data LAYOUT: sorting a table by
+    zorder_code(x, y) before a partitioned/parquet write co-locates rows
+    close in BOTH dimensions, so min/max row-group statistics prune
+    selective filters on either column (the Delta/Iceberg OPTIMIZE
+    ZORDER trick, as a plain column expression).
+
+    Pure bitwise arithmetic (JVM codegen, no UDF); `bits` bounds each
+    input to 0..2^bits-1 (caller masks/buckets first).
+    """
+    # disjoint bit positions, so + == bitwise-or (Column `|` is logical)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = (
+            code
+            + (F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i)))
+            + (F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i + 1)))
+        )
+    return code

@@ -994,6 +994,41 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zorder_layout_codes",
+    """
+    WITH d AS (
+      SELECT event_id, user_id % 256 AS xa,
+             CAST(FLOOR(value) AS BIGINT) % 256 AS xb
+      FROM events
+    ), bits AS (SELECT unnest(range(8)) AS i)
+    SELECT event_id,
+           CAST(SUM((( xa >> i) & 1) * (1 << (2*i))
+                  + ((xb >> i) & 1) * (1 << (2*i + 1))) AS BIGINT) AS zcode
+    FROM d CROSS JOIN bits
+    GROUP BY event_id
+    """,
+)
+def zorder_layout_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value) buckets —
+    sort-before-write on this code co-locates rows close in BOTH
+    dimensions so parquet row-group min/max stats prune filters on
+    either column (the OPTIMIZE ZORDER layout trick as a plain codegen
+    expression, operators/tree.zorder_code). The oracle re-derives the
+    interleave arithmetically."""
+    from ..operators.tree import zorder_code
+
+    events = _t(spark, sf_dir, "events")
+    staged = events.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("xa"),
+        (F.floor("value").cast("long") % 256).alias("xb"),
+    )
+    return staged.select(
+        "event_id", zorder_code(F.col("xa"), F.col("xb"), bits=8).alias("zcode")
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
