@@ -1029,6 +1029,48 @@ def zorder_layout_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_event_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rk) AS path,
+           CAST(COUNT(*) AS BIGINT) AS path_len
+    FROM ranked WHERE rk <= 8 GROUP BY user_id
+    """,
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User journey paths: each user's first 8 events in time order as a
+    '>'-joined sequence — the ordered-collect aggregation family
+    (collect_list is unordered by contract, so order is pinned by
+    sorting (rk, type) structs before joining). Sequences-as-strings
+    feed n-gram behavior models and funnel analysis."""
+    events = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id", "event_type", F.row_number().over(wo).alias("rk")
+    ).filter(F.col("rk") <= 8)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
