@@ -1071,6 +1071,67 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "merge_upsert_incremental",
+    """
+    WITH unioned AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             (event_type = 'error' AND ts >= TIMESTAMP '2024-01-16 00:00:00')
+               AS is_delete
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM unioned
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           ROUND(value, 2) AS last_value
+    FROM ranked WHERE rk = 1 AND NOT is_delete
+    """,
+)
+def merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental MERGE: compact the base partition (< Jan 16)
+    into a keyed snapshot, then upsert the delta batch — where delta
+    'error' rows are delete markers — via a second compaction. Equality
+    with the oracle's single-pass LWW over ALL rows proves compaction is
+    associative, i.e. the snapshot can be maintained incrementally
+    without reprocessing the base (the lakehouse MERGE INTO shape).
+    Tombstones survive the base compaction and only filter at the end,
+    so a delta row can still resurrect a deleted key."""
+    cutoff = "2024-01-16 00:00:00"
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.col("event_type") == "error") & (F.col("ts") >= F.lit(cutoff))
+        ).alias("is_delete"),
+    )
+    payload = ["ts", "event_id", "event_type", "value", "is_delete"]
+    base = events.filter(F.col("ts") < F.lit(cutoff))
+    delta = events.filter(F.col("ts") >= F.lit(cutoff))
+    base_state = compaction_ops.compact_last_write_wins(
+        base, key_cols=["user_id"], seq_col="ts", payload_cols=payload
+    )
+    merged = compaction_ops.compact_last_write_wins(
+        base_state.unionByName(delta),
+        key_cols=["user_id"],
+        seq_col="ts",
+        payload_cols=payload,
+        tombstone_col="is_delete",
+    )
+    return merged.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@_register(
     "event_type_pivot",
     """
     SELECT user_id,
