@@ -341,3 +341,94 @@ def test_connected_components_match_union_find(spark, edges):
         roots.setdefault(find(r), []).append(x)
     expect = {x: min(members) for r, members in roots.items() for x in members}
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join == pandas merge_asof (backward, exact matches allowed)
+    on arbitrary small inputs; right side deduped per (key, t)."""
+    import pandas as pd
+
+    from pulsar_internal_spark.operators.temporal import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    rights_dedup = {}
+    for k, t in rights:
+        rights_dedup[(k, t)] = f"p{k}:{t}"
+    ldf = spark.createDataFrame(
+        [Row(k=k, lt=(base + pd.Timedelta(seconds=t)).to_pydatetime(), lid=i)
+         for i, (k, t) in enumerate(lefts)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(k=k, rt=(base + pd.Timedelta(seconds=t)).to_pydatetime(), payload=p)
+         for (k, t), p in rights_dedup.items()]
+    )
+    out = asof_join(
+        ldf, rdf, on="k", left_time="lt", right_time="rt", payload=["payload"]
+    ).collect()
+    got = {r.lid: r.payload for r in out}
+
+    lp = pd.DataFrame(
+        [{"k": k, "lt": base + pd.Timedelta(seconds=t), "lid": i}
+         for i, (k, t) in enumerate(lefts)]
+    ).sort_values(["lt", "lid"])
+    rp = pd.DataFrame(
+        [{"k": k, "rt": base + pd.Timedelta(seconds=t), "payload": p}
+         for (k, t), p in rights_dedup.items()]
+    ).sort_values("rt")
+    merged = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else r.payload)
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+def test_range_join_matches_brute_force(spark):
+    """range_join == the O(L*R) brute-force range filter, across bucket
+    boundaries and interval edges."""
+    import pandas as pd
+
+    from pulsar_internal_spark.operators.temporal import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    lefts = [0, 59, 60, 61, 3599, 3600, 5000, 7199, 7200]
+    rights = [(0, 3600), (3600, 3600), (1800, 60), (7100, 200)]
+    ldf = spark.createDataFrame(
+        [Row(lid=i, lt=(base + pd.Timedelta(seconds=s)).to_pydatetime())
+         for i, s in enumerate(lefts)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(rid=i, rs=(base + pd.Timedelta(seconds=s)).to_pydatetime(),
+             re_=(base + pd.Timedelta(seconds=s + d)).to_pydatetime())
+         for i, (s, d) in enumerate(rights)]
+    )
+    out = range_join(
+        ldf, rdf, left_time="lt", right_start="rs", right_end="re_",
+        bucket_seconds=3600,
+    ).collect()
+    got = {(r.lid, r.rid) for r in out}
+    want = {
+        (i, j)
+        for i, s in enumerate(lefts)
+        for j, (rs, d) in enumerate(rights)
+        if rs <= s < rs + d
+    }
+    assert got == want
