@@ -58,6 +58,7 @@ def connected_components(
     ).localCheckpoint()
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # 1. propagate: min label over self + neighbors
         nbr_min = (
@@ -81,6 +82,21 @@ def connected_components(
         labels = hopped.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Exiting via max_iter means labels may still be mid-merge —
+        # silent partial convergence hands callers wrong cluster_ids on
+        # long-chain graphs, so surface it (pointer jumping makes the
+        # bound log2(n) rounds; raise max_iter rather than ignore this).
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "label checksum stabilized; cluster_ids may be partially "
+            "converged — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

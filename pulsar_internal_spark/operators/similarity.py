@@ -115,6 +115,58 @@ def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     return F.concat(*bits)
 
 
+def lsh_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 6,
+    num_bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded sign-LSH — the production
+    blocking key (no ground-truth columns anywhere in the plan).
+
+    OR-amplification: band b's signature uses planes
+    [b*planes_per_band, (b+1)*planes_per_band); two vectors are
+    candidates if ANY band signature matches. Each row explodes to
+    num_bands (band_idx, band_key) rows and the self-join is a hash
+    equi-join on that pair — sum-of-buckets quadratic, never
+    corpus-quadratic; viral buckets fall to AQE skew splitting.
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    bands = []
+    for b in range(num_bands):
+        sig_bits = []
+        for j in range(planes_per_band):
+            p = b * planes_per_band + j
+            weights = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
+            proj = F.aggregate(
+                F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sig_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat(*sig_bits).alias("band_key"))
+        )
+    banded = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("_b"))
+        .select("id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key"))
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,14 +331,15 @@ def quantize_embeddings(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-vector int8 quantization: affine-map each vector's range onto
-    0..255 codes. Returns (id, codes ARRAY<INT>, vmin, scale) — enough
-    to reconstruct x~ = vmin + code*scale.
+    signed -128..127 codes stored as ARRAY<TINYINT>. Returns (id, codes,
+    vmin, scale) — enough to reconstruct x~ = vmin + (code + 128)*scale.
 
     The ANN scale story: a 64-dim float corpus costs 256 B/vector;
-    codes cost 64 B, so 4x more corpus fits in the same broadcast /
-    cache budget. Coarse scoring runs on codes; the survivors re-rank
-    against full precision (same two-tier shape as ivf_topk). All
-    JVM-side higher-order functions, no UDF."""
+    tinyint codes are byte-per-element in Tungsten's array layout, so
+    ~4x more corpus fits in the same broadcast / cache budget (modulo
+    the fixed per-array header). Coarse scoring runs on codes; the
+    survivors re-rank against full precision (same two-tier shape as
+    ivf_topk). All JVM-side higher-order functions, no UDF."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = df.select(
         F.col(id_col),
@@ -302,7 +355,9 @@ def quantize_embeddings(
     )
     codes = F.transform(
         F.col("_v"),
-        lambda x: F.round((x - F.col("vmin")) / F.col("scale")).cast("int"),
+        lambda x: (
+            F.round((x - F.col("vmin")) / F.col("scale")) - 128
+        ).cast("tinyint"),
     )
     return with_scale.select(
         id_col, codes.alias("codes"), "vmin", "scale", "_v"

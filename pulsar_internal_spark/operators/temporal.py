@@ -53,6 +53,23 @@ def asof_join(
     the right row first, so a left row at exactly the right row's time
     matches it (>= semantics, DuckDB-ASOF-compatible).
     """
+    # The union/window plumbing below manufactures internal columns; a
+    # caller column with one of these names would silently produce
+    # ambiguous/duplicate output, so refuse loudly instead.
+    reserved = {"_k", "_t", "_tag", "_pt", carry_time_as}
+    reserved |= {f"_p_{c}" for c in payload} | {f"_c_{c}" for c in payload}
+    clashes = reserved.intersection(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clashes)}; rename them "
+            "on the left frame (or pick a different carry_time_as)"
+        )
+    overlap = set(payload).intersection(left.columns)
+    if overlap:
+        raise ValueError(
+            f"payload columns {sorted(overlap)} collide with left columns; "
+            "rename one side before joining"
+        )
     lcols = [c for c in left.columns]
     l = left.select(
         F.col(on).alias("_k"),

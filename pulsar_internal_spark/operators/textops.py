@@ -134,10 +134,21 @@ def fingerprint(text_col: str = "text"):
 
 
 def is_binary_like(text_col: str = "text"):
-    """The reference's IsLuauBytecode heuristic (closures.hpp:229-251):
-    first byte <= 10, or > 20% non-printables in the first 100 bytes."""
-    head = F.substring(F.col(text_col), 1, 100)
-    nonprint = F.length(F.regexp_replace(head, r"[\x20-\x7e]", ""))
-    frac = nonprint / F.greatest(F.length(head), F.lit(1))
-    first = F.ascii(F.col(text_col))
-    return (first <= 10) | (frac > 0.2)
+    """The reference's IsLuauBytecode heuristic, exact semantics
+    (closures.hpp:229-251): len >= 4 AND first char code <= 10 AND
+    len > 8 AND strictly more than min(len,100)/5 (integer division) of
+    the head chars are control chars < 0x20 excluding tab/LF/CR. Note
+    the conjunction: a control first byte alone does NOT flag, and
+    non-ASCII printable codepoints never count as non-printable."""
+    txt = F.col(text_col)
+    head = F.substring(txt, 1, 100)
+    # keep ONLY the counted control chars (< 0x20 minus \t\n\r), count
+    nonprint = F.length(
+        F.regexp_replace(head, r"[^\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    )
+    return (
+        (F.length(txt) >= 4)
+        & (F.ascii(txt) <= 10)
+        & (F.length(txt) > 8)
+        & (nonprint > F.floor(F.least(F.length(txt), F.lit(100)) / 5))
+    )

@@ -59,15 +59,32 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        ),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+    # Two delivery shapes for the offset table. A literal map is free of
+    # any join, but it puts 2 expression-tree nodes per partition into
+    # the plan — at cluster scale (tens of thousands of range
+    # partitions) that inflates analysis and can deopt codegen. Past a
+    # small threshold, ship the offsets as a broadcast-joined DataFrame
+    # instead: size is #partitions rows, the join is a broadcast hash on
+    # _pid, and the expression tree stays O(1).
+    if len(offsets) <= 64:
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            ),
+            F.col("_pid"),
+        ) if offsets else F.lit(0)
+        return (
+            local.withColumn(idx_name, (F.col("_local") + offset_expr).cast("int"))
+            .drop("_pid", "_local")
+        )
+    odf = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in sorted(offsets.items())],
+        "_pid INT, _offset BIGINT",
+    )
     return (
-        local.withColumn(idx_name, (F.col("_local") + offset_expr).cast("int"))
-        .drop("_pid", "_local")
+        local.join(F.broadcast(odf), "_pid")
+        .withColumn(idx_name, (F.col("_local") + F.col("_offset")).cast("int"))
+        .drop("_pid", "_local", "_offset")
     )
 
 

@@ -7,10 +7,10 @@ reads the source from disk first, under a 100 MiB cap (filesys.hpp:146).
 
 Spark restatement: SQL text -> `spark.sql()` -> Catalyst plan -> a
 DataFrame the caller executes when ready. The bytecode-reject heuristic
-becomes a binary-content check on the SQL text (same constants: first
-byte <= 10, or > 20% non-printables in the first 100 bytes); the
-capability stamping / sandboxing of the reference maps to the session
-itself (one SparkSession == one sandboxed environment).
+becomes a binary-content check on the SQL text (exact reference
+semantics — see ``looks_binary``); the capability stamping / sandboxing
+of the reference maps to the session itself (one SparkSession == one
+sandboxed environment).
 """
 
 from __future__ import annotations
@@ -30,15 +30,23 @@ class BinarySourceError(ValueError):
 
 
 def looks_binary(text: str) -> bool:
-    """closures.hpp:229-251: first char code <= 10, or > 20% of the first
-    100 chars outside printable ASCII."""
-    if not text:
+    """Exact IsLuauBytecode parity (closures.hpp:229-251): inputs
+    shorter than 4 chars are never binary; otherwise flag only when the
+    first char code is <= 10 AND the input is longer than 8 chars AND
+    more than head_len/5 (integer division, head_len = min(len, 100)) of
+    the head chars are control chars below 0x20 other than tab/LF/CR.
+    Both conditions are required — a mostly-printable text that merely
+    starts with a control byte, or text rich in non-ASCII codepoints,
+    is accepted, matching the reference."""
+    if len(text) < 4:
         return False
-    if ord(text[0]) <= 10:
-        return True
+    if ord(text[0]) > 10:
+        return False
+    if len(text) <= 8:
+        return False
     head = text[:100]
-    nonprint = sum(1 for ch in head if not (0x20 <= ord(ch) <= 0x7E or ch in "\t\n\r"))
-    return nonprint / max(len(head), 1) > 0.2
+    nonprint = sum(1 for ch in head if ord(ch) < 32 and ch not in "\t\n\r")
+    return nonprint > len(head) // 5
 
 
 def loadstring(

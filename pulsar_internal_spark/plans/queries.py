@@ -150,18 +150,22 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "binary_heuristic",
-    """
+    r"""
     SELECT ascii(substr(text, 1, 1)) AS first_code,
-           (ascii(substr(text, 1, 1)) <= 10 OR
-            CAST(length(regexp_replace(substr(text, 1, 100), '[ -~]', '', 'g')) AS DOUBLE)
-              / GREATEST(length(substr(text, 1, 100)), 1) > 0.2) AS is_binary,
+           (length(text) >= 4 AND ascii(substr(text, 1, 1)) <= 10
+            AND length(text) > 8
+            AND length(regexp_replace(substr(text, 1, 100),
+                       '[^\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                > FLOOR(LEAST(length(text), 100) / 5)) AS is_binary,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM documents GROUP BY 1, 2
     """,
 )
 def binary_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`IsLuauBytecode` (closures.hpp:229-251): first byte <= 10 OR >20%
-    non-printables in the first 100 bytes -> pure column arithmetic."""
+    """`IsLuauBytecode`, exact parity (closures.hpp:229-251): len >= 4
+    AND first byte <= 10 AND len > 8 AND control-char count over the
+    first 100 chars (< 0x20 excluding tab/LF/CR) strictly exceeds
+    min(len,100)/5 (integer division) -> pure column arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -724,23 +728,23 @@ def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     ), c AS (
       SELECT vec_id, x, vmin, scale,
-             list_transform(x, e -> CAST(round((e - vmin) / scale) AS INT)) AS codes
+             list_transform(x, e -> CAST(round((e - vmin) / scale) - 128 AS TINYINT)) AS codes
       FROM s
     )
     SELECT vec_id,
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
            ROUND(list_max(list_transform(range(1, len(x) + 1),
-                 i -> abs(x[i] - (vmin + codes[i] * scale)))), 6) AS max_abs_err
+                 i -> abs(x[i] - (vmin + (codes[i] + 128) * scale)))), 6) AS max_abs_err
     FROM c
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (similarity.quantize_embeddings):
-    affine per-vector 0..255 codes — 4x less memory per corpus vector,
-    so 4x more corpus fits a broadcast/cache budget; coarse-score on
-    codes, re-rank survivors on full precision. Checked here via code
-    checksum + max reconstruction error per vector (bounded by
-    scale/2), all JVM higher-order functions."""
+    affine per-vector signed -128..127 TINYINT codes — byte-per-element
+    arrays, so ~4x more corpus fits a broadcast/cache budget;
+    coarse-score on codes, re-rank survivors on full precision. Checked
+    here via code checksum + max reconstruction error per vector
+    (bounded by scale/2), all JVM higher-order functions."""
     emb = _t(spark, sf_dir, "embeddings")
     q = sim_ops.quantize_embeddings(emb)
     recon_err = F.array_max(
@@ -748,7 +752,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_v",
             "codes",
             lambda e, c: F.abs(
-                e - (F.col("vmin") + c.cast("double") * F.col("scale"))
+                e - (F.col("vmin") + (c.cast("double") + 128) * F.col("scale"))
             ),
         )
     )
@@ -799,7 +803,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier retrieval over int8-quantized vectors: coarse cosine on
-    the RECONSTRUCTED (vmin + code*scale) corpus picks a 20-candidate
+    the RECONSTRUCTED (vmin + (code+128)*scale) corpus picks a 20-candidate
     pool per query; exact cosine on full precision re-ranks to top-5.
     At 100 TB the codes tier is what gets broadcast/cached (4x smaller,
     embedding_quantize_int8); only pool survivors touch full precision.
@@ -813,7 +817,7 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             "_v",
             "codes",
-            lambda e, c: F.col("vmin") + c.cast("double") * F.col("scale"),
+            lambda e, c: F.col("vmin") + (c.cast("double") + 128) * F.col("scale"),
         ).alias("xr"),
     )
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -1617,39 +1621,82 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
-@_register(
-    "embedding_near_dup",
+def _lsh_pairs_oracle_sql(
+    planes_per_band: int = 6, num_bands: int = 2, dim: int = 64
+) -> str:
+    """Oracle for the banded sign-LSH near-dup blocking: regenerated
+    with the SAME plane constants the operator bakes in
+    (sim_ops._plane_weights), band b = planes [b*ppb, (b+1)*ppb)."""
+
+    def wlit(w):
+        return "[" + ", ".join(str(x) for x in w) + "]"
+
+    band_rows = []
+    for b in range(num_bands):
+        sig = "||".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{wlit(sim_ops._plane_weights(b * planes_per_band + j, dim))}) >= 0"
+            " THEN '1' ELSE '0' END)"
+            for j in range(planes_per_band)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band_idx, {sig} AS band_key FROM embeddings"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
-    """,
-)
+
+
+@_register("embedding_near_dup", _lsh_pairs_oracle_sql())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked: candidate pairs come
-    only from the same blocking key (label — in production a coarse
-    cluster/LSH bucket), so the pair join is sum-of-blocks quadratic,
-    never corpus-quadratic. Exact cosine + threshold inside blocks."""
-    emb = spread(_t(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        sim_ops._norm(F.col("embedding")).alias("na"),
+    """Embedding-cosine near-dup pairs, blocked on banded sign-LSH
+    buckets (sim_ops.lsh_blocked_pairs) — the production blocking key:
+    NO ground-truth column participates in the plan. Candidates are
+    pairs sharing any band signature (OR-amplified, 2 bands x 6
+    planes), so the pair join is sum-of-buckets quadratic, never
+    corpus-quadratic; exact cosine + threshold on candidates only. The
+    oracle replicates the same plane constants end-to-end
+    (_lsh_pairs_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim_ops.lsh_blocked_pairs(emb, planes_per_band=6, num_bands=2)
+    v = spread(emb).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        sim_ops._norm(F.col("embedding")).alias("nrm"),
     )
-    b = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        sim_ops._norm(F.col("embedding")).alias("nb"),
+    ja = pairs.join(
+        v.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
     )
-    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    jb = ja.join(
+        v.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
     cos = F.round(
         sim_ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
-    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+    return jb.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.35
     )
 

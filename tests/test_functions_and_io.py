@@ -139,10 +139,19 @@ def test_loadstring_runs_sql_over_views(spark, sf_dir):
 
 
 def test_loadstring_rejects_binary():
-    assert looks_binary("\x00\x01\x02")
+    # exact IsLuauBytecode parity (closures.hpp:229-251)
+    assert looks_binary("\x00\x01\x02\x03\x04\x05\x06\x07\x08\x01")
     assert not looks_binary("SELECT 1")
+    assert not looks_binary("\x00\x01\x02")  # len < 4 never flags
+    # control first byte + mostly-printable body is ACCEPTED (the
+    # reference requires the non-printable ratio too, AND not OR)
+    assert not looks_binary("\x01" + "a" * 40)
+    # non-ASCII printable codepoints are not "non-printable"
+    assert not looks_binary("äöü ßßß héllo wörld")
+    # tab/LF/CR are excluded from the control-char count
+    assert not looks_binary("\x01\t\n\r\t\n\r\t\n\r abcdef")
     with pytest.raises(BinarySourceError):
-        loadstring(None, "\x00\x01binary blob")
+        loadstring(None, "\x00\x01\x02\x03\x04\x05\x06\x07\x08binary blob")
 
 
 def test_loadfile(spark, sf_dir, tmp_path):
