@@ -14,6 +14,7 @@ import base64 as _b64
 
 from pyspark.sql import SparkSession
 
+from .compression import lz4_block_compress, lz4_block_decompress
 from .encoding import rsb1_decode, rsb1_encode, rsb1_envelope_hex
 from .hashing import (
     blake2_lookalike,
@@ -70,6 +71,16 @@ _PARITY_ALIASES = {
     "rsb1_encode_keyed": rsb1_envelope_hex,
     "rsb1_decode": _rsb1_decode_hex,
     "dumpstring": _rsb1_decode_hex,
+    # lz4compress/lz4decompress (crypt.hpp:400-470); SQL surface carries
+    # the block as hex (Spark SQL strings are not byte-safe)
+    "lz4compress": lambda s: lz4_block_compress(s.encode("utf-8")).hex(),
+    "lz4_compress": lambda s: lz4_block_compress(s.encode("utf-8")).hex(),
+    "lz4decompress": lambda h: lz4_block_decompress(
+        bytes.fromhex(h), 1 << 20
+    ).decode("utf-8", errors="replace"),
+    "lz4_decompress": lambda h: lz4_block_decompress(
+        bytes.fromhex(h), 1 << 20
+    ).decode("utf-8", errors="replace"),
 }
 
 

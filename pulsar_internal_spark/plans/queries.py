@@ -1346,6 +1346,50 @@ def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_compress_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS orig_len,
+           TRUE AS lz4_roundtrip_ok,
+           TRUE AS zlib_roundtrip_ok
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def value_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-value lz4compress/lz4decompress (crypt.hpp:400-470): raw LZ4
+    BLOCK codec implemented from the public block-format spec (the
+    container has no lz4 bindings), run as Arrow-batched pandas UDFs
+    over the payload bytes; zlib (stdlib) beside it as the fast path.
+    The Spark side physically compresses AND decompresses every
+    payload; the oracle pins the invariant (roundtrip == identity,
+    byte length preserved). Codec-level goldens + property tests live
+    in tests/test_functions_and_io.py."""
+    from ..functions import compression as comp
+
+    ensure_shipped(spark)
+    docs = spread(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    )
+    lz4_c = comp.make_compress_udf("lz4")
+    lz4_d = comp.make_decompress_udf("lz4", max_size=1024 * 1024)
+    zlib_c = comp.make_compress_udf("zlib")
+    zlib_d = comp.make_decompress_udf("zlib", max_size=1024 * 1024)
+    staged = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("_payload")
+    )
+    return staged.select(
+        "doc_id",
+        F.length(F.col("_payload")).cast("long").alias("orig_len"),
+        (lz4_d(lz4_c(F.col("_payload"))) == F.col("_payload")).alias(
+            "lz4_roundtrip_ok"
+        ),
+        (zlib_d(zlib_c(F.col("_payload"))) == F.col("_payload")).alias(
+            "zlib_roundtrip_ok"
+        ),
+    )
+
+
+@_register(
     "error_strip_regex",
     r"""
     SELECT doc_id,
@@ -1715,11 +1759,39 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("simhash_fingerprints")  # conv(hex) has no DuckDB analogue; rows-only
+@_register(
+    "simhash_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'))) AS w
+      FROM documents
+    ), tv AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(15), i ->
+               CAST(strpos('0123456789abcdef', substr(sha256(w), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+                 << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS tok_val
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (tok_val >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tv, (SELECT CAST(unnest(range(60)) AS INT) AS b) bits
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (sha2-derived token bits, majority
-    vote per bit) + hamming-adjacent bucket counts. Rows-only driver
-    check; determinism asserted in tests/test_dedup.py."""
+    """60-bit SimHash per document (sha2-derived token bits, majority
+    vote per bit). Now fully oracle-checked: the DuckDB side rebuilds
+    each token's 60-bit value by nibble-summing the sha256 hex (the
+    conv(hex,16,10) Spark uses has no DuckDB analogue, but a shifted
+    per-nibble sum is exact integer arithmetic), unnests the 60 bit
+    positions, and reproduces the majority vote + bit reassembly.
+    Determinism additionally asserted in tests."""
     docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", dedup_ops.simhash64("text").alias("simhash")

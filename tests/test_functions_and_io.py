@@ -53,6 +53,71 @@ def test_rsb1_rejects_short_input():
         enc.rsb1_decode(b"RSB")
 
 
+# ------------------------------------------------------ LZ4 block codec
+
+
+def test_lz4_golden_blocks():
+    """Handcrafted spec-valid blocks, written per the public block
+    format independently of the compressor (crypt.hpp:432-470 parity:
+    caller-supplied size bound)."""
+    from pulsar_internal_spark.functions.compression import (
+        lz4_block_decompress as D,
+    )
+
+    # token 0x32 = 3 literals + match len 6; offset 3 -> 'abc' repeated
+    assert D(b"\x32abc\x03\x00\x20xy", 100) == b"abcabcabcxy"
+    # overlapping copy (offset 1 < match len): RLE expansion
+    assert D(b"\x1fa\x01\x00\x01\x00", 100) == b"a" * 21
+    assert D(b"\x00", 100) == b""
+
+
+def test_lz4_roundtrip_shapes():
+    from pulsar_internal_spark.functions.compression import (
+        lz4_block_compress as C,
+        lz4_block_decompress as D,
+    )
+
+    cases = [
+        b"",
+        b"abc",
+        b"a" * 10_000,
+        bytes(range(256)) * 17,
+        b"the quick brown fox " * 500,
+        b"ab" * 4,
+    ]
+    for d in cases:
+        assert D(C(d), max(len(d), 1)) == d
+    # highly repetitive input must actually compress
+    assert len(C(b"a" * 10_000)) < 100
+
+
+def test_lz4_size_bound_enforced():
+    from pulsar_internal_spark.functions.compression import (
+        lz4_block_compress as C,
+        lz4_block_decompress as D,
+    )
+
+    with pytest.raises(ValueError):
+        D(C(b"z" * 1000), 999)
+
+
+def test_lz4_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_internal_spark.functions.compression import (
+        lz4_block_compress as C,
+        lz4_block_decompress as D,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2000))
+    def check(data):
+        assert D(C(data), max(len(data), 1)) == data
+
+    check()
+
+
 # ------------------------------------------------- golden scalar parity
 
 
@@ -167,9 +232,11 @@ def test_registry_full_alias_surface(spark):
         SELECT base64decode(base64encode('hello world')) AS b64_rt,
                crypt_decrypt(crypt_encrypt('secret', 'k'), 'k') AS xor_rt,
                rsb1_decode(rsb1_encode('payload')) AS rsb1_rt,
-               dumpstring(rsb1_encode_keyed('bytecode')) AS keyed_rt
+               dumpstring(rsb1_encode_keyed('bytecode')) AS keyed_rt,
+               lz4decompress(lz4compress('blob blob blob blob')) AS lz4_rt
     """).first()
     assert r.b64_rt == "hello world"
     assert r.xor_rt == "secret"
     assert r.rsb1_rt == "payload"
     assert r.keyed_rt == "bytecode"
+    assert r.lz4_rt == "blob blob blob blob"
