@@ -2066,6 +2066,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_real_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+             sha256(text) AS h
+      FROM documents WHERE doc_id % 3 != 2
+    ), b AS (
+      SELECT doc_id, modality,
+             list_transform(range(32), i ->
+               (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 2, 1)) - 1)) AS by
+      FROM d
+    ), s AS (
+      SELECT doc_id, modality, by,
+             list_transform(range(16), i ->
+               CASE WHEN by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 >= 32768
+                    THEN by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 - 65536
+                    ELSE by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 END) AS smp
+      FROM b
+    )
+    SELECT doc_id, modality,
+           CASE WHEN modality = 'image' THEN CAST(4 AS BIGINT) END AS width,
+           CASE WHEN modality = 'image' THEN CAST(4 AS BIGINT) END AS height,
+           CASE WHEN modality = 'audio' THEN CAST(16 AS BIGINT) END AS n_samples,
+           CAST(CASE WHEN modality = 'image'
+                THEN by[1] * 65536 + by[2] * 256 + by[3]
+                ELSE smp[1] END AS BIGINT) AS first_value,
+           CAST(CASE WHEN modality = 'image'
+                THEN list_sum(by) + list_sum(by[1:16])
+                ELSE list_sum(list_transform(smp, v -> v * v)) END AS BIGINT) AS byte_sum
+    FROM s
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (no stub in this plan): image rows carry
+    an actual 4x4 24-bit BMP and audio rows an actual 16-sample PCM WAV
+    (content = sha256(text) bytes, so the oracle can verify decoded
+    values independently). The decode stage parses the true formats —
+    'BM' header, bottom-up BGR rows with padding; RIFF chunk walk,
+    16-bit LE samples — and emits exact integer stats: an
+    order-sensitive first_value (packed first pixel / first signed
+    sample, catching row-flip, channel-swap and endianness bugs) and a
+    content checksum (pixel-byte sum / sample energy). Generator and
+    parser are independently golden-tested (tests/test_operators.py).
+    Video stays excluded: real video decode needs codecs the container
+    lacks (multimodal.frame_sample is the documented stub path)."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 2))
+    return mm.decode_features_real(mm.attach_real_payload(docs))
+
+
+@_register(
     "envelope_header_parse",
     """
     WITH env AS (

@@ -432,3 +432,88 @@ def test_range_join_matches_brute_force(spark):
         if rs <= s < rs + d
     }
     assert got == want
+
+
+# ------------------------------------------- real BMP / WAV codecs
+
+
+def test_bmp_golden_bytes():
+    """make_bmp output equals an independently hand-built BMP file
+    (header fields, bottom-up BGR rows, 4-byte row padding)."""
+    import struct
+
+    got = mm.make_bmp(2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    want = (
+        struct.pack("<2sIHHI", b"BM", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+        + bytes([30, 20, 10, 60, 50, 40, 0, 0])  # BGR + pad
+    )
+    assert got == want
+
+
+def test_bmp_parse_handbuilt():
+    """parse_bmp decodes a file built by hand (independent of make_bmp):
+    2x2, so the bottom-up flip is observable."""
+    import struct
+
+    # logical top-down RGB: row0 = red, green; row1 = blue, white
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    rows_on_disk = [  # bottom-up, BGR, rows of 2 px = 6 bytes + 2 pad
+        bytes([blue[2], blue[1], blue[0], white[2], white[1], white[0], 0, 0]),
+        bytes([red[2], red[1], red[0], green[2], green[1], green[0], 0, 0]),
+    ]
+    data = (
+        struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+        + b"".join(rows_on_disk)
+    )
+    img = mm.parse_bmp(data)
+    assert (img["width"], img["height"], img["bpp"]) == (2, 2, 24)
+    assert img["pixels"] == bytes(red + green + blue + white)
+
+
+def test_bmp_roundtrip_random():
+    import random
+
+    random.seed(11)
+    for w, h in [(1, 1), (3, 2), (4, 4), (5, 3)]:
+        rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+        img = mm.parse_bmp(mm.make_bmp(w, h, rgb))
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == rgb
+
+
+def test_wav_golden_and_chunk_walk():
+    """parse_wav handles a hand-built file with an extra chunk between
+    fmt and data (the RIFF walk, not a fixed-offset read)."""
+    import struct
+
+    samples = [0, 1, -1, 32767, -32768]
+    pcm = struct.pack("<5h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"\x07" * 5  # odd length: exercises word-alignment
+    data = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"LIST", len(junk)) + junk + b"\x00"
+        + struct.pack("<4sI", b"data", len(pcm)) + pcm
+    )
+    wav = mm.parse_wav(data)
+    assert wav["sample_rate"] == 8000 and wav["bits"] == 16
+    assert wav["samples"] == samples
+
+
+def test_wav_roundtrip_random():
+    import random
+
+    random.seed(12)
+    samples = [random.randrange(-32768, 32768) for _ in range(64)]
+    wav = mm.parse_wav(mm.make_wav(samples, 44100))
+    assert wav["samples"] == samples and wav["sample_rate"] == 44100
+
+
+def test_real_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        mm.parse_bmp(b"not a bitmap at all")
+    with pytest.raises(ValueError):
+        mm.parse_wav(b"RIFFxxxxNOPE")
