@@ -1527,6 +1527,50 @@ def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fuzzy_doc_match_blocked",
+    _SHINGLE_CTE
+    + r"""
+    , nrm AS (
+      SELECT doc_id,
+             substr(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80) AS k
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_dist
+    FROM cand c JOIN nrm a ON c.id_a = a.doc_id JOIN nrm b ON c.id_b = b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 40
+    """,
+)
+def fuzzy_doc_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching AT SCALE: levenshtein runs only over
+    minhash-LSH-blocked candidate pairs (the banded self-join of
+    minhash_band_candidates), never all pairs — the production form of
+    the entity-resolution primitive that fuzzy_nation_match demos on a
+    broadcast-sized dim (SURVEY.md §7 Phase 4 dedup family). Edit
+    distance compares the 80-char normalized-text prefixes (dirty-key
+    surrogate), thresholded; the oracle replicates blocking AND scoring
+    end-to-end in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    nrm = spread(docs).select(
+        "doc_id",
+        F.substring(
+            F.trim(dedup_ops.normalized_text("text")), 1, 80
+        ).alias("k"),
+    )
+    j = cand.join(
+        nrm.select(F.col("doc_id").alias("id_a"), F.col("k").alias("k_a")), "id_a"
+    ).join(
+        nrm.select(F.col("doc_id").alias("id_b"), F.col("k").alias("k_b")), "id_b"
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("k_a", "k_b").cast("long").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 40)
+
+
+@_register(
     "near_dup_jaccard",
     _SHINGLE_CTE
     + r"""
@@ -2764,6 +2808,28 @@ def random_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         n_bytes.alias("n_bytes_capped"),
         F.base64(F.unhex(seed_hex)).alias("key_b64"),
+    )
+
+
+@_register("random_alnum_keys")  # rand() streams are engine-specific; rows-only
+def random_alnum_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`random_string` alnum generator (crypt.hpp:39-52: rand()-driven
+    picks from [A-Za-z0-9]). Spark form: 16 seeded rand() draws, each
+    indexing a 62-char literal alphabet via element_at — fully
+    JVM-side, no UDF. Engine-specific rand stream -> rows-only driver
+    check; length + charset asserted in tests."""
+    alphabet = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    chars = F.array(*[F.lit(c) for c in alphabet])
+    picks = [
+        F.element_at(
+            chars, (F.floor(F.rand(seed=1337 + i) * 62) + 1).cast("int")
+        )
+        for i in range(16)
+    ]
+    return _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.concat(*picks).alias("key_alnum")
     )
 
 

@@ -66,6 +66,64 @@ def validate_extension(path: str) -> None:
         raise BlockedExtensionError(f"extension {ext!r} is blocked for writes")
 
 
+# ---------------------------------------------------------------------------
+# Filesystem predicates & mutations (filesys.hpp:269-326,379-444) — the
+# sandboxed utility surface around the sinks. Every path goes through
+# normalize_sink_path, so nothing can escape base_dir.
+# ---------------------------------------------------------------------------
+
+
+def isfile(path: str, base_dir: str) -> bool:
+    """`isfile` (filesys.hpp:269-287): predicate, sandboxed."""
+    return os.path.isfile(normalize_sink_path(path, base_dir))
+
+
+def isfolder(path: str, base_dir: str) -> bool:
+    """`isfolder` (filesys.hpp:289-306): predicate, sandboxed."""
+    return os.path.isdir(normalize_sink_path(path, base_dir))
+
+
+def makefolder(path: str, base_dir: str) -> str:
+    """`makefolder` (filesys.hpp:308-326): recursive mkdir under the
+    sandbox root (parents created, existing ok). Returns the resolved
+    path."""
+    full = normalize_sink_path(path, base_dir)
+    os.makedirs(full, exist_ok=True)
+    return full
+
+
+def delfile(path: str, base_dir: str) -> None:
+    """`delfile` (filesys.hpp:379-394): delete one file; refuses
+    directories."""
+    full = normalize_sink_path(path, base_dir)
+    if os.path.isdir(full):
+        raise IsADirectoryError(f"delfile target is a folder: {path!r}")
+    os.remove(full)
+
+
+def delfolder(path: str, base_dir: str) -> None:
+    """`delfolder` (filesys.hpp:396-427): RECURSIVE folder delete, the
+    reference's walk-and-unlink loop via shutil. Refuses the sandbox
+    root itself."""
+    import shutil
+
+    full = normalize_sink_path(path, base_dir)
+    if full == posixpath.normpath(base_dir):
+        raise SandboxEscapeError("refusing to delete the sandbox root")
+    shutil.rmtree(full)
+
+
+def listfiles(path: str, base_dir: str) -> list[str]:
+    """`listfiles` (filesys.hpp:328-377): NON-recursive listing of
+    sandbox-relative paths, sorted for determinism."""
+    full = normalize_sink_path(path, base_dir)
+    base = posixpath.normpath(base_dir)
+    return sorted(
+        posixpath.relpath(posixpath.join(full, name), base)
+        for name in os.listdir(full)
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -5,26 +5,29 @@ Reference lifecycle (SURVEY.md §3C, yield.cpp:14-41): a blocking call
 its continuation rejoins the engine on a later tick via the yield queue
 (drained one per tick, yield.cpp:4-12).
 
-Spark restatement: inside ``foreachBatch``, fan the batch's side-effect
-calls across a bounded thread pool (the detached workers), collect the
-completed results, and append them to a results directory that is ITSELF
-a streaming source — so downstream consumers see side-effect results
-rejoin the dataflow on a later micro-batch, exactly the yield-queue
-rejoin-on-tick-boundary shape. Results are written under a batch-id
-subdirectory, making retries idempotent (a re-run batch overwrites its
-own output, never duplicates it).
+Spark restatement: inside ``foreachBatch``, the side-effect calls run
+ON THE EXECUTORS — a ``mapInPandas`` stage fans the batch across
+``fanout`` partitions, each running its rows through a bounded thread
+pool (the detached workers; threads because the work is blocking I/O).
+Only the finished result RECORDS come back to the driver, which does
+nothing but the idempotent file commit into a results directory that is
+ITSELF a streaming source — so downstream consumers see side-effect
+results rejoin the dataflow on a later micro-batch, exactly the
+yield-queue rejoin-on-tick-boundary shape. Results are written under a
+batch-id subdirectory, making retries idempotent (a re-run batch
+overwrites its own output, never duplicates it).
 
-Scale posture: the pool bounds in-flight blocking calls per executor
-batch; results flow through files (replayable, checkpoint-friendly), not
-driver memory.
+Scale posture: side-effect CPU/IO scales with executors (fanout x
+max_workers in-flight calls), not with the driver; the driver holds
+only one micro-batch of small result records for the commit, so high
+ingest rates never serialize behind a driver-side loop.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,44 +38,64 @@ def make_yield_processor(
     side_effect: Callable[[str], str],
     results_dir: str,
     max_workers: int = 8,
+    fanout: int = 8,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: run ``side_effect(script)``
-    per submission on a bounded pool, then append the outcomes as one
-    JSON-lines file under ``results_dir/batch=<id>/``.
+    per submission on the EXECUTORS (mapInPandas over ``fanout``
+    partitions, a ``max_workers`` thread pool per partition for the
+    blocking calls), then commit the outcomes as one JSON-lines file
+    under ``results_dir/batch=<id>/`` — the only driver-side step.
 
-    The per-batch collect is bounded by the ingest rate limit
-    (maxFilesPerTrigger) — the driver only ever holds one micro-batch of
-    small result records, mirroring the one-tick yield drain.
+    ``side_effect`` ships to executors via pickle, so it must be
+    self-contained (no SparkSession/driver handles inside).
     """
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select("submission_id", "script").collect()
-        if not rows:
-            return
+    def run_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from concurrent.futures import ThreadPoolExecutor
 
-        def run(row):
+        def run(args):
+            sid, script = args
             try:
-                return {
-                    "submission_id": row.submission_id,
-                    "result": side_effect(row.script),
-                    "ok": True,
-                }
+                return (sid, side_effect(script), True)
             except Exception as exc:  # the reference pcall-wraps (execution.cpp:96)
-                return {
-                    "submission_id": row.submission_id,
-                    "result": f"error: {exc}",
-                    "ok": False,
-                }
+                return (sid, f"error: {exc}", False)
 
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            results = list(pool.map(run, rows))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                recs = list(
+                    pool.map(run, zip(pdf["submission_id"], pdf["script"]))
+                )
+            yield pd.DataFrame(
+                recs, columns=["submission_id", "result", "ok"]
+            )
 
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        results = (
+            batch_df.select("submission_id", "script")
+            .repartition(fanout)
+            .mapInPandas(run_batches, RESULT_SCHEMA)
+            .collect()  # result records only — bounded and tiny
+        )
+        if not results:
+            return
         out_dir = os.path.join(results_dir, f"batch={batch_id}")
         os.makedirs(out_dir, exist_ok=True)
         # idempotent on batch_id: a retried batch rewrites the same file
         with open(os.path.join(out_dir, "results.jsonl"), "w") as f:
             for r in results:
-                f.write(json.dumps(r) + "\n")
+                f.write(
+                    json.dumps(
+                        {
+                            "submission_id": r.submission_id,
+                            "result": r.result,
+                            "ok": bool(r.ok),
+                        }
+                    )
+                    + "\n"
+                )
 
     return process
 

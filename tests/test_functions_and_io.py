@@ -240,3 +240,66 @@ def test_registry_full_alias_surface(spark):
     assert r.rsb1_rt == "payload"
     assert r.keyed_rt == "bytecode"
     assert r.lz4_rt == "blob blob blob blob"
+
+
+# --------------------------------------- FS predicates & mutations
+
+
+def test_fs_utils_sandboxed(tmp_path):
+    """isfile/isfolder/makefolder/delfile/delfolder/listfiles
+    (filesys.hpp:269-326,379-444) under the sandbox root."""
+    from pulsar_internal_spark.sources import sinks as S
+
+    base = str(tmp_path / "root")
+    os.makedirs(base)
+    assert not S.isfile("a.txt", base)
+    assert not S.isfolder("sub", base)
+
+    made = S.makefolder("sub/deep", base)
+    assert S.isfolder("sub", base) and S.isfolder("sub/deep", base)
+    assert made.endswith("root/sub/deep")
+
+    with open(os.path.join(base, "sub", "f.txt"), "w") as f:
+        f.write("x")
+    assert S.isfile("sub/f.txt", base)
+    assert S.listfiles("sub", base) == ["sub/deep", "sub/f.txt"]
+
+    with pytest.raises(IsADirectoryError):
+        S.delfile("sub", base)
+    S.delfile("sub/f.txt", base)
+    assert not S.isfile("sub/f.txt", base)
+
+    S.delfolder("sub", base)  # recursive: deep/ goes too
+    assert not S.isfolder("sub", base)
+
+    # sandbox enforcement on every entry point
+    with pytest.raises(SandboxEscapeError):
+        S.isfile("../etc/passwd", base)
+    with pytest.raises(SandboxEscapeError):
+        S.delfolder("..", base)
+    with pytest.raises(SandboxEscapeError):
+        S.delfolder(".", base)  # the root itself
+
+
+# ----------------------------------------- script-hash memoization
+
+
+def test_loadstring_memoized_reuses_plan(spark, sf_dir):
+    """script.hpp:30,127-129 memo: same (normalized) source -> the SAME
+    cached DataFrame object; the plan reads from InMemoryRelation."""
+    from pulsar_internal_spark.plans.loadstring import (
+        _SCRIPT_MEMO,
+        loadstring_memoized,
+    )
+
+    _SCRIPT_MEMO.clear()
+    src = "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey"
+    df1 = loadstring_memoized(spark, src, sf_dir=sf_dir)
+    # whitespace-normalized variant hits the same memo slot
+    df2 = loadstring_memoized(spark, "SELECT n_regionkey,   COUNT(*) AS n "
+                              "FROM nation GROUP BY n_regionkey", sf_dir=sf_dir)
+    assert df1 is df2
+    assert df1.count() == 5
+    assert "InMemoryRelation" in df1._jdf.queryExecution().optimizedPlan().toString()
+    df1.unpersist()
+    _SCRIPT_MEMO.clear()

@@ -121,3 +121,13 @@ def test_bench_contract(tmp_path):
     assert d["unit"] == "sec" and d["value"] > 0
     assert set(d["queries"]) == set(QUERIES)
     assert d["sf"] == 0.001
+
+
+def test_random_alnum_shape(spark, sf_dir):
+    """random_string parity (crypt.hpp:39-52): 16 chars, [A-Za-z0-9]."""
+    import re
+
+    rows = QUERIES["random_alnum_keys"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert re.fullmatch(r"[A-Za-z0-9]{16}", r.key_alnum), r.key_alnum
