@@ -50,6 +50,19 @@ def main() -> None:
         warm_sf = sf_dir
     _materialize(QUERIES["blake2_lookalike_nation"](spark, warm_sf))
     _materialize(QUERIES["ivf_cosine_topk"](spark, warm_sf))
+    # spawn the FULL Python worker pool: a few-partition pandas UDF warm
+    # leaves most of the 32 per-partition workers cold, and the first
+    # wide mapInPandas query would pay ~2 s of worker spawn for them
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_ident(s):
+        return s
+
+    cpus = spark.sparkContext.defaultParallelism
+    _materialize(
+        spark.range(0, cpus * 4, 1, cpus).select(_warm_ident("id"))
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -96,6 +96,33 @@ def _plane_weights(p: int, dim: int) -> list[float]:
     ]
 
 
+def _plane_matrix(num_planes: int, dim: int):
+    """All plane weights as ONE 2-D array literal. Built from nested
+    F.array(F.lit(...)) nodes, which Catalyst constant-folds into a
+    single Literal — so codegen sees one constant, not num_planes*dim
+    expression nodes (the per-plane inlined form cost ~2.5x wall-clock
+    on the near-dup suite at 12 planes)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
+            for p in range(num_planes)
+        ]
+    )
+
+
+def _projections(vec_col, weights_2d):
+    """dot(v, plane) per plane via one transform over the folded weight
+    matrix (JVM higher-order functions, no UDF)."""
+    return F.transform(
+        weights_2d,
+        lambda w: F.aggregate(
+            F.zip_with(vec_col, w, lambda x, wx: x.cast("double") * wx),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     """Deterministic sign-LSH signature as a bit string.
 
@@ -103,16 +130,13 @@ def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     mapped to ±1. sign(dot(v, plane)) per plane -> '0'/'1' chars.
     Deterministic, engine-independent, no UDF.
     """
-    bits = []
-    for p in range(num_planes):
-        weights = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
-        proj = F.aggregate(
-            F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    projs = _projections(vec_col, _plane_matrix(num_planes, dim))
+    return F.array_join(
+        F.transform(
+            projs, lambda p: F.when(p >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
 
 
 def lsh_blocked_pairs(
@@ -134,24 +158,33 @@ def lsh_blocked_pairs(
     corpus-quadratic; viral buckets fall to AQE skew splitting.
     Returns (id_a, id_b) with id_a < id_b, distinct.
     """
-    bands = []
-    for b in range(num_bands):
-        sig_bits = []
-        for j in range(planes_per_band):
-            p = b * planes_per_band + j
-            weights = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
-            proj = F.aggregate(
-                F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            sig_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat(*sig_bits).alias("band_key"))
-        )
-    banded = (
+    # Stage all projections once (single folded weight-matrix literal,
+    # see _plane_matrix), then slice per band — the signature pipeline
+    # is evaluated once per row, and Spark's exchange reuse computes it
+    # once for BOTH sides of the self-join.
+    projs = _projections(
+        F.col("_v"), _plane_matrix(num_bands * planes_per_band, dim)
+    )
+    staged = (
         spread(df)
-        .select(F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("_b"))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .select("id", projs.alias("_projs"))
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.array_join(
+                F.transform(
+                    F.slice("_projs", b * planes_per_band + 1, planes_per_band),
+                    lambda p: F.when(p >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+                "",
+            ).alias("band_key"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = (
+        staged.select("id", F.explode(F.array(*bands)).alias("_b"))
         .select("id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key"))
     )
     a, b2 = banded.alias("a"), banded.alias("b")

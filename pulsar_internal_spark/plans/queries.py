@@ -857,6 +857,101 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical 3-table star join + agg + top-k
+    (SURVEY.md §2.3/§2.6 superset: the reference has no joins at all,
+    so the suite exercises the full idiomatic family). Scale posture:
+    all three filters push to the parquet scans; the customer side
+    reduces to a LEFT SEMI (broadcast under AQE at this dim size, plain
+    shuffle join beyond); the orders⋈lineitem join shuffles on the
+    orderkey; the LIMIT compiles to TakeOrderedAndProject (no global
+    sort materialization). Total order (revenue DESC, l_orderkey) makes
+    the top-10 set engine-deterministic."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-06-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-06-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = li.join(
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "embedding_prefix_topk",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.embedding[1:16]::DOUBLE[], c.embedding[1:16]::DOUBLE[]), 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.embedding[1:16]::DOUBLE[], c.embedding[1:16]::DOUBLE[]), 6) DESC,
+                      c.vec_id) AS BIGINT) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id % 100 = 0
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval: cosine top-k on
+    the FIRST 16 of 64 dims — the dimension-reduction coarse tier
+    (4x less compute/memory per score than full precision; pairs with
+    quantized_rerank_topk's two-tier shape: prefix-score the corpus,
+    re-rank survivors at full dim). slice() is JVM-side; the rest
+    reuses the brute-force top-k operator unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sliced = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries_df = sliced.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.brute_force_topk(sliced, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@_register(
     "salted_hot_key_agg",
     """
     SELECT event_type,
@@ -2843,6 +2938,184 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+# =========================================================================
+# Training-data curation family (driver-mandated LLM-pipeline ops,
+# SURVEY.md §7 Phase 4): PII redaction, Gopher-style repetition quality,
+# benchmark-contamination screening. All JVM-side (regex + HOFs + aggs);
+# at 100 TB each is a single scan plus at most one keyed shuffle.
+# =========================================================================
+
+
+@_register(
+    "pii_redaction",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               'contact ' || c_name || ' <' || lower(c_name) || '.'
+                 || CAST(c_custkey AS VARCHAR) || '@example.com> tel '
+                 || '10-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(c_custkey * 29 % 10000 AS VARCHAR), 4, '0'),
+               '[a-z0-9._#]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(lower(c_name), '[#0-9]')) AS BIGINT) AS n_name_digits
+    FROM customer
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex-redact emails and
+    phone numbers to typed placeholders. The PII-bearing text is
+    synthesized deterministically from the customer dim (the fixtures
+    carry no real PII), then redacted with the same chained
+    regexp_replace a 100 TB pass would use — pure JVM regex inside
+    whole-stage codegen, no shuffle, no UDF. (Spark regexp_replace is
+    global by default; the oracle passes DuckDB's 'g' flag.)"""
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.col("c_name")),
+        F.lit("."),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("10-"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 13 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 29 % 10000).cast("string"), 4, "0"),
+    )
+    raw = F.concat(
+        F.lit("contact "), F.col("c_name"), F.lit(" <"), email,
+        F.lit("> tel "), phone,
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9._#]+@[a-z0-9.]+\.[a-z]{2,}", "<EMAIL>"),
+        r"\d{2}-\d{3}-\d{3}-\d{4}",
+        "<PHONE>",
+    )
+    return c.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.regexp_count(F.lower("c_name"), F.lit(r"[#0-9]"))
+        .cast("long")
+        .alias("n_name_digits"),
+    )
+
+
+@_register(
+    "repetition_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM toks, unnest(w) AS t(word)
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 6) AS dup_fraction,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_word_fraction,
+           ((1.0 - COUNT(*) * 1.0 / SUM(cnt)) > 0.75
+             OR (MAX(cnt) * 1.0 / SUM(cnt)) > 0.2) AS flagged
+    FROM wc GROUP BY doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1, public):
+    flag documents dominated by repeated words — duplicate-word
+    fraction and top-word fraction per doc. Shape at scale: explode to
+    (doc, word), ONE partial-agg-friendly keyed count, then a per-doc
+    rollup — two map-side-combining shuffles on doc_id, no window over
+    the corpus, no UDF. Threshold comparisons run on the raw doubles in
+    both engines (IEEE division of small ints is exact-identical);
+    reported ratios are rounded for the hash compare."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    wc = (
+        toks.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_words = F.sum("cnt")
+    n_distinct = F.count(F.lit(1))
+    top_cnt = F.max("cnt")
+    dup_frac = F.lit(1.0) - n_distinct * F.lit(1.0) / n_words
+    top_frac = top_cnt * F.lit(1.0) / n_words
+    return wc.groupBy("doc_id").agg(
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(dup_frac, 6).alias("dup_fraction"),
+        F.round(top_frac, 6).alias("top_word_fraction"),
+        ((dup_frac > 0.75) | (top_frac > 0.2)).alias("flagged"),
+    )
+
+
+@_register(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4
+                  THEN list_distinct(list_transform(range(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+                  ELSE [] END AS s
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT sg FROM sh, unnest(s) AS t(sg) WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, len(s) AS n_sh, unnest(s) AS sg FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           CAST(ANY_VALUE(n_sh) AS BIGINT) AS n_shingles,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(n_sh), 6) AS contamination_ratio
+    FROM corp JOIN bench USING (sg)
+    GROUP BY doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (the decontamination pass every
+    public LLM data pipeline runs, e.g. GPT-3 App. C / Llama: drop
+    training docs sharing long n-grams with eval sets). Benchmark set =
+    doc_id % 97 == 0 (stands in for the eval corpus); a corpus doc is
+    contaminated per distinct shared 4-gram. Scale shape: the benchmark
+    n-gram set is tiny relative to the corpus -> built once and
+    BROADCAST; the corpus side is one explode + broadcast hash join +
+    one keyed agg — the corpus never shuffles on the n-gram."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(dedup_ops.shingles_of(F.col("w"), 4)).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("sg"))
+        .distinct()
+    )
+    corp = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sg")
+    )
+    j = corp.join(F.broadcast(bench), "sg")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+        F.first("n_sh").cast("long").alias("n_shingles"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.first("n_sh"), 6).alias(
+            "contamination_ratio"
+        ),
     )
 
 

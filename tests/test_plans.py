@@ -95,3 +95,21 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incident_window_counts")
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_q3_join_shape(spark, sf_dir):
+    """Q3: pushed filters on all three scans, semi-joined customer dim,
+    top-k as TakeOrderedAndProject (no global sort)."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_blocked_pairs_is_equi_join(spark, sf_dir):
+    """Near-dup blocking must join on (band_idx, band_key) — a hash
+    equi-join, never an all-pairs nested loop."""
+    plan = _plan(spark, sf_dir, "embedding_near_dup")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
