@@ -113,3 +113,21 @@ def test_lsh_blocked_pairs_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_near_dup")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """Decontamination joins the corpus n-grams against the (small)
+    benchmark n-gram set — the benchmark side must broadcast so the
+    corpus never shuffles on the n-gram key."""
+    plan = _plan(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_curation_queries_stay_jvm_side(spark, sf_dir):
+    """PII redaction and repetition scoring are regex/agg pipelines —
+    a BatchEvalPython node would mean the hot path fell off codegen."""
+    for name in ["pii_redaction", "repetition_quality"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
