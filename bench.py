@@ -50,6 +50,17 @@ def main() -> None:
         warm_sf = sf_dir
     _materialize(QUERIES["blake2_lookalike_nation"](spark, warm_sf))
     _materialize(QUERIES["ivf_cosine_topk"](spark, warm_sf))
+    # the shingle/HOF expression family (tokenize -> transform/element_at
+    # n-grams -> explode/join) JIT-compiles some of the largest codegen
+    # units in the suite (~5-13 s of first-hit compile at sf0.1, billed
+    # to whichever n-gram query runs first alphabetically) — warm it at
+    # sf0.001 like the UDF pool and MLlib classes above
+    _materialize(QUERIES["benchmark_contamination"](spark, warm_sf))
+    _materialize(QUERIES["near_dup_jaccard"](spark, warm_sf))
+    # mapInPandas-over-binary is a distinct worker path from scalar
+    # pandas UDFs (Arrow record batches + decode-module imports in every
+    # worker) — first hit costs ~3-6 s; warm it at sf0.001
+    _materialize(QUERIES["multimodal_real_decode"](spark, warm_sf))
     # spawn the FULL Python worker pool: a few-partition pandas UDF warm
     # leaves most of the 32 per-partition workers cold, and the first
     # wide mapInPandas query would pay ~2 s of worker spawn for them
