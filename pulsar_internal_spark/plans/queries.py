@@ -2484,9 +2484,12 @@ def word_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + explode (SURVEY.md §2.10): token counts over
     the corpus — split -> explode -> hash aggregate (partial map-side)."""
     docs = _t(spark, sf_dir, "documents")
+    # explode_outer: plain explode makes InferFiltersFromGenerate push a
+    # size(split(..))>0 filter into the scan — a full extra tokenize per
+    # row. The word != '' filter already drops the null rows.
     return (
         docs.select(
-            F.explode(
+            F.explode_outer(
                 F.split(F.trim(dedup_ops.normalized_text("text")), r"\s+")
             ).alias("word")
         )
@@ -2724,7 +2727,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(docs)
         .select(
             "doc_id",
-            F.explode(
+            # explode_outer: see word_explode_counts (keeps the inferred
+            # size()>0 filter out of the pre-exchange scan stage)
+            F.explode_outer(
                 F.split(F.trim(dedup_ops.normalized_text("text")), r"\s+")
             ).alias("word"),
         )
@@ -3041,7 +3046,8 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     wc = (
-        toks.select("doc_id", F.explode("w").alias("word"))
+        toks.select("doc_id", F.explode_outer("w").alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
