@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Regenerate EXPLAIN.md: final AQE physical plans for the headline
+queries at sf0.01, with the intended plan shape noted per query.
+
+Usage: python tools/gen_explain.py   (writes EXPLAIN.md at repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
+from pulsar_internal_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+HEADLINERS: list[tuple[str, str]] = [
+    ("pricing_summary", "TPC-H-style aggregation: pushdown + partial agg + AQE coalesce"),
+    ("revenue_by_region", "star join: broadcast dims, single fact shuffle"),
+    ("q3_shipping_priority", "3-table star join: semi-joined dim, TakeOrderedAndProject top-k"),
+    ("orphan_customers", "anti-join + scalable dense reindex (no single-partition window)"),
+    ("compaction_lww", "keyed LWW as ONE hash aggregate (no window)"),
+    ("minhash_band_candidates", "LSH band self-join with exchange reuse (signature computed once)"),
+    ("embedding_cosine_topk", "broadcast query side; corpus never shuffles"),
+    ("embedding_near_dup", "sign-LSH banded blocking; band shuffle carries ids only, vectors re-joined"),
+    ("benchmark_contamination", "broadcast benchmark n-gram set; corpus never shuffles on the n-gram"),
+    ("top_accounts_limit", "global top-k as TakeOrderedAndProject"),
+    ("llm_clean_corpus", "composite dedup->lang->quality pipeline: one shuffle total"),
+    ("iscached_probe", "probe via broadcast left-semi: big side streams, never shuffles"),
+    ("asof_latest_order", "AS-OF join: tagged union + carry-forward window, one exchange"),
+    ("incident_window_counts", "equi-key-less interval join as bucketed hash join (no nested loop)"),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen_explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# EXPLAIN — headline query plans (sf0.01, final AQE plans)",
+        "",
+        "Regenerate with `python tools/gen_explain.py` after plan-affecting",
+        "changes.",
+        "",
+    ]
+    for name, blurb in HEADLINERS:
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString().rstrip()
+        # keep the plan readable: truncate pathological single lines
+        lines = [
+            (line if len(line) <= 400 else line[:397] + "...")
+            for line in plan.splitlines()
+        ]
+        out += [f"## {name}", "", f"*{blurb}*", "", "```", *lines, "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote EXPLAIN.md with {len(HEADLINERS)} plans")
+
+
+if __name__ == "__main__":
+    main()
