@@ -3132,6 +3132,79 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "weighted_mixture_sample",
+    """
+    SELECT doc_id, source,
+           CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0 THEN 'cc'
+                WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 1 THEN '80'
+                ELSE '33' END AS rate_hex
+    FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2)
+          < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0 THEN 'cc'
+                 WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 1 THEN '80'
+                 ELSE '33' END
+    """,
+)
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source weighted sampling with
+    NO RNG — keep a doc iff the first sha256 hex byte of (doc_id:source)
+    falls under the source's rate threshold (0xcc~80%, 0x80~50%,
+    0x33~20%). Deterministic, re-runnable, engine-identical — the same
+    reproducible-hash idiom as dataset_split_assignment, extended to
+    weighted mixtures. One scan, filter fully codegen'd, no shuffle, no
+    sampleBy() RNG (whose draws are engine-specific and irreproducible
+    across repartitions at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 8).cast("int") % 3 == 0, F.lit("cc"))
+        .when(F.substring("source", 4, 8).cast("int") % 3 == 1, F.lit("80"))
+        .otherwise(F.lit("33"))
+    )
+    bucket = F.substring(
+        F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")), 256),
+        1,
+        2,
+    )
+    return docs.select("doc_id", "source", rate.alias("rate_hex")).filter(
+        bucket < F.col("rate_hex")
+    )
+
+
+@_register(
+    "context_packing",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 16384.0) AS BIGINT) AS bin_id
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing for LLM pretraining: assign docs to
+    ~16 KiB bins per source by prefix sum (bin = floor(start_offset /
+    budget)) — the distributed form of greedy sequence packing. The
+    window partitions by source, so packing parallelizes across sources
+    (one shuffle on source); within a source the prefix sum is the
+    sequential dependency the semantics require. No UDF, no global
+    window (plan test asserts no Exchange SinglePartition)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 16384.0)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 # =========================================================================
 # Exact-parity golden queries (SURVEY.md §2.8): the Spark side runs the
 # Arrow-batched pandas UDFs; the oracle is a VALUES literal computed by
