@@ -6,17 +6,20 @@ decode/feature steps as Arrow-batched mapInPandas stages.
 
 Two decode tiers:
 
-  - REAL codecs for the two modalities that need no native libraries:
+  - REAL codecs for all three modalities, no native libraries needed:
     24-bit uncompressed BMP (full header parse, bottom-up row order,
-    BGR channel order, 4-byte row padding) and 16-bit PCM WAV (RIFF
-    chunk walk, fmt parse, LE sample decode). `make_bmp`/`make_wav`
-    write the real formats; `parse_bmp`/`parse_wav` decode them — both
-    directions pure Python, golden-tested against independently
-    hand-built fixtures.
-  - A deterministic STUB for codec-dependent formats (JPEG/MP3/video):
-    documented fake features from sha256, keeping the Spark-side
-    plumbing (schema, batching, partitioning) real. Swap `_stub_decode`
-    for PIL/torchaudio/decord in production.
+    BGR channel order, 4-byte row padding), 16-bit PCM WAV (RIFF chunk
+    walk, fmt parse, LE sample decode), and uncompressed AVI (RIFF
+    'AVI ' with hdrl/avih/strh/strf headers and a movi LIST of raw
+    '00db' DIB frames, each un-flipped from bottom-up BGR).
+    `make_bmp`/`make_wav`/`make_avi` write the real formats;
+    `parse_bmp`/`parse_wav`/`parse_avi` decode them — both directions
+    pure Python, golden-tested against independently hand-built
+    fixtures.
+  - A deterministic STUB for codec-dependent COMPRESSED formats
+    (JPEG/MP3/H.264): documented fake features from sha256, keeping the
+    Spark-side plumbing (schema, batching, partitioning) real. Swap
+    `_stub_decode` for PIL/torchaudio/decord in production.
 """
 
 from __future__ import annotations
@@ -182,6 +185,131 @@ def parse_wav(data: bytes) -> dict:
     }
 
 
+def make_avi(width: int, height: int, frames_rgb: list[bytes], fps: int = 10) -> bytes:
+    """Write a real uncompressed AVI (RIFF 'AVI '): hdrl with avih main
+    header + a 'vids'/'DIB ' stream (strh + BITMAPINFOHEADER strf), and
+    a movi LIST of '00db' raw DIB frames — each frame stored the way
+    uncompressed AVI actually stores them: bottom-up rows, BGR channel
+    order, rows padded to 4 bytes. ``frames_rgb`` are top-down row-major
+    RGB, one bytes object per frame."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    frame_size = (row_raw + pad) * height
+    dib_frames = []
+    for rgb in frames_rgb:
+        if len(rgb) != width * height * 3:
+            raise ValueError("each frame must be width*height*3 bytes")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            base = y * row_raw
+            for x in range(width):
+                r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+                row += bytes((b, g, r))  # BGR on disk
+            row += b"\x00" * pad
+            rows.append(bytes(row))
+        dib_frames.append(b"".join(rows))
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX unset; 0x10 = AVIF_WASCAPTUREFILE-ish benign flags
+        len(dib_frames),  # dwTotalFrames
+        0,
+        1,  # dwStreams
+        frame_size,
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # dwScale / dwRate
+        0, len(dib_frames), frame_size, 0xFFFFFFFF & (2**32 - 1), 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI4s", b"LIST", 4 + len(body), kind) + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dib_frames))
+    body = hdrl + movi
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"AVI ") + body
+
+
+def parse_avi(data: bytes) -> dict:
+    """Decode an uncompressed AVI: validate the RIFF/'AVI ' signature,
+    read width/height/bpp from the stream format (BITMAPINFOHEADER in
+    strf, falling back to avih), walk the movi LIST and un-flip each
+    '00db'/'00dc' DIB frame (bottom-up rows, BGR, 4-byte padding) back
+    to top-down RGB. Returns {width, height, n_frames, frames} with
+    frames as a list of top-down row-major RGB bytes."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    width = height = bpp = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, bpp
+        while pos + 8 <= end:
+            cid, clen = struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                kind = data[body_start : body_start + 4]
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"strf" and clen >= 40:
+                _sz, w, h, _planes, bits = struct.unpack_from("<IiiHH", data, body_start)
+                width, height, bpp = w, abs(h), bits
+            elif cid == b"avih" and width is None and clen >= 40:
+                w, h = struct.unpack_from("<II", data, body_start + 32)
+                width, height = w, h
+            elif cid in (b"00db", b"00dc"):
+                frames.append(data[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if width is None or height is None:
+        raise ValueError("missing AVI stream format")
+    if bpp is not None and bpp != 24:
+        raise ValueError(f"unsupported AVI bit depth: {bpp}")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    out_frames = []
+    for dib in frames:
+        if len(dib) < (row_raw + pad) * height:
+            raise ValueError("truncated AVI frame")
+        out = bytearray(width * height * 3)
+        for stored_row in range(height):
+            y = height - 1 - stored_row  # un-flip bottom-up
+            src = stored_row * (row_raw + pad)
+            base = y * row_raw
+            for x in range(width):
+                b, g, r = dib[src + 3 * x : src + 3 * x + 3]
+                out[base + 3 * x : base + 3 * x + 3] = bytes((r, g, b))
+        out_frames.append(bytes(out))
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(out_frames),
+        "frames": out_frames,
+    }
+
+
 def _stub_decode(payload: bytes, dim: int = 8) -> list[float]:
     """STUB decoder — deterministic fake features from sha256 bytes.
     Replace with a real codec in production; raises if dim > 32."""
@@ -269,11 +397,10 @@ REAL_DECODE_SCHEMA = StructType(
 
 def attach_real_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Manufacture REAL format bytes per row: image rows get a 4x4
-    24-bit BMP, audio rows a 16-sample 16-bit PCM WAV; content derives
-    deterministically from sha256(text) so an independent oracle can
-    verify the decoded values. Rows mapping to 'video' are dropped here
-    (video decode needs codecs the container lacks — see frame_sample
-    for the stub path)."""
+    24-bit BMP, audio rows a 16-sample 16-bit PCM WAV, video rows a
+    6-frame 4x4 uncompressed AVI; content derives deterministically from
+    sha256(text) so an independent oracle can verify the decoded
+    values."""
     import hashlib as _hl
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,18 +408,20 @@ def attach_real_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
             ids, mods, payloads = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 m = MODALITIES[int(doc_id) % 3]
-                if m == "video":
-                    continue
                 digest = _hl.sha256(str(text).encode("utf-8")).digest()
                 if m == "image":
                     rgb = (digest * 2)[:48]  # 4x4 px * 3 channels
                     payload = make_bmp(4, 4, rgb)
-                else:
+                elif m == "audio":
                     samples = [
                         int.from_bytes(digest[2 * i : 2 * i + 2], "little", signed=True)
                         for i in range(16)
                     ]
                     payload = make_wav(samples, sample_rate=8000)
+                else:  # video: 6 frames, frame_j[i] = digest[(j*48+i) % 32]
+                    stream = digest * 9  # 288 bytes = 6 frames x 48
+                    frames = [stream[j * 48 : (j + 1) * 48] for j in range(6)]
+                    payload = make_avi(4, 4, frames, fps=10)
                 ids.append(doc_id)
                 mods.append(m)
                 payloads.append(payload)
@@ -325,7 +454,7 @@ def decode_features_real(df: DataFrame) -> DataFrame:
                         px[0] * 65536 + px[1] * 256 + px[2]
                     )
                     rows["byte_sum"].append(sum(px))
-                elif data[:4] == b"RIFF":
+                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                     wav = parse_wav(data)
                     s = wav["samples"]
                     rows["modality"].append("audio")
@@ -334,6 +463,17 @@ def decode_features_real(df: DataFrame) -> DataFrame:
                     rows["n_samples"].append(len(s))
                     rows["first_value"].append(s[0] if s else None)
                     rows["byte_sum"].append(sum(v * v for v in s))
+                elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    vid = parse_avi(data)
+                    f0 = vid["frames"][0] if vid["frames"] else b"\x00\x00\x00"
+                    rows["modality"].append("video")
+                    rows["width"].append(vid["width"])
+                    rows["height"].append(vid["height"])
+                    rows["n_samples"].append(vid["n_frames"])
+                    rows["first_value"].append(
+                        f0[0] * 65536 + f0[1] * 256 + f0[2]
+                    )
+                    rows["byte_sum"].append(sum(sum(f) for f in vid["frames"]))
                 else:
                     raise ValueError("unrecognized payload format")
                 rows["doc_id"].append(doc_id)
@@ -374,6 +514,36 @@ def frame_sample(df: DataFrame, every_k: int = 4, max_frames: int = 8) -> DataFr
                     ids.append(doc_id)
                     idxs.append(f)
                     sums.append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA_MM)
+
+
+def frame_sample_real(df: DataFrame, every_k: int = 2, max_frames: int = 8) -> DataFrame:
+    """REAL frame sampler: parse the AVI container, emit every k-th
+    DECODED frame (top-down RGB after the bottom-up/BGR undo) as
+    (frame_idx, sha256-checksum-of-RGB). One input row fans out to
+    <= max_frames rows. Non-AVI payloads are skipped (image/audio rows
+    have no frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                    continue
+                vid = parse_avi(data)
+                for j, f in enumerate(range(0, vid["n_frames"], every_k)):
+                    if j >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sums.append(
+                        hashlib.sha256(vid["frames"][f]).hexdigest()[:16]
+                    )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
             )

@@ -2211,7 +2211,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
              sha256(text) AS h
-      FROM documents WHERE doc_id % 3 != 2
+      FROM documents
     ), b AS (
       SELECT doc_id, modality,
              list_transform(range(32), i ->
@@ -2227,35 +2227,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT doc_id, modality,
-           CASE WHEN modality = 'image' THEN CAST(4 AS BIGINT) END AS width,
-           CASE WHEN modality = 'image' THEN CAST(4 AS BIGINT) END AS height,
-           CASE WHEN modality = 'audio' THEN CAST(16 AS BIGINT) END AS n_samples,
-           CAST(CASE WHEN modality = 'image'
+           CASE WHEN modality IN ('image', 'video') THEN CAST(4 AS BIGINT) END AS width,
+           CASE WHEN modality IN ('image', 'video') THEN CAST(4 AS BIGINT) END AS height,
+           CASE WHEN modality = 'audio' THEN CAST(16 AS BIGINT)
+                WHEN modality = 'video' THEN CAST(6 AS BIGINT) END AS n_samples,
+           CAST(CASE WHEN modality IN ('image', 'video')
                 THEN by[1] * 65536 + by[2] * 256 + by[3]
                 ELSE smp[1] END AS BIGINT) AS first_value,
            CAST(CASE WHEN modality = 'image'
                 THEN list_sum(by) + list_sum(by[1:16])
+                WHEN modality = 'video'
+                THEN 9 * list_sum(by)
                 ELSE list_sum(list_transform(smp, v -> v * v)) END AS BIGINT) AS byte_sum
     FROM s
     """,
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode (no stub in this plan): image rows carry
-    an actual 4x4 24-bit BMP and audio rows an actual 16-sample PCM WAV
-    (content = sha256(text) bytes, so the oracle can verify decoded
+    """REAL multimodal decode across ALL THREE modalities (no stub in
+    this plan): image rows carry an actual 4x4 24-bit BMP, audio rows an
+    actual 16-sample PCM WAV, video rows an actual 6-frame uncompressed
+    AVI (content = sha256(text) bytes, so the oracle can verify decoded
     values independently). The decode stage parses the true formats —
     'BM' header, bottom-up BGR rows with padding; RIFF chunk walk,
-    16-bit LE samples — and emits exact integer stats: an
-    order-sensitive first_value (packed first pixel / first signed
-    sample, catching row-flip, channel-swap and endianness bugs) and a
-    content checksum (pixel-byte sum / sample energy). Generator and
-    parser are independently golden-tested (tests/test_operators.py).
-    Video stays excluded: real video decode needs codecs the container
-    lacks (multimodal.frame_sample is the documented stub path)."""
+    16-bit LE samples; RIFF 'AVI ' hdrl/movi walk with per-frame DIB
+    un-flip — and emits exact integer stats: an order-sensitive
+    first_value (packed first pixel / first signed sample, catching
+    row-flip, channel-swap and endianness bugs) and a content checksum
+    (pixel-byte sum / sample energy / all-frame byte sum). Generator and
+    parser are independently golden-tested (tests/test_operators.py)."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
-    docs = spread(_t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 2))
+    docs = spread(_t(spark, sf_dir, "documents"))
     return mm.decode_features_real(mm.attach_real_payload(docs))
 
 
@@ -2972,7 +2975,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing for training corpora: regex-redact emails and
+    """PII scrubbing for training corpora (SURVEY.md §7 Phase 4,
+    driver-mandated curation family): regex-redact emails and
     phone numbers to typed placeholders. The PII-bearing text is
     synthesized deterministically from the customer dim (the fixtures
     carry no real PII), then redacted with the same chained
@@ -3035,7 +3039,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filter (Rae et al. 2021 §A1.1, public):
+    """Gopher-style repetition filter (SURVEY.md §7 Phase 4; Rae et
+    al. 2021 §A1.1, public):
     flag documents dominated by repeated words — duplicate-word
     fraction and top-word fraction per doc. Shape at scale: explode to
     (doc, word), ONE partial-agg-friendly keyed count, then a per-doc
@@ -3093,8 +3098,9 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination screen (the decontamination pass every
-    public LLM data pipeline runs, e.g. GPT-3 App. C / Llama: drop
+    """Benchmark-contamination screen (SURVEY.md §7 Phase 4) — the
+    decontamination pass every
+    public LLM data pipeline runs (e.g. GPT-3 App. C / Llama): drop
     training docs sharing long n-grams with eval sets). Benchmark set =
     doc_id % 97 == 0 (stands in for the eval corpus); a corpus doc is
     contaminated per distinct shared 4-gram. Scale shape: the benchmark
@@ -3147,7 +3153,8 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mixture construction: per-source weighted sampling with
+    """Training-mixture construction (SURVEY.md §7 Phase 4):
+    per-source weighted sampling with
     NO RNG — keep a doc iff the first sha256 hex byte of (doc_id:source)
     falls under the source's rate threshold (0xcc~80%, 0x80~50%,
     0x33~20%). Deterministic, re-runnable, engine-identical — the same
@@ -3182,7 +3189,8 @@ def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window packing for LLM pretraining: assign docs to
+    """Context-window packing for LLM pretraining (SURVEY.md §7
+    Phase 4): assign docs to
     ~16 KiB bins per source by prefix sum (bin = floor(start_offset /
     budget)) — the distributed form of greedy sequence packing. The
     window partitions by source, so packing parallelizes across sources

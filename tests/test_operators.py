@@ -517,3 +517,71 @@ def test_real_decode_rejects_garbage():
         mm.parse_bmp(b"not a bitmap at all")
     with pytest.raises(ValueError):
         mm.parse_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        mm.parse_avi(b"RIFFxxxxWAVE")
+
+
+def test_avi_parse_handbuilt():
+    """parse_avi decodes a hand-built file (independent of make_avi):
+    1x2 frame, so the bottom-up un-flip is observable; strf carries the
+    dimensions; the movi walk must skip nothing."""
+    import struct
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind, body):
+        return struct.pack("<4sI4s", b"LIST", 4 + len(body), kind) + body
+
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0, 1, 0, 1, 8, 1, 2, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, 1, 8, 0, 0, 0, 0, 1, 2
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+    # on-disk DIB, bottom-up BGR with 1-byte row pad:
+    # stored row 0 = logical bottom = blue; stored row 1 = logical top = red
+    dib = bytes([0xFF, 0, 0, 0]) + bytes([0, 0, 0xFF, 0])
+    data = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"AVI ")
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", chunk(b"00db", dib))
+    )
+    vid = mm.parse_avi(data)
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (1, 2, 1)
+    # decoded top-down RGB: red pixel then blue pixel
+    assert vid["frames"][0] == bytes([255, 0, 0, 0, 0, 255])
+
+
+def test_avi_roundtrip_random():
+    import random
+
+    random.seed(13)
+    for w, h, n in [(1, 1, 1), (3, 2, 4), (4, 4, 6)]:
+        frames = [
+            bytes(random.randrange(256) for _ in range(w * h * 3)) for _ in range(n)
+        ]
+        vid = mm.parse_avi(mm.make_avi(w, h, frames, fps=10))
+        assert (vid["width"], vid["height"], vid["n_frames"]) == (w, h, n)
+        assert vid["frames"] == frames
+
+
+def test_frame_sample_real_decodes_avi(spark, sf_dir):
+    """frame_sample_real must emit every-2nd decoded frame of each video
+    row with the checksum of the DECODED RGB (not the raw DIB bytes)."""
+    import hashlib
+
+    from pulsar_internal_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    ).limit(3)
+    payloads = mm.attach_real_payload(docs)
+    rows = mm.frame_sample_real(payloads, every_k=2, max_frames=3).collect()
+    assert rows, "video rows must emit frames"
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert r.frame_idx in (0, 2, 4)
+        digest = hashlib.sha256(str(texts[r.doc_id]).encode()).digest()
+        stream = digest * 9
+        frame = stream[r.frame_idx * 48 : (r.frame_idx + 1) * 48]
+        assert r.frame_checksum == hashlib.sha256(frame).hexdigest()[:16]
