@@ -59,7 +59,13 @@ def test_compaction_is_single_aggregation_not_window(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["orphan_customers", "minhash_band_candidates", "exact_dedup_docs"],
+    [
+        "orphan_customers",
+        "minhash_band_candidates",
+        "exact_dedup_docs",
+        "context_packing",
+        "weighted_mixture_sample",
+    ],
 )
 def test_no_single_partition_exchange(spark, sf_dir, name):
     """No operator may funnel the whole dataset into one partition
