@@ -57,6 +57,10 @@ def main() -> None:
     # sf0.001 like the UDF pool and MLlib classes above
     _materialize(QUERIES["benchmark_contamination"](spark, warm_sf))
     _materialize(QUERIES["near_dup_jaccard"](spark, warm_sf))
+    # the iterative components engine compiles a distinct plan per
+    # round (propagate + hop + checkpoint) — first hit pays ~2-3 s of
+    # codegen across the loop; warm the whole chain at sf0.001
+    _materialize(QUERIES["near_dup_clusters"](spark, warm_sf))
     # mapInPandas-over-binary is a distinct worker path from scalar
     # pandas UDFs (Arrow record batches + decode-module imports in every
     # worker) — first hit costs ~3-6 s; warm it at sf0.001

@@ -70,8 +70,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # long suites accumulate broadcast/shuffle state in the single
         # local-mode JVM; periodic context GC keeps full-GC stalls (seen
-        # as multi-second pauses mid-suite) from building up
+        # as multi-second pauses mid-suite) from building up — and the
+        # explicit GC it triggers must be G1-concurrent, not a
+        # stop-the-world full collection landing on a random query
         .config("spark.cleaner.periodicGC.interval", "2min")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:
