@@ -3139,6 +3139,68 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "winnowing_matches",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4
+                  THEN list_transform(range(1, len(w) - 2),
+                         i -> substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8))
+                  ELSE [] END AS kh
+      FROM toks
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN len(kh) >= 5
+                  THEN list_distinct(list_transform(range(1, len(kh) - 3),
+                         i -> list_min(list_slice(kh, i, i + 4))))
+                  ELSE list_distinct(kh) END AS fps
+      FROM kg
+    ), fp AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS local fingerprinting (Schleimer et al. 2003,
+    public; SURVEY.md §7 Phase 4 dedup family): k-gram rolling hashes,
+    window-min selection, then doc pairs sharing selected fingerprints —
+    detects PARTIAL overlap (any copied run of >= w+k-1 tokens is
+    guaranteed to share a fingerprint), which whole-doc hashing
+    (doc_fingerprints) cannot. Scale shape: the fingerprint self-join is
+    a hash equi-join on the selected hash — sum-of-buckets quadratic
+    like the LSH band join, never corpus-quadratic; selection density
+    ~2/(w+1) bounds the exploded row count."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    # stage the k-gram hash sequence in its own projection — the window
+    # transform in winnow() references it once per window (see the
+    # winnow docstring; inlining re-hashed every k-gram per window)
+    kg = toks.select(
+        "doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh")
+    )
+    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    fp = sel.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@_register(
     "weighted_mixture_sample",
     """
     SELECT doc_id, source,
