@@ -137,3 +137,12 @@ def test_curation_queries_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_q9_deep_star_broadcasts_all_dims(spark, sf_dir):
+    """Q9 shape: three broadcast dims, LIKE pushed into the part scan,
+    fact table never shuffle-joins."""
+    plan = _plan(spark, sf_dir, "q9_nation_year_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
