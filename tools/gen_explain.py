@@ -21,12 +21,14 @@ HEADLINERS: list[tuple[str, str]] = [
     ("pricing_summary", "TPC-H-style aggregation: pushdown + partial agg + AQE coalesce"),
     ("revenue_by_region", "star join: broadcast dims, single fact shuffle"),
     ("q3_shipping_priority", "3-table star join: semi-joined dim, TakeOrderedAndProject top-k"),
+    ("q9_nation_year_revenue", "deep star: fact x 3 broadcast dims, LIKE pruned at the part scan"),
     ("orphan_customers", "anti-join + scalable dense reindex (no single-partition window)"),
     ("compaction_lww", "keyed LWW as ONE hash aggregate (no window)"),
     ("minhash_band_candidates", "LSH band self-join with exchange reuse (signature computed once)"),
     ("embedding_cosine_topk", "broadcast query side; corpus never shuffles"),
     ("embedding_near_dup", "sign-LSH banded blocking; band shuffle carries ids only, vectors re-joined"),
     ("benchmark_contamination", "broadcast benchmark n-gram set; corpus never shuffles on the n-gram"),
+    ("winnowing_matches", "winnowing fingerprints: staged k-gram hashes, window minima, hash equi-join"),
     ("top_accounts_limit", "global top-k as TakeOrderedAndProject"),
     ("llm_clean_corpus", "composite dedup->lang->quality pipeline: one shuffle total"),
     ("iscached_probe", "probe via broadcast left-semi: big side streams, never shuffles"),
