@@ -3191,6 +3191,65 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS step_signup,
+           CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+             AS step_click_after_signup,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS step_purchase_after_click
+    FROM s
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (SURVEY.md §2.4/§2.5 superset — the event-log
+    table D8 put to its canonical analytics use): ordered-step
+    conversion signup -> click -> purchase per user. One keyed
+    aggregation computes each user's first timestamp per step
+    (conditional MIN, partial-agg friendly); one scalar rollup counts
+    step completions with strict temporal ordering. Two aggregations
+    total, no window, no self-join — the shape that survives a
+    billion-user event log."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts"))
+        ).alias(f"t_{etype}")
+
+    s = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("click"), first_ts("purchase")
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("step_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("step_click_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("step_purchase_after_click"),
+    )
+
+
+@_register(
     "winnowing_matches",
     r"""
     WITH toks AS (
