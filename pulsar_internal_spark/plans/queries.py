@@ -3191,6 +3191,50 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_anomaly_flags",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS m,
+             ROUND(stddev_pop(value), 6) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.m) / s.sd) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(MAX(ABS((e.value - s.m) / s.sd)), 3) AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped anomaly detection over the event log (D8, Logger.hpp —
+    SURVEY.md §2.4 superset): per-type mean/stddev, then a z-score flag
+    per event. Scale shape: ONE aggregation builds the tiny per-type
+    stats dim, which is BROADCAST back onto the fact scan — the events
+    table is read twice but never shuffles on a row basis; the final
+    rollup is a keyed agg. Stats are rounded to 6 decimals BEFORE the
+    z computation so partial-aggregation summation order can never flip
+    a threshold comparison between engines."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("m")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            F.round(F.max(z), 3).alias("max_abs_z"),
+        )
+    )
+
+
+@_register(
     "funnel_conversion",
     """
     WITH s AS (
