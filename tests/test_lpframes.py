@@ -65,3 +65,57 @@ def test_utf8_and_binary_tolerance(registered, tmp_path):
     rows = spark.read.format("lpframes").load(str(tmp_path / "u.bin")).collect()
     assert rows[0].payload == "héllo wörld"
     assert rows[1].n_bytes == 2  # undecodable bytes replaced, length kept
+
+
+def _drain(spark, spool, checkpoint, out_dir):
+    """Run the lpframes stream for one batch into a parquet sink (the
+    memory sink cannot recover from a checkpoint), then return ALL
+    payloads accumulated in the sink so far."""
+    q = (
+        spark.readStream.format("lpframes")
+        .option("path", spool)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return {r.payload for r in spark.read.parquet(out_dir).collect()}
+    except Exception:
+        return set()  # sink dir empty: no batch was committed
+
+
+def test_stream_reader_incremental_and_recovery(registered, tmp_path):
+    """The streaming lpframes source must (a) deliver frames from spool
+    files exactly once across triggers and (b) resume AFTER the last
+    committed offset on restart from the checkpoint — the reference
+    FIFO's consume-once semantics (scheduler.cpp:92-99)."""
+    spark = registered
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "sink")
+    write_frames(str(spool / "000.bin"), [b"one", b"two"])
+    got = _drain(spark, str(spool), ckpt, out)
+    assert got == {"one", "two"}
+
+    # producer appends a new spool file; restart from the SAME
+    # checkpoint must deliver only the new frames (offset recovery) —
+    # the sink accumulates, so exactly-once means no duplicated "one"
+    write_frames(str(spool / "001.bin"), [b"three"])
+    got2 = _drain(spark, str(spool), ckpt, out)
+    assert got2 == {"one", "two", "three"}
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no frame delivered twice
+
+
+def test_stream_reader_empty_spool_no_rows(registered, tmp_path):
+    spark = registered
+    spool = tmp_path / "empty_spool"
+    spool.mkdir()
+    got = _drain(spark, str(spool), str(tmp_path / "ck2"), str(tmp_path / "sink2"))
+    assert got == set()
