@@ -585,3 +585,57 @@ def test_frame_sample_real_decodes_avi(spark, sf_dir):
         stream = digest * 9
         frame = stream[r.frame_idx * 48 : (r.frame_idx + 1) * 48]
         assert r.frame_checksum == hashlib.sha256(frame).hexdigest()[:16]
+
+
+# ------------------------------------------- winnowing (MOSS) guarantees
+
+
+def _winnow_py(tokens: list[str], k: int = 4, w: int = 5) -> set[str]:
+    """Pure-Python mirror of dedup.kgram_hashes + winnow (sha2 k-grams,
+    w-window minima, distinct) — independent of Spark."""
+    import hashlib
+
+    kh = [
+        hashlib.sha256(" ".join(tokens[i : i + k]).encode()).hexdigest()[:8]
+        for i in range(len(tokens) - k + 1)
+    ]
+    if not kh:
+        return set()
+    if len(kh) < w:
+        return set(kh)
+    return {min(kh[i : i + w]) for i in range(len(kh) - w + 1)}
+
+
+@given(
+    left=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    shared=st.lists(st.sampled_from("stuvwxyz"), min_size=8, max_size=14),
+    right=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+    prefix=st.lists(st.sampled_from("ijklmnop"), min_size=0, max_size=10),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_shared_run_guarantee(left, shared, right, prefix):
+    """The winnowing theorem (Schleimer et al. 2003): any two documents
+    sharing a contiguous token run of length >= w + k - 1 (= 8 for
+    k=4, w=5) MUST share at least one selected fingerprint."""
+    doc_a = left + shared + right
+    doc_b = prefix + shared
+    fa, fb = _winnow_py(doc_a), _winnow_py(doc_b)
+    assert fa & fb, (doc_a, doc_b)
+
+
+def test_winnowing_spark_matches_python_mirror(spark, sf_dir):
+    """The Spark operator's selected fingerprint sets equal the
+    pure-Python mirror on real fixture docs."""
+    from pulsar_internal_spark.operators import dedup as dedup_ops
+    from pulsar_internal_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents").limit(8)
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    kg = toks.select("doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh"))
+    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    got = {r.doc_id: set(r.fps) for r in sel.collect()}
+    import re
+
+    for r in docs.select("doc_id", "text").collect():
+        tokens = re.split(r"\s+", re.sub(r"\s+", " ", r.text.lower()).strip())
+        assert got[r.doc_id] == _winnow_py(tokens), r.doc_id
