@@ -3235,6 +3235,95 @@ def value_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "simhash_near_dup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'))) AS w
+      FROM documents
+    ), tv AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(15), i ->
+               CAST(strpos('0123456789abcdef', substr(sha256(w), CAST(i AS INT) + 1, 1)) - 1 AS BIGINT)
+                 << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS tok_val
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (tok_val >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tv, (SELECT CAST(unnest(range(60)) AS INT) AS b) bits
+      GROUP BY doc_id, b
+    ), sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> (15 * b)) & 32767 AS band_val
+      FROM sh, (SELECT CAST(unnest(range(4)) AS INT) AS b) bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at scale (Manku, Jain, Das Sarma
+    2007 "Detecting Near-Duplicates for Web Crawling", public; SURVEY.md
+    §7 Phase 4): band the 60-bit simhash into 4 x 15-bit keys — by
+    pigeonhole, any pair within hamming distance 3-per-band-count shares
+    an exact band — self-join on (band_idx, band_val), then verify with
+    popcount(xor) <= 6. Completes the simhash family: fingerprints
+    (simhash_fingerprints) -> pairing. Scale shape: identical to the
+    minhash band join — shuffle on tiny (band, value) keys only, exact
+    verify on candidates only, never corpus-quadratic."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", dedup_ops.simhash64("text").alias("simhash")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("simhash", 15 * b)
+                .bitwiseAND(F.lit(32767))
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(bands).alias("_b")
+    ).select("doc_id", "simhash", F.col("_b.b").alias("b"), F.col("_b.band_val").alias("band_val"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 6)
+
+
+@_register(
     "funnel_conversion",
     """
     WITH s AS (
