@@ -3648,6 +3648,221 @@ def _register_rsb1_golden() -> None:
         return df.withColumn("roundtrip_ok", rt_udf("n_name", "envelope_hex"))
 
 
+# =========================================================================
+# Classic decorrelation / pushdown join-agg shapes (SURVEY.md §2.3-§2.4
+# Spark-superset family: the reference has no joins or aggregates at all,
+# so these exercise the optimizer surface a switching user would rely on)
+# =========================================================================
+
+
+@_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (SURVEY.md §2.3 superset): LEFT OUTER join with a
+    join-side residual predicate, then a two-level aggregation (orders
+    per customer -> customers per order-count). The outer join preserves
+    zero-order customers (COUNT of a NULL key = 0) — the same
+    null-preserving semantics as `getnilinstances` but aggregated rather
+    than filtered (instance.hpp:59-104). Scale: one shuffle per
+    aggregation level; the second groups on a tiny key domain."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (SURVEY.md §2.4 superset): conditional-aggregate
+    ratio (promo revenue share) per ship month. The date range pushes
+    down to the parquet scan; `part` is the broadcast dim; both the
+    conditional and unconditional sums come out of ONE aggregation pass
+    (no self-join, no second scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
+                        WHERE li2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (SURVEY.md §2.4 superset): CORRELATED scalar
+    subquery (per-part average quantity) decorrelated by hand into a
+    keyed aggregate + equi-join — the plan Catalyst itself would produce,
+    stated explicitly so the shuffle is visible and sized: one agg on
+    l_partkey, one join back, the filtered `part` dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    qty_cap = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("_qty_cap"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(qty_cap, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 200) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (SURVEY.md §2.4 superset): HAVING-filtered
+    aggregate as a join input (large-volume orders -> their customers).
+    The aggregate runs FIRST and shrinks the fact side to the top ~5%
+    before any join — the order that survives 100x; joining then
+    aggregating would shuffle the full fact twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("_tq", 2).alias("total_qty"),
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO'    AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 30)
+       OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'LARGE'    AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_type
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (SURVEY.md §2.2/§2.3 superset): an OR-of-ANDs
+    residual across both join sides. Catalyst extracts the common
+    single-side conjuncts (p_type IN (...), l_quantity/p_size range
+    hulls) and pushes them below the join so the scans prune before the
+    disjunction is evaluated — the optimizer behavior this query's plan
+    test pins."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    q, s, t = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    cond = (
+        ((t == "PROMO") & s.between(1, 15) & q.between(1, 30))
+        | ((t == "STANDARD") & s.between(10, 30) & q.between(10, 40))
+        | ((t == "LARGE") & s.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (SURVEY.md §2.3 superset): scalar-average filter +
+    NOT EXISTS anti join (above-average-balance customers who never
+    ordered). The scalar is a 1-row broadcast join (never a driver
+    collect); the anti join ships only the distinct customer-key column
+    of orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 _register_golden()
 _register_rsb1_golden()
 
