@@ -2240,8 +2240,11 @@ def multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
-    (mapInPandas; STUB decoder — container has no codecs). Returns
-    doc_id, modality, payload_len, feat_dim, feat_sum."""
+    (mapInPandas). These payloads are raw text bytes with no container
+    format, so the decoder's documented hash-feature fallback applies
+    (recognized BMP/PNG payloads get real decoded-pixel features — see
+    multimodal_png_decode / multimodal_resize_real). Returns doc_id,
+    modality, payload_len, feat_dim, feat_sum."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
@@ -2312,6 +2315,147 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = spread(_t(spark, sf_dir, "documents"))
     return mm.decode_features_real(mm.attach_real_payload(docs))
+
+
+@_register(
+    "multimodal_png_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+             sha256(text) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, modality,
+             list_transform(range(32), i ->
+               (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 2, 1)) - 1)) AS by
+      FROM d
+    ), s AS (
+      SELECT doc_id, modality, by,
+             list_transform(range(16), i ->
+               CASE WHEN by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 >= 32768
+                    THEN by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 - 65536
+                    ELSE by[2*CAST(i AS INT) + 1] + by[2*CAST(i AS INT) + 2] * 256 END) AS smp
+      FROM b
+    )
+    SELECT doc_id, modality,
+           CASE WHEN modality IN ('image', 'video') THEN CAST(4 AS BIGINT) END AS width,
+           CASE WHEN modality IN ('image', 'video') THEN CAST(4 AS BIGINT) END AS height,
+           CASE WHEN modality = 'audio' THEN CAST(16 AS BIGINT)
+                WHEN modality = 'video' THEN CAST(6 AS BIGINT) END AS n_samples,
+           CAST(CASE WHEN modality IN ('image', 'video')
+                THEN by[1] * 65536 + by[2] * 256 + by[3]
+                ELSE smp[1] END AS BIGINT) AS first_value,
+           CAST(CASE WHEN modality = 'image'
+                THEN list_sum(by) + list_sum(by[1:16])
+                WHEN modality = 'video'
+                THEN 9 * list_sum(by)
+                ELSE list_sum(list_transform(smp, v -> v * v)) END AS BIGINT) AS byte_sum
+    FROM s
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode with a genuinely COMPRESSED image format: image rows
+    carry an actual PNG (zlib-deflated IDAT, CRC-verified chunks,
+    Sub/Up-filtered scanlines) instead of the uncompressed BMP —
+    matching the reference envelope's compressed-payload semantics
+    (bytecode.cpp:130-155: magic + checksum + compressed body; the PNG
+    chunk CRC plays XXH32's role, inflate plays ZSTD's). The decode
+    stage inflates and reconstructs the scanline filters to recover the
+    exact pixels, so the oracle's independently-computed pixel stats
+    prove real decompression happened in-plan. Audio/video rows are the
+    same real WAV/AVI as multimodal_real_decode."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return mm.decode_features_real(
+        mm.attach_real_payload(docs, image_format="png")
+    )
+
+
+@_register(
+    "multimodal_resize_real",
+    """
+    WITH d AS (
+      SELECT doc_id, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(32), i ->
+               (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 2, 1)) - 1)) AS by
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS src_width, CAST(4 AS BIGINT) AS src_height,
+           CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+           CAST(by[1] * 65536 + by[2] * 256 + by[3] AS BIGINT) AS first_value,
+           CAST(by[1] + by[2] + by[3] + by[7] + by[8] + by[9]
+              + by[25] + by[26] + by[27] + by[31] + by[32] + by[1]
+              AS BIGINT) AS byte_sum
+    FROM b
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode each 4x4 PNG payload (inflate + filter
+    reconstruction), nearest-neighbor-resample to 2x2 — dst(y,x) =
+    src(floor(y*4/2), floor(x*4/2)), i.e. source pixels (0,0) (0,2)
+    (2,0) (2,2) — and emit the resized image's packed first pixel and
+    RGB byte sum. The oracle recomputes those four pixels straight from
+    sha256(text) bytes (pixel byte o = digest[o % 32]), so a wrong
+    sampling grid, row flip, or channel swap breaks the hash match.
+    Audio/video rows are skipped by the decoder dispatch (not images).
+    """
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    payloads = mm.attach_real_payload(docs, image_format="png")
+    return mm.resize_images(payloads, width=2, height=2)
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(32), i ->
+               (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 2*CAST(i AS INT) + 2, 1)) - 1)) AS by
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN j = 1
+                THEN by[17] * 65536 + by[18] * 256 + by[19]
+                ELSE by[1] * 65536 + by[2] * 256 + by[3] END AS BIGINT) AS first_value,
+           CAST(list_sum(by) + CASE WHEN j = 1 THEN list_sum(by[17:32])
+                                    ELSE list_sum(by[1:16]) END
+                AS BIGINT) AS frame_byte_sum
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: parse each 6-frame uncompressed AVI,
+    decode frames 0..2 (every_k=1, max_frames=3) back to top-down RGB,
+    emit per-frame packed first pixel + byte sum. Frame j's bytes are
+    (digest*9)[j*48:(j+1)*48] with digest=sha256(text), so frame byte o
+    = digest[(j*48+o) % 32]; 48 = 16 mod 32 makes odd frames start at
+    digest offset 16 — the oracle's CASE arms encode exactly that, so a
+    frame-indexing or un-flip bug cannot produce matching stats. One
+    video row fans out to 3 frame rows (mapInPandas, no shuffle)."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    payloads = mm.attach_real_payload(docs)
+    frames = mm.frame_sample_real(payloads, every_k=1, max_frames=3)
+    return frames.select("doc_id", "frame_idx", "first_value", "frame_byte_sum")
 
 
 @_register(

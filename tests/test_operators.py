@@ -146,10 +146,20 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     assert all(again[r.doc_id] == r.feature for r in rows)
 
 
-def test_multimodal_stub_raises_beyond_capability(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
-    with pytest.raises(Exception, match="real codecs"):
-        mm.extract_features(mm.attach_payload(docs), dim=64).collect()
+def test_multimodal_features_any_dim_and_real_image_path(spark, sf_dir):
+    """extract_features supports any dim (hash-chained fallback for raw
+    bytes); recognized image payloads get REAL decoded-pixel features."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+    rows = mm.extract_features(mm.attach_payload(docs), dim=64).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r.feature) == 64
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+
+    # a real PNG payload must produce pixel-mean features, not hash noise
+    solid = mm.make_png(4, 4, bytes([200] * 48))
+    feats = mm._stub_decode(solid, dim=8)
+    assert all(abs(x - 200 / 255.0) < 1e-9 for x in feats)
 
 
 def test_ivf_recall_and_score_exactness(spark, sf_dir):
@@ -174,29 +184,26 @@ def test_ivf_recall_and_score_exactness(spark, sf_dir):
     }
 
 
-def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+def test_multimodal_resize_real_exact(spark, sf_dir):
+    """resize_images must decode BMP and PNG payloads alike and emit
+    nearest-neighbor stats that match an independent local resample."""
+    import hashlib
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
-    payloads = mm.attach_payload(docs)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
 
-    rs = mm.resize(payloads, width=8, height=8).collect()
-    assert len(rs) == 30
-    for r in rs:
-        assert r.width == 8 and r.height == 8
-        assert 0 < r.resized_len <= 8 * 8 * 3
-
-    frames = mm.frame_sample(payloads, every_k=2, max_frames=3).collect()
-    assert frames, "video modality docs must emit frames"
-    by_doc: dict = {}
-    for f in frames:
-        by_doc.setdefault(f.doc_id, []).append(f)
-    for doc_id, fs in by_doc.items():
-        assert doc_id % 3 == 2  # only 'video' modality (id % 3 == 2)
-        assert len(fs) <= 3
-        assert all(f.frame_idx % 2 == 0 for f in fs)
-        assert all(len(f.frame_checksum) == 16 for f in fs)
-
-    with pytest.raises(Exception, match="real codecs"):
-        mm.resize(payloads, width=10000).collect()
+    for fmt in ("bmp", "png"):
+        payloads = mm.attach_real_payload(docs, image_format=fmt)
+        rs = mm.resize_images(payloads, width=2, height=2).collect()
+        image_ids = [i for i in texts if i % 3 == 0]
+        assert {r.doc_id for r in rs} == set(image_ids)
+        for r in rs:
+            assert (r.src_width, r.src_height, r.width, r.height) == (4, 4, 2, 2)
+            digest = hashlib.sha256(str(texts[r.doc_id]).encode()).digest()
+            px = (digest * 2)[:48]
+            small = mm.nearest_resize(px, 4, 4, 2, 2)
+            assert r.first_value == small[0] * 65536 + small[1] * 256 + small[2]
+            assert r.byte_sum == sum(small)
 
 
 def test_minhash_lsh_finds_planted_near_duplicates(spark):
@@ -481,6 +488,100 @@ def test_bmp_roundtrip_random():
         img = mm.parse_bmp(mm.make_bmp(w, h, rgb))
         assert (img["width"], img["height"]) == (w, h)
         assert img["pixels"] == rgb
+
+
+def test_png_roundtrip_random():
+    import random
+
+    random.seed(17)
+    for w, h in [(1, 1), (3, 2), (4, 4), (7, 3)]:
+        rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+        img = mm.parse_png(mm.make_png(w, h, rgb))
+        assert (img["width"], img["height"], img["bpp"]) == (w, h, 24)
+        assert img["pixels"] == rgb
+
+
+def test_png_parse_handbuilt_all_filters():
+    """parse_png reconstructs a hand-built PNG (independent of make_png)
+    whose scanlines use None, Average and Paeth filters — the filter
+    types make_png never writes, so only a real spec implementation
+    passes."""
+    import struct
+    import zlib
+
+    w, h = 3, 3
+    rgb = bytes((i * 53 + 7) % 256 for i in range(w * h * 3))
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        ftype = (0, 3, 4)[y]
+        raw.append(ftype)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+            if ftype == 0:
+                pred = 0
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    data = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    img = mm.parse_png(data)
+    assert img["pixels"] == rgb
+
+
+def test_png_crc_tamper_rejected():
+    """A flipped bit in the IDAT body must fail the chunk CRC check —
+    the envelope-integrity role XXH32 plays in the reference
+    (bytecode.cpp:130-155)."""
+    png = bytearray(mm.make_png(2, 2, bytes(range(12))))
+    png[45] ^= 0x01  # inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        mm.parse_png(bytes(png))
+
+
+def test_png_idat_split_across_chunks():
+    """The deflate stream may span multiple IDAT chunks; the parser must
+    concatenate before inflating (PNG spec requirement)."""
+    import struct
+    import zlib
+
+    rgb = bytes((i * 29 + 3) % 256 for i in range(4 * 2 * 3))
+    whole = mm.make_png(4, 2, rgb)
+    # re-split the single IDAT into two chunks
+    pos = 8
+    chunks = []
+    while pos + 12 <= len(whole):
+        (clen, tag) = struct.unpack_from(">I4s", whole, pos)
+        chunks.append((tag, whole[pos + 8 : pos + 8 + clen]))
+        pos += 12 + clen
+    rebuilt = mm.PNG_SIG
+    for tag, body in chunks:
+        parts = [body[: len(body) // 2], body[len(body) // 2 :]] if tag == b"IDAT" else [body]
+        for p in parts:
+            rebuilt += (
+                struct.pack(">I", len(p)) + tag + p
+                + struct.pack(">I", zlib.crc32(tag + p))
+            )
+    assert mm.parse_png(rebuilt)["pixels"] == rgb
 
 
 def test_wav_golden_and_chunk_walk():
