@@ -234,6 +234,22 @@ def simhash64(text_col: str = "text"):
     )
 
 
+def drop_hot_keys(df: DataFrame, key_cols: list[str], max_df: int) -> DataFrame:
+    """MOSS stop-fingerprint rule (Schleimer et al. 2003 §5 "too-common
+    fingerprints"): drop rows whose key occurs in more than ``max_df``
+    input rows before a fingerprint self-join. A stop-word k-gram (or a
+    degenerate band value over short docs) otherwise forms a mega-bucket
+    whose pair fan-out is SEMANTICALLY quadratic — AQE skew-join splits
+    the partition but cannot shrink the pair count. The hot-key set is
+    tiny by construction (only keys above the cap), so the exclusion is
+    a broadcast LEFT ANTI join: one extra keyed agg, no new shuffle of
+    the big side beyond the agg's, and the downstream join's worst
+    bucket is bounded at max_df rows -> max_df^2 pairs."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_df"))
+    hot = counts.filter(F.col("_df") > max_df).select(*key_cols)
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def kgram_hashes(words, k: int = 4):
     """k-gram hash sequence for winnowing: first 8 hex chars of
     sha2(k-gram) per position. String-min over fixed-width hex ==

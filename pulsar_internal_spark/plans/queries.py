@@ -3405,10 +3405,14 @@ def value_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, simhash, b,
              (simhash >> (15 * b)) & 32767 AS band_val
       FROM sh, (SELECT CAST(unnest(range(4)) AS INT) AS b) bands
+    ), keep AS (
+      SELECT b, band_val FROM banded GROUP BY b, band_val HAVING COUNT(*) <= 16
+    ), bk AS (
+      SELECT banded.* FROM banded JOIN keep USING (b, band_val)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM banded a JOIN banded b
+      FROM bk a JOIN bk b
         ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -3426,7 +3430,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount(xor) <= 6. Completes the simhash family: fingerprints
     (simhash_fingerprints) -> pairing. Scale shape: identical to the
     minhash band join — shuffle on tiny (band, value) keys only, exact
-    verify on candidates only, never corpus-quadratic."""
+    verify on candidates only, never corpus-quadratic. Mega-buckets
+    (a degenerate band value over many short docs) are excluded by the
+    MOSS stop-fingerprint rule BEFORE the join: buckets holding > 16
+    docs are dropped via broadcast anti-join (dedup.drop_hot_keys), so
+    the worst bucket is bounded at 16^2 pairs regardless of corpus
+    size."""
     docs = spread(_t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", dedup_ops.simhash64("text").alias("simhash")
@@ -3445,6 +3454,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sh.select(
         "doc_id", "simhash", F.explode(bands).alias("_b")
     ).select("doc_id", "simhash", F.col("_b.b").alias("b"), F.col("_b.band_val").alias("band_val"))
+    banded = dedup_ops.drop_hot_keys(banded, ["b", "band_val"], max_df=16)
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -3549,10 +3559,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kg
     ), fp AS (
       SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), keep AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 8
+    ), fpk AS (
+      SELECT fp.* FROM fp JOIN keep USING (fp)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
 )
@@ -3565,7 +3579,10 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_fingerprints) cannot. Scale shape: the fingerprint self-join is
     a hash equi-join on the selected hash — sum-of-buckets quadratic
     like the LSH band join, never corpus-quadratic; selection density
-    ~2/(w+1) bounds the exploded row count."""
+    ~2/(w+1) bounds the exploded row count. Fingerprints shared by > 8
+    docs (stop-word k-grams — MOSS's "too common" rule, Schleimer et
+    al. §5) are dropped via broadcast anti-join BEFORE the join, so the
+    worst bucket contributes <= 8^2 pairs at any corpus size."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     # stage the k-gram hash sequence in its own projection — the window
@@ -3578,6 +3595,7 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = sel.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
         F.col("fp").isNotNull()
     )
+    fp = dedup_ops.drop_hot_keys(fp, ["fp"], max_df=8)
     a = fp.select(F.col("doc_id").alias("id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("id_b"), "fp")
     return (

@@ -724,6 +724,57 @@ def test_winnowing_shared_run_guarantee(left, shared, right, prefix):
     assert fa & fb, (doc_a, doc_b)
 
 
+def test_stop_fingerprint_cap_bounds_candidates(spark):
+    """MOSS 'too common' rule (drop_hot_keys): a stop-gram shared by N
+    docs must NOT induce the ~N^2/2 candidate pairs, while a rare
+    shared run between exactly two docs must survive the cap."""
+    import random
+
+    from pulsar_internal_spark.operators import dedup as dedup_ops
+
+    random.seed(41)
+    vocab = [f"w{i}" for i in range(500)]
+    stop_run = "the quick brown fox jumps over the lazy sleeping dog"  # 10 tokens
+    rare_run = "zeta eta theta iota kappa lam mu nu xi omicron"  # 10 tokens
+    rows = []
+    # 20 docs sharing ONLY the stop run (unique filler otherwise)
+    for i in range(20):
+        filler = " ".join(random.sample(vocab, 12))
+        rows.append((i, f"{filler} {stop_run}"))
+    # 2 docs sharing the rare run
+    for j, i in enumerate(range(100, 102)):
+        filler = " ".join(random.sample(vocab, 12))
+        rows.append((i, f"{filler} {rare_run}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    kg = toks.select("doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh"))
+    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    fp = sel.select("doc_id", F.explode("fps").alias("fp"))
+
+    def pairs_of(fp_df):
+        a = fp_df.select(F.col("doc_id").alias("id_a"), "fp")
+        b = fp_df.select(F.col("doc_id").alias("id_b"), "fp")
+        return (
+            a.join(b, ["fp"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    uncapped = pairs_of(fp).count()
+    assert uncapped >= 190, uncapped  # all C(20,2) stop pairs present
+
+    capped = pairs_of(dedup_ops.drop_hot_keys(fp, ["fp"], max_df=8)).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in capped_pairs, "rare near-dup pair must survive"
+    stop_pairs = [p for p in capped_pairs if p[0] < 100 and p[1] < 100]
+    # any residual stop-doc pairs can only come from sub-cap fingerprints
+    # (boundary k-grams coinciding by chance), bounded << C(20,2)
+    assert len(stop_pairs) <= 8 * 8, stop_pairs
+    assert len(stop_pairs) < 190
+
+
 def test_winnowing_spark_matches_python_mirror(spark, sf_dir):
     """The Spark operator's selected fingerprint sets equal the
     pure-Python mirror on real fixture docs."""
