@@ -3786,6 +3786,54 @@ def _register_golden() -> None:
         return df.withColumn("roundtrip_ok", roundtrip("n_name", "ciphertext_hex"))
 
 
+@_register(
+    "aes_crypt_roundtrip",
+    """
+    SELECT n_nationkey, n_name,
+           n_name AS decrypted,
+           CAST(16 * (octet_length(n_name::BLOB) // 16 + 1) AS BIGINT) AS ecb_cipher_len,
+           CAST(octet_length(n_name::BLOB) + 28 AS BIGINT) AS gcm_cipher_len,
+           TRUE AS roundtrip_ok
+    FROM nation
+    """,
+)
+def aes_crypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic twin of the reference's crypt.encrypt/decrypt pair
+    (crypt.hpp:224-309: random-IV stream cipher, IV prepended to the
+    ciphertext) using REAL AES — Spark's built-in aes_encrypt/
+    aes_decrypt (JVM-side, codegen'd, no UDF). SURVEY §2.8 crypt row
+    ships both: xor_crypt_nation is the exact bit-parity form; this is
+    what a production pipeline should use. Both reference modes are
+    covered: ECB/PKCS proves padding semantics via exact ciphertext
+    length (16-byte blocks, PKCS7 always-pad — oracle recomputes it),
+    GCM mirrors the reference's IV-prepended envelope (12-byte random
+    IV || ct || 16-byte tag, so len = n+28) and its random-IV
+    encrypt-then-decrypt roundtrip is proven in-plan. DuckDB has no
+    AES, so the oracle checks the algebraic invariants: decrypted ==
+    plaintext and both length formulas."""
+    key = "pulsar-aes-0016b"  # 16 bytes -> AES-128
+    nation = _t(spark, sf_dir, "nation")
+    staged = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.expr(f"aes_encrypt(n_name, '{key}', 'ECB', 'PKCS')").alias("ecb_ct"),
+        F.expr(f"aes_encrypt(n_name, '{key}', 'GCM')").alias("gcm_ct"),
+    )
+    return staged.select(
+        "n_nationkey",
+        "n_name",
+        F.expr(f"CAST(aes_decrypt(ecb_ct, '{key}', 'ECB', 'PKCS') AS STRING)").alias(
+            "decrypted"
+        ),
+        F.length("ecb_ct").cast("long").alias("ecb_cipher_len"),
+        F.length("gcm_ct").cast("long").alias("gcm_cipher_len"),
+        (
+            F.expr(f"CAST(aes_decrypt(gcm_ct, '{key}', 'GCM') AS STRING)")
+            == F.col("n_name")
+        ).alias("roundtrip_ok"),
+    )
+
+
 def _register_rsb1_golden() -> None:
     from ..functions import encoding as E
 
