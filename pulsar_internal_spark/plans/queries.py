@@ -4073,6 +4073,99 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q4_late_shipment_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (SURVEY.md §2.3 superset): correlated EXISTS with
+    a NON-equi extra predicate referencing the outer row (the fixture
+    has no l_commitdate/l_receiptdate, so 'late' = shipped > 60 days
+    after the order date — same decorrelation class). Declared as SQL
+    so Catalyst's RewritePredicateSubquery runs for real: the EXISTS
+    becomes a LEFT SEMI join on l_orderkey = o_orderkey with the
+    l_shipdate > o_orderdate + 60d residual — no per-row subquery
+    execution exists at any scale. The date window pushes down to the
+    orders scan before the join. Plan shape asserted in
+    tests/test_plans.py."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q20_part_share_suppliers",
+    """
+    WITH per AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red %'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT a.l_suppkey FROM per a
+      WHERE a.qty > (SELECT 0.10 * SUM(b.qty) FROM per b
+                     WHERE b.l_partkey = a.l_partkey)
+    )
+    """,
+)
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (SURVEY.md §2.3 superset): nested IN-subquery
+    whose inner predicate compares a per-group aggregate against a
+    CORRELATED SCALAR AGGREGATE over the same derived table (the
+    fixture has no partsupp, so 'availqty' becomes each supplier's
+    shipped quantity per red part, and the threshold is 10% of that
+    part's total across all suppliers — the same agg-in-subquery
+    decorrelation class). Catalyst rewrites the correlated SUM into a
+    grouped aggregate joined back on l_partkey, then the IN into a
+    LEFT SEMI join — zero per-row subqueries survive. l_quantity values
+    are integral doubles, so sums are exact and the 0.10 threshold is
+    engine-deterministic. Plan shape asserted in tests/test_plans.py."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+          FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red %'
+          GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT a.l_suppkey FROM per a
+          WHERE a.qty > (SELECT 0.10 * SUM(b.qty) FROM per b
+                         WHERE b.l_partkey = a.l_partkey)
+        )
+        """
+    )
+
+
 _register_golden()
 _register_rsb1_golden()
 

@@ -146,3 +146,25 @@ def test_q9_deep_star_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "PushedFilters" in plan
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS (with the non-equi l_shipdate residual)
+    must decorrelate to one LEFT SEMI join — no per-row subquery node,
+    no nested loop — and the date window must push into the orders
+    scan."""
+    plan = _plan(spark, sf_dir, "q4_late_shipment_priority")
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_q20_correlated_agg_decorrelates(spark, sf_dir):
+    """Q20's correlated scalar SUM must rewrite into a grouped aggregate
+    joined back on l_partkey, and the IN into a semi join — the plan
+    may contain only hash/sort-merge joins, never a subquery loop."""
+    plan = _plan(spark, sf_dir, "q20_part_share_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # the decorrelated per-part total is a real aggregate in the plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
