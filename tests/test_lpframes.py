@@ -113,6 +113,70 @@ def test_stream_reader_incremental_and_recovery(registered, tmp_path):
     assert len(rows) == 3  # no frame delivered twice
 
 
+def test_crash_replay_exactly_once_across_offset_boundary(registered, tmp_path):
+    """Kill the stream AFTER the offset WAL is written but BEFORE the
+    sink commits (a planted foreachBatch crash), then restart from the
+    same checkpoint: the engine must replay the torn batch through
+    readBetweenOffsets with the SAME offset range — every frame
+    delivered exactly once, no frame drifting across the batch
+    boundary, new spool files picked up after the replay."""
+    import json
+    import os
+
+    spark = registered
+    spool = tmp_path / "spool3"
+    spool.mkdir()
+    ckpt = str(tmp_path / "ck3")
+    outdir = tmp_path / "batches"
+    outdir.mkdir()
+    crash = {"armed": False}
+
+    def sink(df, bid):
+        rows = sorted((r.file, r.frame_idx, r.payload) for r in df.collect())
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("planted crash: offsets written, commit not")
+        (outdir / f"batch-{bid}.json").write_text(json.dumps(rows))
+
+    def run_once():
+        q = (
+            spark.readStream.format("lpframes")
+            .option("path", str(spool))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the planted crash surfaces as a StreamingQueryException
+
+    write_frames(str(spool / "000.bin"), [b"a1", b"a2"])
+    run_once()  # batch 0 commits normally
+
+    write_frames(str(spool / "001.bin"), [b"b1", b"b2"])
+    crash["armed"] = True
+    run_once()  # batch 1: offsets WAL written, sink crash, no commit
+    assert not (outdir / "batch-1.json").exists(), "crashed batch must not commit"
+
+    write_frames(str(spool / "002.bin"), [b"c1"])
+    run_once()  # restart: replays batch 1 from the WAL (only — the
+    # availableNow plan ends at the WAL'd offset)
+    run_once()  # next run picks up 002.bin as batch 2
+
+    batches = {
+        f: json.loads((outdir / f).read_text()) for f in os.listdir(outdir)
+    }
+    # the replayed batch keeps its pre-crash offset range: exactly 001.bin
+    assert [r[2] for r in batches["batch-1.json"]] == ["b1", "b2"], batches
+    assert [r[2] for r in batches["batch-2.json"]] == ["c1"], batches
+    all_rows = [t for b in sorted(batches) for t in batches[b]]
+    assert sorted(r[2] for r in all_rows) == ["a1", "a2", "b1", "b2", "c1"]
+    assert len(all_rows) == len({(r[0], r[1]) for r in all_rows}), "frame doubled"
+
+
 def test_stream_reader_empty_spool_no_rows(registered, tmp_path):
     spark = registered
     spool = tmp_path / "empty_spool"
