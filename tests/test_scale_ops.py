@@ -127,3 +127,116 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "shard" in plan.split("PartitionFilters")[1][:120], plan
     assert read.count() == 250
+
+
+def _hot_100_to_1(spark):
+    """Planted 100:1 skew: 10,000 rows on one hot key, ~100 rows spread
+    over 100 cold keys."""
+    return spark.range(0, 10_100).select(
+        F.when(F.col("id") < 10_000, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 100).cast("string")))
+        .alias("key"),
+        (F.col("id") % 13).alias("v"),
+    )
+
+
+def test_salted_agg_100_to_1_bounded_task_fanout(spark):
+    """Adversarial 100:1 hot key through the salted two-stage agg:
+    results exact, the hot key's stage-1 partials spread across ALL
+    salt buckets with a bounded maximum (no reducer sees the whole hot
+    key), and the executed plan is the adaptive two-stage shape."""
+    df = _hot_100_to_1(spark)
+    out = salted_agg(
+        df,
+        ["key"],
+        aggs={"cnt": ("count", None), "s": ("sum", "v")},
+        salt_buckets=16,
+    )
+    plain = {
+        r.key: (r.cnt, r.s)
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"))
+        .collect()
+    }
+    got = {r.key: (r.cnt, r.s) for r in out.collect()}
+    assert got == plain
+
+    # stage-1 bound: largest hot-key salt bucket carries ~1/16th of the
+    # hot rows (2x + slack margin for the seeded-uniform salt draw)
+    per_salt = (
+        df.withColumn("_salt", (F.rand(seed=42) * 16).cast("int"))
+        .filter(F.col("key") == "HOT")
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) == 16, "hot key must spread over every salt bucket"
+    assert max(r["count"] for r in per_salt) < 2 * 10_000 / 16
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan and "isFinalPlan=true" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 stages
+    assert "_salt" in plan, plan
+
+
+def test_hot_band_bucket_capped_in_lsh_band_join(spark):
+    """Adversarial LSH skew: 64 identical docs collapse into ONE band
+    bucket per band (a semantic mega-bucket AQE cannot shrink). The
+    drop_hot_keys cap must excise those buckets via a broadcast anti
+    join BEFORE the self-join, so the hot docs contribute ZERO pairs
+    while sub-cap buckets join normally."""
+    from pyspark.sql import Row
+
+    from pulsar_internal_spark.operators import dedup as D
+
+    rows = [Row(doc_id=i, text="the same viral text repeated everywhere") for i in range(64)]
+    rows += [
+        Row(doc_id=100 + j, text=f"unique document {j} alpha beta gamma delta epsilon {j}")
+        for j in range(4)
+    ]
+    docs = spark.createDataFrame(rows)
+    sh = docs.select("doc_id", D.simhash64("text").alias("simhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(32767)).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", F.explode(bands).alias("_b")).select(
+        "doc_id", F.col("_b.b").alias("b"), F.col("_b.band_val").alias("band_val")
+    )
+
+    def pairs(bd):
+        a, b2 = bd.alias("a"), bd.alias("b")
+        return (
+            a.join(
+                b2,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+
+    uncapped = pairs(banded).count()
+    assert uncapped >= 64 * 63 // 2, uncapped  # the mega-bucket explosion
+
+    capped_df = pairs(D.drop_hot_keys(banded, ["b", "band_val"], max_df=16))
+    capped = capped_df.collect()
+    assert all(r.id_a >= 100 or r.id_b >= 100 for r in capped), capped
+    # every surviving bucket is <= max_df rows -> bounded fan-out
+    surviving = (
+        D.drop_hot_keys(banded, ["b", "band_val"], max_df=16)
+        .groupBy("b", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert surviving is None or surviving <= 16
+
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
