@@ -159,6 +159,42 @@ def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:400], plan
 
 
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is the pushdown probe: date range, discount band and quantity
+    cap must ALL reach the parquet reader so row-group stats can prune;
+    no join, no wide shuffle."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:600]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "Join" not in plan, plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    """Q10's top-20-by-revenue must be TakeOrderedAndProject over the
+    aggregate, never a global sort."""
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_plans_null_aware_anti(spark, sf_dir):
+    """Q16's NOT IN subquery must become an anti join (null-aware),
+    with the tiny complaint-supplier set broadcast — no per-row
+    subquery, no nested loop over lineitem."""
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_double_correlation_decorrelates(spark, sf_dir):
+    """Q21's EXISTS and NOT EXISTS over the same fact must decorrelate
+    into one semi and one anti join — zero subquery loops."""
+    plan = _plan(spark, sf_dir, "q21_sole_late_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_q20_correlated_agg_decorrelates(spark, sf_dir):
     """Q20's correlated scalar SUM must rewrite into a grouped aggregate
     joined back on l_partkey, and the IN into a semi join — the plan
