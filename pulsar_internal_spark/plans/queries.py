@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (53 of 108; r01+r02 union covers the other 55):
+checked through r02 (60 of 115; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -28,10 +28,13 @@ checked through r02 (53 of 108; r01+r02 union covers the other 55):
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
   pii_redaction provenance_flags q4_late_shipment_priority
-  q13_order_count_distribution q14_promo_revenue_ratio
+  q5_local_supplier_volume q6_forecast_revenue q7_volume_shipping
+  q10_returned_items q13_order_count_distribution
+  q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
   q17_small_quantity_revenue q18_large_volume_customers
   q19_disjunctive_pushdown q20_part_share_suppliers
-  q22_idle_rich_customers random_alnum_keys random_payloads
+  q21_sole_late_supplier q22_idle_rich_customers
+  random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
   scalar_subquery_orders session_blob_json set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes

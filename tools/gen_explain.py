@@ -34,6 +34,12 @@ HEADLINERS: list[tuple[str, str]] = [
     ("iscached_probe", "probe via broadcast left-semi: big side streams, never shuffles"),
     ("asof_latest_order", "AS-OF join: tagged union + carry-forward window, one exchange"),
     ("incident_window_counts", "equi-key-less interval join as bucketed hash join (no nested loop)"),
+    ("simhash_near_dup", "banded simhash pairing with MOSS stop-band cap (broadcast anti before the self-join)"),
+    ("q4_late_shipment_priority", "correlated EXISTS + non-equi residual decorrelated to one LEFT SEMI"),
+    ("q6_forecast_revenue", "pure pushdown probe: all three predicates at the parquet scan"),
+    ("q16_supplier_part_counts", "NOT IN subquery as null-aware anti join, complaint set broadcast"),
+    ("q21_sole_late_supplier", "EXISTS + NOT EXISTS over the same fact: one semi + one anti join"),
+    ("multimodal_png_decode", "real PNG inflate+filter decode in Arrow-batched mapInPandas, no shuffle"),
 ]
 
 
