@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (60 of 115; r01+r02 union covers the other 55):
+checked through r02 (61 of 116; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -36,7 +36,8 @@ checked through r02 (60 of 115; r01+r02 union covers the other 55):
   q21_sole_late_supplier q22_idle_rich_customers
   random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
-  scalar_subquery_orders session_blob_json set_ops_user_cohorts
+  scalar_subquery_orders segment_dedup_fraction session_blob_json
+  set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes
   token_counts_by_source top_accounts_limit value_anomaly_flags
   weighted_mixture_sample winnowing_matches word_explode_counts
@@ -3631,6 +3632,69 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@_register(
+    "segment_dedup_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(w) / 10.0) AS INT)),
+               i -> sha256(array_to_string(
+                      w[(10 * CAST(i AS INT) + 1):(10 * CAST(i AS INT) + 10)], ' ')))) AS seg_hash
+      FROM toks
+    ), freq AS (
+      SELECT seg_hash, COUNT(*) AS n FROM segs GROUP BY seg_hash
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           ROUND(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_fraction
+    FROM segs s JOIN freq f USING (seg_hash)
+    GROUP BY s.doc_id
+    """,
+)
+def segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (CCNet/RefinedWeb-style line-level) dedup: split
+    each doc into fixed 10-token segments, sha2 each, count each
+    segment hash's corpus frequency, and score every doc by its
+    duplicated-segment fraction — the signal used to strip boilerplate
+    that whole-doc and near-dup hashing both miss (a doc can be 95%
+    unique yet carry a viral footer). Scale shape: segments are narrow
+    (doc_id, hash) rows; the frequency table is one partial-aggregated
+    groupBy; the join back is equi on the hash with both sides already
+    hash-partitioned on it (exchange reuse). No UDF, no window over the
+    corpus, nothing quadratic."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.sha2(
+                    F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)), 256
+                ),
+            )
+        ).alias("seg_hash"),
+    )
+    freq = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        segs.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(dup).cast("long").alias("n_dup_segments"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
     )
 
 
