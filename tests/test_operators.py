@@ -548,6 +548,22 @@ def test_png_parse_handbuilt_all_filters():
     assert img["pixels"] == rgb
 
 
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.binary(min_size=0, max_size=9 * 9 * 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, data):
+    """Any RGB buffer survives make_png -> parse_png byte-exactly
+    (deflate + Sub/Up filters are lossless for all pixel contents,
+    including the filter-unfriendly high-entropy ones)."""
+    rgb = (data * (w * h * 3 // max(len(data), 1) + 1))[: w * h * 3] if data else bytes(w * h * 3)
+    img = mm.parse_png(mm.make_png(w, h, rgb))
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == rgb
+
+
 def test_png_crc_tamper_rejected():
     """A flipped bit in the IDAT body must fail the chunk CRC check —
     the envelope-integrity role XXH32 plays in the reference
