@@ -3668,9 +3668,16 @@ def segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     that whole-doc and near-dup hashing both miss (a doc can be 95%
     unique yet carry a viral footer). Scale shape: segments are narrow
     (doc_id, hash) rows; the frequency table is one partial-aggregated
-    groupBy; the join back is equi on the hash with both sides already
-    hash-partitioned on it (exchange reuse). No UDF, no window over the
-    corpus, nothing quadratic."""
+    groupBy; the join back is an equi join on the hash. The segment
+    pipeline is deliberately computed on both join inputs (no exchange
+    reuse — the agg side's partial aggregate sits below its exchange):
+    the single-pass alternative, count() OVER (PARTITION BY seg_hash),
+    computes segments once but pins every occurrence of a hot segment
+    to ONE window task — and viral boilerplate segments are exactly
+    the signal here — while the join form partial-aggregates the hot
+    key map-side and lets AQE skew-split the probe. Recompute costs a
+    second tokenize+sha2 scan; a hot-key straggler costs the stage. No
+    UDF, nothing quadratic."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
