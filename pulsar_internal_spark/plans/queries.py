@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (61 of 116; r01+r02 union covers the other 55):
+checked through r02 (62 of 117; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -36,7 +36,8 @@ checked through r02 (61 of 116; r01+r02 union covers the other 55):
   q21_sole_late_supplier q22_idle_rich_customers
   random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
-  scalar_subquery_orders segment_dedup_fraction session_blob_json
+  scalar_subquery_orders scd2_user_state_history
+  segment_dedup_fraction session_blob_json
   set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes
   token_counts_by_source top_accounts_limit value_anomaly_flags
@@ -3632,6 +3633,65 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@_register(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events
+    ), changes AS (
+      SELECT user_id, state, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (SURVEY.md §2.5 superset — the
+    warehouse twin of the LWW cache D5: where compaction_lww keeps ONLY
+    the latest value per key, SCD2 keeps every value with its validity
+    interval): collapse consecutive duplicate states per user (LAG
+    change detection), then derive [valid_from, valid_to) intervals
+    (LEAD) with an is_current flag for the open interval. Scale shape:
+    both windows partition by user_id — ONE shuffle on the key, both
+    window passes ride the same sort order, no self-join against the
+    history (the naive SCD2 build joins each change against the
+    previous row). Deterministic tie-break on (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .drop("prev_state")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )
 
 
