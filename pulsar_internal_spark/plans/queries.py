@@ -18,10 +18,11 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (62 of 117; r01+r02 union covers the other 55):
+checked through r02 (64 of 119; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
+  dq_constraint_violations
   djb2_hash_nation doc_fingerprints envelope_header_parse
   executor_identity files_census function_hash_sha2 funnel_conversion
   http_record_shape iscached_probe multimodal_envelope
@@ -41,7 +42,8 @@ checked through r02 (62 of 117; r01+r02 union covers the other 55):
   set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes
   token_counts_by_source top_accounts_limit value_anomaly_flags
-  weighted_mixture_sample winnowing_matches word_explode_counts
+  weekly_retention_cohorts weighted_mixture_sample
+  winnowing_matches word_explode_counts
   xor_crypt_nation
 """
 
@@ -3693,6 +3695,117 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@_register(
+    "weekly_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM first_seen JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (SURVEY.md §2.4/§2.5 superset — the event-log
+    D8 analytics companion to funnel_conversion): bucket users by
+    first-seen week, count distinct-active users per (cohort, week
+    offset). Two keyed aggregations + one equi join on user_id; both
+    aggregation outputs are per-user (small relative to the event log),
+    and the join key is the user — no event-grain self-join. Week
+    truncation is Monday-start in both engines; offsets are exact
+    multiples of 7 days so the integer division is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+
+
+@_register(
+    "dq_constraint_violations",
+    """
+    SELECT 'orders_fk_customer' AS rule, CAST(COUNT(*) AS BIGINT) AS violations
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'customer_pk_unique', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'orders_status_domain', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    UNION ALL
+    SELECT 'events_ts_not_null', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE ts IS NULL
+    """,
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint harness (deequ/dbt-test style, SURVEY.md
+    §2.4 superset): referential integrity (FK anti join), primary-key
+    uniqueness, value-range, domain-membership and not-null checks,
+    each as ONE aggregate returning its violation count, unioned into a
+    single report. The FK check is a broadcast anti-join probe; the PK
+    check is a keyed agg + filter; the scalar checks push their
+    predicates to the scans. All-zero violations on the (referentially
+    consistent) fixtures is the expected, hash-verified result."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def one(rule: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("violations"),
+        )
+
+    fk = one(
+        "orders_fk_customer",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    pk = one(
+        "customer_pk_unique",
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    rng = one(
+        "lineitem_qty_range",
+        lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+    )
+    dom = one(
+        "orders_status_domain",
+        orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+    )
+    nn = one("events_ts_not_null", events.filter(F.col("ts").isNull()))
+    return fk.unionAll(pk).unionAll(rng).unionAll(dom).unionAll(nn)
 
 
 @_register(
