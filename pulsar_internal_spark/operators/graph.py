@@ -100,3 +100,57 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph (edges
+    symmetrized like connected_components; every node then has
+    out-degree >= 1, so there are no dangling nodes and the rank mass
+    is conserved). Returns (id, pagerank) after ``iters`` power
+    iterations of r(v) = (1-d)/N + d * sum over in-neighbors u of
+    r(u)/deg(u).
+
+    Scale shape: per iteration ONE join of the edge list against the
+    (node, rank) table on the source key plus ONE keyed aggregation on
+    the destination — the same budget as a components round. N and the
+    per-node degree are carried as broadcast/join columns (no driver
+    scalar); fixed iteration count keeps the plan finite and
+    deterministic, and each round localCheckpoints so lineage doesn't
+    compound."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.join(F.broadcast(n)).select(
+        "id", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, sym["a"] == ranks["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_rank"))
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(contrib, "id")
+            .select(
+                "id",
+                "deg",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("in_rank")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").alias("pagerank"))

@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (64 of 119; r01+r02 union covers the other 55):
+checked through r02 (65 of 120; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -41,7 +41,8 @@ checked through r02 (64 of 119; r01+r02 union covers the other 55):
   segment_dedup_fraction session_blob_json
   set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes
-  token_counts_by_source top_accounts_limit value_anomaly_flags
+  token_counts_by_source top_accounts_limit user_pagerank
+  value_anomaly_flags
   weekly_retention_cohorts weighted_mixture_sample
   winnowing_matches word_explode_counts
   xor_crypt_nation
@@ -3694,6 +3695,66 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "user_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b
+        ON date_trunc('minute', a.ts) = date_trunc('minute', b.ts)
+       AND a.user_id < b.user_id
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    r1 AS (
+      SELECT d.id, d.deg,
+             (1 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r.rank / r.deg) AS rank
+      FROM sym s JOIN r0 r ON s.a = r.id JOIN deg d ON d.id = s.b
+      GROUP BY d.id, d.deg
+    ), r2 AS (
+      SELECT d.id, d.deg,
+             (1 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r.rank / r.deg) AS rank
+      FROM sym s JOIN r1 r ON s.a = r.id JOIN deg d ON d.id = s.b
+      GROUP BY d.id, d.deg
+    ), r3 AS (
+      SELECT d.id, d.deg,
+             (1 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r.rank / r.deg) AS rank
+      FROM sym s JOIN r2 r ON s.a = r.id JOIN deg d ON d.id = s.b
+      GROUP BY d.id, d.deg
+    )
+    SELECT id AS user_id, ROUND(rank, 6) AS pagerank FROM r3
+    """,
+)
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user co-occurrence graph (same minute-bucket
+    edge construction as user_cooccurrence_components; SURVEY.md §7
+    Phase 4 graph family): 3 power iterations, damping 0.85, undirected
+    symmetrized edges so no dangling mass. The oracle unrolls the same
+    three iterations as chained CTEs — float-literal arithmetic is kept
+    bit-identical ((1 - 0.85) in both engines) and the result is
+    ROUNDed so partial-agg order can't flip the last ulp. Per
+    iteration: one edge-list join + one keyed agg (graph.pagerank), the
+    same shuffle budget as a components round, N carried as a broadcast
+    column (no driver scalar)."""
+    from ..operators import graph as graph_ops
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(F.date_trunc("minute", "ts").alias("m"), F.col("user_id").alias("src"))
+    b = ev.select(F.date_trunc("minute", "ts").alias("m"), F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, ["m"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = graph_ops.pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("id").alias("user_id"), F.round("pagerank", 6).alias("pagerank")
     )
 
 
