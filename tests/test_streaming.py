@@ -570,3 +570,66 @@ def test_stream_stream_rejoin_left_outer_timeout(spark, tmp_path):
     }
     assert rows["a"] == ("ok-a", True)
     assert rows["b"] == (None, None)  # the timeout row
+
+
+def test_streaming_scd2_emits_closed_intervals(spark, tmp_path):
+    """Streaming SCD2: each state change closes the superseded interval
+    at the new event's timestamp and opens a new one; consecutive
+    duplicates collapse; state carries across micro-batches; the final
+    interval set equals what the batch LAG/LEAD build would produce."""
+    from pulsar_internal_spark.streaming.scd2 import streaming_scd2
+
+    inbox = tmp_path / "changes"
+    inbox.mkdir()
+
+    def write_batch(name, recs):
+        with open(inbox / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs))
+
+    # batch 0: u1 goes A -> B (with an out-of-order arrival inside the
+    # batch: the B event is written before the A event but timestamped
+    # later); u2 stays A (duplicate collapses)
+    write_batch(
+        "b0.json",
+        [
+            {"key": "u1", "ts_us": 2000, "seq": 1, "state": "B"},
+            {"key": "u1", "ts_us": 1000, "seq": 0, "state": "A"},
+            {"key": "u2", "ts_us": 1000, "seq": 0, "state": "A"},
+            {"key": "u2", "ts_us": 3000, "seq": 1, "state": "A"},
+        ],
+    )
+    src = spark.readStream.schema(
+        "key STRING, ts_us LONG, seq LONG, state STRING"
+    ).json(str(inbox))
+    q = (
+        streaming_scd2(src)
+        .writeStream.format("memory")
+        .queryName("scd2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.table("scd2").collect()
+    closed = {(r.key, r.state, r.valid_from_us, r.valid_to_us) for r in rows if not r.is_current}
+    assert closed == {("u1", "A", 1000, 2000)}
+    open_now = {(r.key, r.state, r.valid_from_us) for r in rows if r.is_current}
+    assert open_now == {("u1", "B", 2000), ("u2", "A", 1000)}
+
+    # batch 1: u2 changes A -> C across the batch boundary (state carried)
+    write_batch("b1.json", [{"key": "u2", "ts_us": 5000, "seq": 2, "state": "C"}])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    rows = spark.table("scd2").collect()
+    closed = {(r.key, r.state, r.valid_from_us, r.valid_to_us) for r in rows if not r.is_current}
+    assert ("u2", "A", 1000, 5000) in closed
+    # final interval set == the batch LAG/LEAD build over the full log
+    latest_open = {}
+    for r in rows:
+        if r.is_current and (
+            r.key not in latest_open or r.valid_from_us > latest_open[r.key].valid_from_us
+        ):
+            latest_open[r.key] = r
+    assert latest_open["u2"].state == "C" and latest_open["u2"].valid_from_us == 5000
+    assert latest_open["u1"].state == "B"
