@@ -18,14 +18,15 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (65 of 120; r01+r02 union covers the other 55):
+checked through r02 (66 of 121; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
   dq_constraint_violations
   djb2_hash_nation doc_fingerprints envelope_header_parse
   executor_identity files_census function_hash_sha2 funnel_conversion
-  http_record_shape iscached_probe multimodal_envelope
+  http_record_shape hypertable_rollup_merge iscached_probe
+  multimodal_envelope
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
   pii_redaction provenance_flags q4_late_shipment_priority
@@ -3695,6 +3696,54 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "hypertable_rollup_merge",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate (TimescaleDB-style, SURVEY.md §7
+    custom-operator family): the hourly rollup is served as MATERIALIZED
+    partials for the closed period plus a RAW TAIL aggregation for data
+    after the refresh watermark, merged at query time — the pattern that
+    lets a 100 TB event log answer rollup queries without re-scanning
+    history on every refresh. Here both sides derive from the same scan
+    (the fixture stands in for the materialization); the cutoff
+    (2024-01-15 12:30, deliberately NOT hour-aligned) makes the 12:00
+    bucket receive partials from BOTH sides, so the final merge
+    aggregate must actually combine partial counts/sums — and the
+    oracle is the PLAIN single-pass hourly aggregate, proving the
+    split+merge algebra is exact (counts/sums are algebraic; partials
+    stay unrounded until the final projection)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 12:30:00"
+    bucket = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+
+    def partial(side):
+        return side.groupBy(
+            bucket.alias("bucket"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+
+    closed = partial(ev.filter(F.col("ts") < cutoff))
+    tail = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        closed.unionAll(tail)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("value_sum"),
+        )
     )
 
 
