@@ -40,6 +40,9 @@ HEADLINERS: list[tuple[str, str]] = [
     ("q16_supplier_part_counts", "NOT IN subquery as null-aware anti join, complaint set broadcast"),
     ("q21_sole_late_supplier", "EXISTS + NOT EXISTS over the same fact: one semi + one anti join"),
     ("multimodal_png_decode", "real PNG inflate+filter decode in Arrow-batched mapInPandas, no shuffle"),
+    ("segment_dedup_fraction", "sub-document dedup: segment hash frequency join, partial-agg + AQE-skew-safe (deliberately no window)"),
+    ("user_pagerank", "3 power iterations: one edge join + one keyed agg per round, N as broadcast column"),
+    ("hypertable_rollup_merge", "continuous aggregate: closed partials + raw tail merged by a final algebraic agg"),
 ]
 
 
