@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (66 of 121; r01+r02 union covers the other 55):
+checked through r02 (67 of 122; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -35,7 +35,7 @@ checked through r02 (66 of 121; r01+r02 union covers the other 55):
   q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
   q17_small_quantity_revenue q18_large_volume_customers
   q19_disjunctive_pushdown q20_part_share_suppliers
-  q21_sole_late_supplier q22_idle_rich_customers
+  q21_sole_late_supplier q22_idle_rich_customers rag_chunking
   random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
   scalar_subquery_orders scd2_user_state_history
@@ -3696,6 +3696,64 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "rag_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             w[(40 * CAST(i AS INT) + 1):(40 * CAST(i AS INT) + 50)] AS cw
+      FROM toks,
+           LATERAL unnest(range(CAST(ceil(greatest(len(w) - 10, 1) / 40.0) AS INT))) t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           substr(sha256(array_to_string(cw, ' ')), 1, 16) AS chunk_hash
+    FROM chunks
+    """,
+)
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunk preparation (SURVEY.md §7 Phase 4 family,
+    the sliding companion to context_packing): split each document into
+    50-token chunks with 10-token overlap (stride 40) — overlap
+    preserves sentence context across chunk boundaries, the standard
+    retrieval-corpus prep. Emits (doc_id, chunk_idx, n_tokens,
+    chunk_hash); the content hash is what downstream embedding jobs key
+    their caches on. Chunk count = ceil(max(n-overlap,1)/stride), so
+    the final short chunk is kept (tail tokens must not be dropped from
+    a training corpus). One scan, JVM HOFs, fan-out bounded by
+    tokens/stride, no shuffle at all."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    n_chunks = F.ceil(
+        F.greatest(F.size("w") - 10, F.lit(1)) / F.lit(40.0)
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.slice("w", i * 40 + 1, 50).alias("cw"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.cw").cast("long").alias("n_tokens"),
+        F.substring(F.sha2(F.concat_ws(" ", F.col("c.cw")), 256), 1, 16).alias(
+            "chunk_hash"
+        ),
     )
 
 
