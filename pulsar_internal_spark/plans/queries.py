@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (67 of 122; r01+r02 union covers the other 55):
+checked through r02 (68 of 123; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   cube_event_stats derive_bytes_nation descendants_tree
@@ -31,6 +31,7 @@ checked through r02 (67 of 122; r01+r02 union covers the other 55):
   multimodal_real_decode multimodal_resize_real path_normalization
   pii_redaction provenance_flags q4_late_shipment_priority
   q5_local_supplier_volume q6_forecast_revenue q7_volume_shipping
+  q8_national_market_share
   q10_returned_items q13_order_count_distribution
   q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
   q17_small_quantity_revenue q18_large_volume_customers
@@ -4740,6 +4741,65 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND l_shipdate < TIMESTAMP '1998-01-01'
         ) shipping
         GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@_register(
+    "q8_national_market_share",
+    """
+    SELECT l_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY l_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (SURVEY.md §2.3 superset): national market share — the
+    eight-table join with nation joined twice (customer's nation
+    restricts the MARKET region, supplier's nation tags the seller) and
+    a conditional-aggregate ratio on top. With Q8 the suite covers 19
+    of the 22 TPC-H shapes on these tables (Q2/Q11 need partsupp,
+    Q12 needs l_shipmode — columns the fixture does not carry;
+    Q15/Q16/Q20/Q21 are documented adaptations). Declared as SQL;
+    Catalyst broadcast-joins every dim and pushes p_type/r_name/date
+    into the scans. Ratio ROUNDed so partial-sum order can't flip the
+    last ulp."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT l_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM v_part, v_supplier, v_lineitem, v_orders, v_customer,
+               v_nation n1, v_nation n2, v_region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY l_year
         """
     )
 
