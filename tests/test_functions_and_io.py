@@ -303,3 +303,34 @@ def test_loadstring_memoized_reuses_plan(spark, sf_dir):
     assert "InMemoryRelation" in df1._jdf.queryExecution().optimizedPlan().toString()
     df1.unpersist()
     _SCRIPT_MEMO.clear()
+
+
+# ------------------------------------------------------------ observability
+
+
+def test_observed_rows_counts_in_flight(spark, sf_dir):
+    """observe() counters must report the rows at the ATTACHMENT point
+    of the plan (before the filter), not the output — one pass, no
+    second scan."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.observability import observed_rows, stage_selectivity
+    from pulsar_internal_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+
+    df, obs = observed_rows(orders, extra=[F.round(F.sum("o_totalprice"), 2).alias("volume")])
+    out = df.filter(F.col("o_orderstatus") == "O")
+    n_out = out.count()  # the single action that drives the observation
+    m = obs.get
+    assert m["n_rows"] == total != n_out
+    assert m["volume"] > 0
+
+    filtered, obs_in, obs_out = stage_selectivity(
+        orders, F.col("o_totalprice") > 200000
+    )
+    n = filtered.count()
+    assert obs_in.get["n_rows"] == total
+    assert obs_out.get["n_rows"] == n
+    assert 0 < n < total
