@@ -15,6 +15,8 @@ can merge them with a raw tail without precision loss.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,6 +71,25 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> None:
         ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+def expire_partitions(path: str, keep_from_bucket: str) -> list[str]:
+    """Retention sweep: drop materialized hour-partitions strictly below
+    ``keep_from_bucket`` (lexicographic compare works because the bucket
+    format is zero-padded big-endian). Directory-level deletes — no file
+    rewrite, no table scan; the hive layout makes TTL an O(#partitions)
+    metadata operation, which is the point of partitioning by time.
+    Returns the removed partition names."""
+    import shutil
+
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("bucket_hour="):
+            continue
+        if d.split("=", 1)[1] < keep_from_bucket:
+            shutil.rmtree(os.path.join(path, d))
+            removed.append(d)
+    return removed
 
 
 def serve_rollup(spark: SparkSession, events: DataFrame, path: str) -> DataFrame:

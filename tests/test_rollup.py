@@ -122,3 +122,29 @@ def test_partials_are_mergeable(spark, sf_dir):
     got = {(r.bucket_hour, r.event_type): (r.pn, r.pv) for r in merged.collect()}
     want = {(r.bucket_hour, r.event_type): (r.pn, r.pv) for r in whole.collect()}
     assert got == want
+
+
+def test_expire_partitions_ttl(spark, sf_dir, tmp_path):
+    """Retention: expiring old hour-partitions is a directory-level
+    delete; the surviving materialization still reads and serves."""
+    from pulsar_internal_spark.operators.rollup import expire_partitions
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup3")
+    refresh_rollup(spark, events, path)
+
+    all_parts = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("bucket_hour=")
+    )
+    keep_from = all_parts[len(all_parts) // 2]
+    removed = expire_partitions(path, keep_from)
+    assert removed == [f"bucket_hour={b}" for b in all_parts if b < keep_from]
+
+    kept = {
+        r.bucket_hour
+        for r in spark.read.parquet(path).select("bucket_hour").distinct().collect()
+    }
+    assert kept == {b for b in all_parts if b >= keep_from}
+    # serving over the retained window still merges with the raw tail
+    served = serve_rollup(spark, events, path)
+    assert served.filter(F.col("bucket_hour") >= keep_from).count() > 0
