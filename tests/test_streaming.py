@@ -633,3 +633,67 @@ def test_streaming_scd2_emits_closed_intervals(spark, tmp_path):
             latest_open[r.key] = r
     assert latest_open["u2"].state == "C" and latest_open["u2"].valid_from_us == 5000
     assert latest_open["u1"].state == "B"
+
+
+def test_lpframes_to_lww_cache_end_to_end(spark, tmp_path):
+    """The reference's full data path composed from our pieces: length-
+    prefixed frames (D3 wire format, lpframes source) carrying JSON
+    cache writes, parsed in-stream and folded into the stateful LWW
+    cache (D5) — TCP ingest -> execution queue -> cache, as one
+    Structured Streaming pipeline with checkpointed exactly-once
+    offsets end to end."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.sources.lpframes import (
+        LengthPrefixedFrames,
+        write_frames,
+    )
+    from pulsar_internal_spark.streaming.state import streaming_lww_cache
+
+    spark.dataSource.register(LengthPrefixedFrames)
+    spool = tmp_path / "wire"
+    spool.mkdir()
+
+    def frame_batch(name, recs):
+        write_frames(
+            str(spool / name), [json.dumps(r).encode("utf-8") for r in recs]
+        )
+
+    frame_batch(
+        "000.bin",
+        [
+            {"key": "a", "seq": 1, "value": "v1", "is_tombstone": False},
+            {"key": "a", "seq": 2, "value": "v2", "is_tombstone": False},
+            {"key": "b", "seq": 1, "value": "w1", "is_tombstone": False},
+        ],
+    )
+
+    frames = spark.readStream.format("lpframes").load(str(spool))
+    writes = frames.select(
+        F.from_json(
+            "payload", "key STRING, seq LONG, value STRING, is_tombstone BOOLEAN"
+        ).alias("r")
+    ).select("r.*")
+    q = (
+        streaming_lww_cache(writes)
+        .writeStream.format("memory")
+        .queryName("wire_lww")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    state = {r.key: r for r in spark.table("wire_lww").collect()}
+    assert state["a"].value == "v2" and state["a"].cached
+    assert state["b"].value == "w1"
+
+    # a second wire file: tombstone for "a" — offsets advance, state folds
+    frame_batch("001.bin", [{"key": "a", "seq": 3, "value": None, "is_tombstone": True}])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    latest = {}
+    for r in spark.table("wire_lww").collect():
+        if r.key not in latest or r.seq > latest[r.key].seq:
+            latest[r.key] = r
+    assert latest["a"].cached is False and latest["b"].value == "w1"
