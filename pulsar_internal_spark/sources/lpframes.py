@@ -28,8 +28,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -189,6 +191,66 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
         return out
 
 
+class _LPFrameCommit(WriterCommitMessage):
+    def __init__(self, staged: str, final: str, n_frames: int):
+        self.staged = staged
+        self.final = final
+        self.n_frames = n_frames
+
+
+class _LPFrameWriter(DataSourceWriter):
+    """Distributed frame SINK: each task writes its partition's rows as
+    one length-prefixed .bin into a hidden staging name; the driver-side
+    commit renames all staged files into place atomically-per-file, and
+    abort deletes them — so readers never observe a torn producer epoch
+    (the write-side twin of the reader's whole-file split unit). Rows
+    need a ``payload`` string column; frames exceeding the cap are
+    refused at write time (the reference server would kill the
+    connection, server.cpp:84-85 — a writer must not produce them)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lpframes: 'path' option (or save(path)) is required")
+        self.cap = int(options.get("maxframebytes", MAX_FRAME_BYTES))
+
+    def write(self, iterator) -> _LPFrameCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".part-{pid:05d}.bin.staging")
+        final = os.path.join(self.path, f"part-{pid:05d}.bin")
+        n = 0
+        with open(staged, "wb") as f:
+            for row in iterator:
+                body = (row.payload or "").encode("utf-8")
+                if len(body) > self.cap:
+                    raise ValueError(
+                        f"frame of {len(body)} bytes exceeds cap {self.cap}"
+                    )
+                f.write(struct.pack(">I", len(body)))
+                f.write(body)
+                n += 1
+        return _LPFrameCommit(staged, final, n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        # tasks killed mid-write never returned a commit message but may
+        # have created their staged file — sweep the staging pattern too
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".bin.staging"):
+                    os.remove(os.path.join(self.path, f))
+
+
 class LengthPrefixedFrames(DataSource):
     """spark.read.format("lpframes") / spark.readStream.format("lpframes")
     — see module docstring."""
@@ -205,3 +267,6 @@ class LengthPrefixedFrames(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return _LPFrameStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _LPFrameWriter(self.options)

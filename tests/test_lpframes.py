@@ -183,3 +183,50 @@ def test_stream_reader_empty_spool_no_rows(registered, tmp_path):
     spool.mkdir()
     got = _drain(spark, str(spool), str(tmp_path / "ck2"), str(tmp_path / "sink2"))
     assert got == set()
+
+
+def test_distributed_writer_roundtrip(registered, tmp_path):
+    """The writer side: each partition becomes one staged-then-renamed
+    .bin; reading the directory back recovers every payload exactly
+    (whole-pipeline roundtrip through the wire format), and no staging
+    litter survives the commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = str(tmp_path / "wire_out")
+    df = spark.range(0, 100, 1, 4).select(
+        F.concat(F.lit("msg-"), F.col("id").cast("string")).alias("payload")
+    )
+    df.write.format("lpframes").mode("append").save(out)
+
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{i:05d}.bin" for i in range(4)], files
+    assert not any(f.endswith(".staging") for f in files)
+
+    back = spark.read.format("lpframes").load(out)
+    assert back.rdd.getNumPartitions() == 4
+    payloads = {r.payload for r in back.collect()}
+    assert payloads == {f"msg-{i}" for i in range(100)}
+
+
+def test_writer_refuses_oversized_frames(registered, tmp_path):
+    """A payload above the cap must fail the job (the reference kills
+    the connection, server.cpp:84-85) and leave no committed file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = str(tmp_path / "wire_bad")
+    df = spark.range(0, 2).select(
+        F.rpad(F.lit("x"), 200, "x").alias("payload")
+    )
+    with pytest.raises(Exception, match="exceeds cap"):
+        df.write.format("lpframes").mode("append").option(
+            "maxFrameBytes", "64"
+        ).save(out)
+    leftover = sorted(os.listdir(out)) if os.path.isdir(out) else []
+    committed = [f for f in leftover if not f.startswith(".")]
+    assert committed == [], committed
