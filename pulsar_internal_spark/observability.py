@@ -25,8 +25,15 @@ def observed_rows(
     """Attach an Observation at this point of the plan counting the rows
     flowing through (plus any caller aggregates). Returns the same
     DataFrame (observation attached) and the Observation; read
-    ``obs.get`` AFTER an action has materialized the plan."""
-    obs = Observation(name)
+    ``obs.get`` AFTER an action has materialized the plan.
+
+    ``name`` is a display prefix only — the registered observation name
+    gets a unique suffix, because Spark requires CollectMetrics names
+    to be unique within one plan and per-stage instrumentation (the
+    whole point) would otherwise collide on the second stage."""
+    import uuid
+
+    obs = Observation(f"{name}-{uuid.uuid4().hex[:8]}")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if extra:
         aggs.extend(extra)
@@ -38,7 +45,8 @@ def stage_selectivity(
 ) -> tuple[DataFrame, Observation, Observation]:
     """Instrument a filter stage: observations on both sides give the
     stage's selectivity from ONE pass — (filtered_df, obs_in, obs_out).
-    selectivity = obs_out.get['n_rows'] / obs_in.get['n_rows']."""
+    selectivity = obs_out.get['n_rows'] / obs_in.get['n_rows'].
+    Safe to apply to several stages of the same plan (unique names)."""
     pre, obs_in = observed_rows(before, "stage_in")
     post, obs_out = observed_rows(pre.filter(predicate), "stage_out")
     return post, obs_in, obs_out

@@ -441,11 +441,19 @@ def parse_avi(data: bytes) -> dict:
 
 def _decode_pixels(data: bytes) -> dict | None:
     """Dispatch on magic bytes to the matching REAL image parser; None
-    when the payload is not a decodable still image."""
-    if data[:2] == b"BM":
-        return parse_bmp(data)
-    if data[:8] == PNG_SIG:
-        return parse_png(data)
+    when the payload is not a decodable still image — INCLUDING bytes
+    that merely start like one (raw text beginning with 'BM', a
+    truncated PNG): a feature/resize pass over a mixed corpus must
+    fall back or skip, not fail the stage on one bad payload. (The
+    strict path that must surface corruption is decode_features_real's
+    own dispatch, which raises.)"""
+    try:
+        if data[:2] == b"BM":
+            return parse_bmp(data)
+        if data[:8] == PNG_SIG:
+            return parse_png(data)
+    except ValueError:
+        return None
     return None
 
 

@@ -53,12 +53,17 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> None:
     cut = _closed_hour_cutoff(events)
     closed = events.join(F.broadcast(cut)).filter(F.col("ts") < F.col("_cut"))
 
+    from pyspark.errors import AnalysisException
+
     try:
         existing_max = (
             spark.read.parquet(path).agg(F.max("bucket_hour")).collect()[0][0]
         )
-    except Exception:
-        existing_max = None  # first materialization
+    except AnalysisException:
+        existing_max = None  # path absent: first materialization
+    # any OTHER failure (corrupt footer, permissions) must propagate —
+    # treating it as first-materialization would silently rewrite all
+    # history partitions and mask the underlying fault
     if existing_max is not None:
         boundary = F.to_timestamp(F.lit(existing_max), BUCKET_FMT)
         closed = closed.filter(F.date_trunc("hour", "ts") >= boundary)

@@ -658,6 +658,23 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minute_cooccurrence_edges(events: DataFrame) -> DataFrame:
+    """Canonical (src < dst, distinct) user co-occurrence edges: users
+    with events in the same minute bucket. Shared by the components and
+    pagerank graph queries so their edge semantics cannot drift."""
+    ev = events.select(F.date_trunc("minute", "ts").alias("m"), "user_id")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+
+
 @_register(
     "user_cooccurrence_components",
     """
@@ -688,22 +705,7 @@ def user_cooccurrence_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ours, which is exactly why the iterative operator exists."""
     from ..operators.graph import connected_components
 
-    events = _t(spark, sf_dir, "events").select(
-        F.date_trunc("minute", "ts").alias("m"), "user_id"
-    )
-    a = events.alias("a")
-    b = events.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.m") == F.col("b.m"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events"))
     return connected_components(edges, edges_canonical=True).select(
         "id", "cluster_id"
     )
@@ -3689,8 +3691,8 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_state")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w2)
+    # same spec as w: both window passes ride one shuffle + sort
+    nxt = F.lead("ts").over(w)
     return changes.select(
         "user_id",
         "state",
@@ -3851,15 +3853,7 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (no driver scalar)."""
     from ..operators import graph as graph_ops
 
-    ev = _t(spark, sf_dir, "events")
-    a = ev.select(F.date_trunc("minute", "ts").alias("m"), F.col("user_id").alias("src"))
-    b = ev.select(F.date_trunc("minute", "ts").alias("m"), F.col("user_id").alias("dst"))
-    edges = (
-        a.join(b, ["m"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events"))
     pr = graph_ops.pagerank(edges, iters=3, damping=0.85)
     return pr.select(
         F.col("id").alias("user_id"), F.round("pagerank", 6).alias("pagerank")
@@ -4624,10 +4618,14 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (SURVEY.md §2.3 superset): six-table star with the
     same-nation join twist (customer and supplier must share a nation,
-    an extra equi-edge between two dims through the fact). All three
-    dims broadcast; the orders date window and the region name push
-    into their scans; lineitem — the 100 TB fact — joins once on
-    o_orderkey and never shuffles on a dim key."""
+    an extra equi-edge between two dims through the fact). The TRUE
+    dims (supplier/nation/region) broadcast; customer is
+    fact-proportional (~150k rows/SF — tens of GB at warehouse scale)
+    so it joins WITHOUT a hint: at test SF Spark auto-broadcasts it
+    under the threshold, on a cluster it becomes a shuffle join — a
+    forced broadcast here would OOM the driver at exactly the scale
+    this repo targets. The orders date window and region name push
+    into their scans; lineitem joins once on o_orderkey."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -4638,7 +4636,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)

@@ -124,8 +124,13 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
     the reference's live TCP ingest (D3: ExecutionRequests FIFO,
     scheduler.cpp:157-164) as a Structured Streaming source. A producer
     appends whole frame files (one per connection/epoch, like the batch
-    layout); the offset is {"files": n} = number of spool files fully
-    consumed, in sorted-name order. Offsets are checkpointed by the
+    layout); the offset is {"last": name} = the greatest spool-file name
+    fully consumed, in sorted-name order — NAME-based, not count-based,
+    so a concurrent multi-file publish that momentarily exposes a
+    non-prefix subset cannot skip or double-read a file (producers must
+    use ascending names, which the distributed writer's epoch prefix
+    guarantees; a file sorting below the watermark is ignored rather
+    than corrupting the stream). Offsets are checkpointed by the
     engine, so restart resumes exactly after the last committed file —
     the at-most-once-per-trigger semantics the FIFO consumer has
     (scheduler.cpp:92-99). Frames inside a file keep arrival order.
@@ -146,32 +151,45 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
             return []
         return sorted(f for f in os.listdir(self.path) if f.endswith(".bin"))
 
+    @staticmethod
+    def _after(files: list[str], offset: dict) -> list[str]:
+        """Names strictly above the offset watermark. Tolerates the
+        legacy count-based {"files": n} form from old checkpoints."""
+        if "files" in offset:
+            return files[int(offset["files"]) :]
+        last = offset.get("last", "")
+        return [f for f in files if f > last]
+
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"files": len(self._spool_files())}
+        files = self._spool_files()
+        return {"last": files[-1] if files else ""}
 
     def read(self, start: dict):
         files = self._spool_files()
-        lo = int(start.get("files", 0))
-        hi = len(files)
-        end = {"files": hi}
+        new = self._after(files, start)
+        end = {"last": new[-1]} if new else dict(start)
         # Contract quirk of the prefetching wrapper
         # (pyspark/sql/datasource_internal.py): non-empty batches are
         # cached and later copy.copy'd — a generator fails there, a
         # list works; an EMPTY batch (end == start) is probed with
         # next(it) — a list fails there, an iterator works. Return a
         # list when the offset advanced, an empty iterator otherwise.
-        rows = self._rows(files[lo:hi])
+        rows = self._rows(new)
         return (rows if rows else iter(())), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # the executor-side replay path requires an iterator return
         files = self._spool_files()
-        return iter(
-            self._rows(files[int(start.get("files", 0)) : int(end.get("files", 0))])
-        )
+        above = self._after(files, start)
+        if "files" in end:
+            upper = files[: int(end["files"])]
+            names = [f for f in above if f in set(upper)]
+        else:
+            names = [f for f in above if f <= end.get("last", "")]
+        return iter(self._rows(names))
 
     def _rows(self, names: list[str]) -> list[tuple]:
         out = []
@@ -201,26 +219,49 @@ class _LPFrameCommit(WriterCommitMessage):
 class _LPFrameWriter(DataSourceWriter):
     """Distributed frame SINK: each task writes its partition's rows as
     one length-prefixed .bin into a hidden staging name; the driver-side
-    commit renames all staged files into place atomically-per-file, and
-    abort deletes them — so readers never observe a torn producer epoch
-    (the write-side twin of the reader's whole-file split unit). Rows
-    need a ``payload`` string column; frames exceeding the cap are
-    refused at write time (the reference server would kill the
-    connection, server.cpp:84-85 — a writer must not produce them)."""
+    commit renames all staged files into place (ascending final-name
+    order, so a concurrent lister only ever sees a sorted prefix of the
+    job's files — the property the streaming reader's name watermark
+    relies on), and abort deletes them. Rows need a ``payload`` string
+    column; frames exceeding the cap are refused at write time (the
+    reference server would kill the connection, server.cpp:84-85 — a
+    writer must not produce them).
 
-    def __init__(self, options: dict):
+    Concurrency/semantics:
+      - final names carry a per-job EPOCH prefix (nanosecond clock +
+        random tag, fixed width, ascending), so ``append`` never
+        clobbers earlier jobs' files;
+      - ``overwrite`` removes pre-existing .bin files at commit time,
+        after all staged files are ready;
+      - staged names carry the TASK ATTEMPT id, so a speculative or
+        retried attempt can never interleave bytes with a zombie first
+        attempt — commit publishes exactly the attempts whose commit
+        messages won, then sweeps losers' staging litter."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import time
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("lpframes: 'path' option (or save(path)) is required")
         self.cap = int(options.get("maxframebytes", MAX_FRAME_BYTES))
+        self.overwrite = overwrite
+        # driver-side, shipped to every task: one epoch per write job
+        self.epoch = f"{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
 
     def write(self, iterator) -> _LPFrameCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".part-{pid:05d}.bin.staging")
-        final = os.path.join(self.path, f"part-{pid:05d}.bin")
+        final_name = f"part-{self.epoch}-{pid:05d}.bin"
+        staged = os.path.join(
+            self.path, f".{final_name}.a{attempt}.staging"
+        )
+        final = os.path.join(self.path, final_name)
         n = 0
         with open(staged, "wb") as f:
             for row in iterator:
@@ -234,10 +275,23 @@ class _LPFrameWriter(DataSourceWriter):
                 n += 1
         return _LPFrameCommit(staged, final, n)
 
+    def _sweep_staging(self) -> None:
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".staging"):
+                    os.remove(os.path.join(self.path, f))
+
     def commit(self, messages) -> None:
-        for m in messages:
-            if m is not None:
-                os.replace(m.staged, m.final)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".bin"):
+                    os.remove(os.path.join(self.path, f))
+        # ascending final-name order: a concurrent lister sees a prefix
+        for m in sorted(
+            (m for m in messages if m is not None), key=lambda m: m.final
+        ):
+            os.replace(m.staged, m.final)
+        self._sweep_staging()  # losing attempts' litter
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -245,10 +299,7 @@ class _LPFrameWriter(DataSourceWriter):
                 os.remove(m.staged)
         # tasks killed mid-write never returned a commit message but may
         # have created their staged file — sweep the staging pattern too
-        if os.path.isdir(self.path):
-            for f in os.listdir(self.path):
-                if f.endswith(".bin.staging"):
-                    os.remove(os.path.join(self.path, f))
+        self._sweep_staging()
 
 
 class LengthPrefixedFrames(DataSource):
@@ -269,4 +320,4 @@ class LengthPrefixedFrames(DataSource):
         return _LPFrameStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        return _LPFrameWriter(self.options)
+        return _LPFrameWriter(self.options, overwrite)

@@ -80,6 +80,12 @@ def _scd2_update(
     changed = False
     for ts_us, new_state in zip(events["ts_us"].astype("int64"), events["state"]):
         ts_us = int(ts_us)
+        if cur_state is not None and ts_us < cur_from:
+            # cross-batch late event older than the open interval: the
+            # watermark upstream should have dropped it; failing safe
+            # here (skip) beats emitting an inverted interval
+            # (valid_to < valid_from) and rewinding state
+            continue
         if cur_state is None:
             cur_state, cur_from = new_state, ts_us
             changed = True

@@ -334,3 +334,20 @@ def test_observed_rows_counts_in_flight(spark, sf_dir):
     assert obs_in.get["n_rows"] == total
     assert obs_out.get["n_rows"] == n
     assert 0 < n < total
+
+
+def test_stage_selectivity_multiple_stages_one_plan(spark, sf_dir):
+    """Two instrumented stages in ONE plan must not collide on
+    observation names (unique-suffix contract)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.observability import stage_selectivity
+    from pulsar_internal_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    s1, in1, out1 = stage_selectivity(orders, F.col("o_totalprice") > 100000)
+    s2, in2, out2 = stage_selectivity(s1, F.col("o_orderstatus") == "O")
+    n = s2.count()
+    assert in1.get["n_rows"] == orders.count()
+    assert out1.get["n_rows"] == in2.get["n_rows"]
+    assert out2.get["n_rows"] == n

@@ -185,30 +185,46 @@ def test_stream_reader_empty_spool_no_rows(registered, tmp_path):
     assert got == set()
 
 
-def test_distributed_writer_roundtrip(registered, tmp_path):
+def test_distributed_writer_roundtrip_append_overwrite(registered, tmp_path):
     """The writer side: each partition becomes one staged-then-renamed
-    .bin; reading the directory back recovers every payload exactly
-    (whole-pipeline roundtrip through the wire format), and no staging
-    litter survives the commit."""
+    epoch-prefixed .bin; roundtrip recovers every payload; append adds
+    a second job's files without clobbering the first (epoch-unique
+    names); overwrite replaces everything; no staging litter survives."""
     import os
 
     from pyspark.sql import functions as F
 
     spark = registered
     out = str(tmp_path / "wire_out")
-    df = spark.range(0, 100, 1, 4).select(
-        F.concat(F.lit("msg-"), F.col("id").cast("string")).alias("payload")
-    )
-    df.write.format("lpframes").mode("append").save(out)
 
-    files = sorted(os.listdir(out))
-    assert files == [f"part-{i:05d}.bin" for i in range(4)], files
-    assert not any(f.endswith(".staging") for f in files)
+    def payload_df(prefix, n, parts):
+        return spark.range(0, n, 1, parts).select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("payload")
+        )
+
+    payload_df("msg-", 100, 4).write.format("lpframes").mode("append").save(out)
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    assert len(files1) == 4 and not any(
+        f.endswith(".staging") for f in os.listdir(out)
+    )
 
     back = spark.read.format("lpframes").load(out)
     assert back.rdd.getNumPartitions() == 4
-    payloads = {r.payload for r in back.collect()}
-    assert payloads == {f"msg-{i}" for i in range(100)}
+    assert {r.payload for r in back.collect()} == {f"msg-{i}" for i in range(100)}
+
+    # append: second job's epoch sorts after the first, nothing clobbered
+    payload_df("more-", 10, 2).write.format("lpframes").mode("append").save(out)
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    assert len(files2) == 6 and files2[:4] == files1
+    got = {r.payload for r in spark.read.format("lpframes").load(out).collect()}
+    assert got == {f"msg-{i}" for i in range(100)} | {f"more-{i}" for i in range(10)}
+
+    # overwrite: only the new job's files remain
+    payload_df("fresh-", 5, 1).write.format("lpframes").mode("overwrite").save(out)
+    files3 = [f for f in os.listdir(out) if f.endswith(".bin")]
+    assert len(files3) == 1
+    got = {r.payload for r in spark.read.format("lpframes").load(out).collect()}
+    assert got == {f"fresh-{i}" for i in range(5)}
 
 
 def test_writer_refuses_oversized_frames(registered, tmp_path):

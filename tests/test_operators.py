@@ -807,3 +807,13 @@ def test_winnowing_spark_matches_python_mirror(spark, sf_dir):
     for r in docs.select("doc_id", "text").collect():
         tokens = re.split(r"\s+", re.sub(r"\s+", " ", r.text.lower()).strip())
         assert got[r.doc_id] == _winnow_py(tokens), r.doc_id
+
+
+def test_decode_pixels_falls_back_on_lookalike_bytes():
+    """Raw bytes that merely START like an image ('BM...' text, a
+    truncated PNG) must fall back to None/hash features, not raise —
+    one bad payload must never fail a corpus-wide feature pass."""
+    assert mm._decode_pixels(b"BMW is a German carmaker, est. 1916") is None
+    assert mm._decode_pixels(mm.PNG_SIG + b"\x00\x01garbage") is None
+    feats = mm._stub_decode(b"BMW is a German carmaker", dim=8)
+    assert len(feats) == 8  # hash fallback, no exception

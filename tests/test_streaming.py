@@ -697,3 +697,41 @@ def test_lpframes_to_lww_cache_end_to_end(spark, tmp_path):
         if r.key not in latest or r.seq > latest[r.key].seq:
             latest[r.key] = r
     assert latest["a"].cached is False and latest["b"].value == "w1"
+
+
+def test_streaming_scd2_drops_cross_batch_late_events(spark, tmp_path):
+    """A late event older than the open interval must be skipped (fail
+    safe), never emitted as an inverted interval or a state rewind."""
+    from pulsar_internal_spark.streaming.scd2 import streaming_scd2
+
+    inbox = tmp_path / "late"
+    inbox.mkdir()
+
+    def write_batch(name, recs):
+        with open(inbox / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs))
+
+    write_batch("b0.json", [{"key": "u1", "ts_us": 2000, "seq": 0, "state": "B"}])
+    src = spark.readStream.schema(
+        "key STRING, ts_us LONG, seq LONG, state STRING"
+    ).json(str(inbox))
+    q = (
+        streaming_scd2(src)
+        .writeStream.format("memory")
+        .queryName("scd2_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # a late A@1500 arrives after B@2000 opened
+    write_batch("b1.json", [{"key": "u1", "ts_us": 1500, "seq": 1, "state": "A"}])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    rows = spark.table("scd2_late").collect()
+    assert all(
+        r.valid_to_us is None or r.valid_to_us >= r.valid_from_us for r in rows
+    ), rows
+    opens = [r for r in rows if r.is_current]
+    assert {(r.state, r.valid_from_us) for r in opens} == {("B", 2000)}
