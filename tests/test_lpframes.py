@@ -246,3 +246,31 @@ def test_writer_refuses_oversized_frames(registered, tmp_path):
     leftover = sorted(os.listdir(out)) if os.path.isdir(out) else []
     committed = [f for f in leftover if not f.startswith(".")]
     assert committed == [], committed
+
+
+def test_stream_reader_legacy_count_offsets(tmp_path):
+    """Checkpoints written by the old count-based offset format
+    ({"files": n}) must keep working against the name-based reader —
+    same slice semantics, no skip, no double-read."""
+    from pulsar_internal_spark.sources.lpframes import _LPFrameStreamReader
+
+    for i, payloads in enumerate([[b"a"], [b"b1", b"b2"], [b"c"]]):
+        write_frames(str(tmp_path / f"{i:03d}.bin"), payloads)
+    r = _LPFrameStreamReader({"path": str(tmp_path)})
+
+    # legacy start offset: 1 file consumed -> remaining two files
+    rows, end = r.read({"files": 1})
+    assert [t[2] for t in rows] == ["b1", "b2", "c"]
+    assert end == {"last": "002.bin"}  # end is upgraded to name form
+
+    # legacy replay range [1 file, 3 files) -> files 001 and 002
+    replay = list(r.readBetweenOffsets({"files": 1}, {"files": 3}))
+    assert [t[2] for t in replay] == ["b1", "b2", "c"]
+
+    # mixed: legacy start, name end
+    replay = list(r.readBetweenOffsets({"files": 0}, {"last": "001.bin"}))
+    assert [t[2] for t in replay] == ["a", "b1", "b2"]
+
+    # name-based steady state: nothing new after the last file
+    rows, end = r.read({"last": "002.bin"})
+    assert list(rows) == [] and end == {"last": "002.bin"}
