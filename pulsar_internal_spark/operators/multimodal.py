@@ -447,12 +447,18 @@ def _decode_pixels(data: bytes) -> dict | None:
     fall back or skip, not fail the stage on one bad payload. (The
     strict path that must surface corruption is decode_features_real's
     own dispatch, which raises.)"""
+    import struct
+    import zlib
+
     try:
         if data[:2] == b"BM":
             return parse_bmp(data)
         if data[:8] == PNG_SIG:
             return parse_png(data)
-    except ValueError:
+    # parse_* raise ValueError on semantic violations, but malformed
+    # bytes can also surface as struct.error (truncated chunk header)
+    # or zlib.error (incomplete deflate stream) before any check fires
+    except (ValueError, struct.error, zlib.error):
         return None
     return None
 

@@ -186,7 +186,7 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
         above = self._after(files, start)
         if "files" in end:
             upper = files[: int(end["files"])]
-            names = [f for f in above if f in set(upper)]
+            names = [f for f in above if f <= upper[-1]] if upper else []
         else:
             names = [f for f in above if f <= end.get("last", "")]
         return iter(self._rows(names))
@@ -210,36 +210,38 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
 
 
 class _LPFrameCommit(WriterCommitMessage):
-    def __init__(self, staged: str, final: str, n_frames: int):
+    def __init__(self, staged: str, pid: int, n_frames: int):
         self.staged = staged
-        self.final = final
+        self.pid = pid
         self.n_frames = n_frames
 
 
 class _LPFrameWriter(DataSourceWriter):
     """Distributed frame SINK: each task writes its partition's rows as
-    one length-prefixed .bin into a hidden staging name; the driver-side
-    commit renames all staged files into place (ascending final-name
-    order, so a concurrent lister only ever sees a sorted prefix of the
-    job's files — the property the streaming reader's name watermark
-    relies on), and abort deletes them. Rows need a ``payload`` string
-    column; frames exceeding the cap are refused at write time (the
-    reference server would kill the connection, server.cpp:84-85 — a
-    writer must not produce them).
+    one length-prefixed .bin into a hidden job-tagged staging name; the
+    driver-side commit assigns the EPOCH prefix **at commit time** and
+    renames staged files into place in ascending final-name order — so
+    publish order equals name order even across concurrently appending
+    jobs (whichever job commits first gets the lower epoch), which is
+    the invariant the streaming reader's name watermark needs to never
+    skip a file. Abort deletes this job's staged files only. Rows need
+    a ``payload`` string column; frames exceeding the cap are refused
+    at write time (the reference server would kill the connection,
+    server.cpp:84-85 — a writer must not produce them).
 
     Concurrency/semantics:
-      - final names carry a per-job EPOCH prefix (nanosecond clock +
-        random tag, fixed width, ascending), so ``append`` never
-        clobbers earlier jobs' files;
-      - ``overwrite`` removes pre-existing .bin files at commit time,
-        after all staged files are ready;
-      - staged names carry the TASK ATTEMPT id, so a speculative or
-        retried attempt can never interleave bytes with a zombie first
-        attempt — commit publishes exactly the attempts whose commit
-        messages won, then sweeps losers' staging litter."""
+      - ``append`` never clobbers other jobs' files: the commit-time
+        epoch is max(now_ns, greatest existing epoch + 1), unique-tagged;
+      - ``overwrite`` renames the new files into place FIRST, then
+        removes the pre-existing .bin files — a crash mid-commit can
+        leave a mixed directory (recoverable) but never loses both
+        generations;
+      - staged names carry the JOB tag and TASK ATTEMPT id, so a
+        speculative/retried attempt never interleaves bytes with a
+        zombie first attempt, and sweeps touch only THIS job's litter
+        (a concurrent job's in-progress staging is untouchable)."""
 
     def __init__(self, options: dict, overwrite: bool):
-        import time
         import uuid
 
         self.path = options.get("path")
@@ -247,8 +249,9 @@ class _LPFrameWriter(DataSourceWriter):
             raise ValueError("lpframes: 'path' option (or save(path)) is required")
         self.cap = int(options.get("maxframebytes", MAX_FRAME_BYTES))
         self.overwrite = overwrite
-        # driver-side, shipped to every task: one epoch per write job
-        self.epoch = f"{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
+        # driver-side job tag, shipped to every task (NOT the epoch —
+        # that is assigned at commit time so it reflects commit order)
+        self.job = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _LPFrameCommit:
         from pyspark import TaskContext
@@ -257,11 +260,9 @@ class _LPFrameWriter(DataSourceWriter):
         pid = ctx.partitionId()
         attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        final_name = f"part-{self.epoch}-{pid:05d}.bin"
         staged = os.path.join(
-            self.path, f".{final_name}.a{attempt}.staging"
+            self.path, f".job-{self.job}-{pid:05d}.a{attempt}.staging"
         )
-        final = os.path.join(self.path, final_name)
         n = 0
         with open(staged, "wb") as f:
             for row in iterator:
@@ -273,32 +274,60 @@ class _LPFrameWriter(DataSourceWriter):
                 f.write(struct.pack(">I", len(body)))
                 f.write(body)
                 n += 1
-        return _LPFrameCommit(staged, final, n)
+        return _LPFrameCommit(staged, pid, n)
 
     def _sweep_staging(self) -> None:
+        """Remove THIS job's leftover staging files only — a concurrent
+        job's in-progress staging must never be touched."""
+        prefix = f".job-{self.job}-"
         if os.path.isdir(self.path):
             for f in os.listdir(self.path):
-                if f.endswith(".staging"):
+                if f.startswith(prefix) and f.endswith(".staging"):
                     os.remove(os.path.join(self.path, f))
 
+    def _commit_epoch(self) -> str:
+        """Epoch assigned at COMMIT time: greater than every published
+        epoch in the directory, so publish order == name order even when
+        concurrent jobs constructed their writers out of order (or
+        driver clocks skew)."""
+        import time
+        import uuid
+
+        floor_ns = time.time_ns()
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f.endswith(".bin"):
+                try:
+                    existing = int(f.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                floor_ns = max(floor_ns, existing + 1)
+        return f"{floor_ns:020d}-{uuid.uuid4().hex[:6]}"
+
     def commit(self, messages) -> None:
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".bin"):
-                    os.remove(os.path.join(self.path, f))
+        pre_existing = [
+            f for f in os.listdir(self.path) if f.endswith(".bin")
+        ]
+        epoch = self._commit_epoch()
         # ascending final-name order: a concurrent lister sees a prefix
         for m in sorted(
-            (m for m in messages if m is not None), key=lambda m: m.final
+            (m for m in messages if m is not None), key=lambda m: m.pid
         ):
-            os.replace(m.staged, m.final)
-        self._sweep_staging()  # losing attempts' litter
+            final = os.path.join(self.path, f"part-{epoch}-{m.pid:05d}.bin")
+            os.replace(m.staged, final)
+        if self.overwrite:
+            # only after the new generation is fully published
+            for f in pre_existing:
+                p = os.path.join(self.path, f)
+                if os.path.exists(p):
+                    os.remove(p)
+        self._sweep_staging()  # this job's losing attempts
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
         # tasks killed mid-write never returned a commit message but may
-        # have created their staged file — sweep the staging pattern too
+        # have created their staged file — sweep this job's pattern too
         self._sweep_staging()
 
 

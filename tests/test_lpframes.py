@@ -274,3 +274,67 @@ def test_stream_reader_legacy_count_offsets(tmp_path):
     # name-based steady state: nothing new after the last file
     rows, end = r.read({"last": "002.bin"})
     assert list(rows) == [] and end == {"last": "002.bin"}
+
+
+def test_commit_preserves_foreign_staging_and_orders_epochs(registered, tmp_path):
+    """A committing job must not sweep another job's in-progress staging
+    files, and commit-time epochs must sort after everything already
+    published (publish order == name order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = str(tmp_path / "wire_conc")
+    os.makedirs(out)
+    # a concurrent job's in-progress staged file (foreign job tag)
+    foreign = os.path.join(out, ".job-deadbeef-00000.a7.staging")
+    with open(foreign, "wb") as f:
+        f.write(b"\x00\x00\x00\x01x")
+
+    df = spark.range(0, 10, 1, 2).select(
+        F.concat(F.lit("p-"), F.col("id").cast("string")).alias("payload")
+    )
+    df.write.format("lpframes").mode("append").save(out)
+    assert os.path.exists(foreign), "foreign staging must survive commit"
+
+    first_files = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    df.write.format("lpframes").mode("append").save(out)
+    second_files = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    new = [f for f in second_files if f not in first_files]
+    # every newly published name sorts after every previously published
+    assert all(n > max(first_files) for n in new), (first_files, new)
+
+
+def test_overwrite_commit_never_drops_both_generations(registered, tmp_path):
+    """Overwrite publishes the new files BEFORE deleting the old ones —
+    verified by the final state containing exactly the new generation
+    (rename-first ordering is asserted in the writer; here we pin the
+    end state and that old data survives an aborted overwrite)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = str(tmp_path / "wire_ow")
+    ok = spark.range(0, 5, 1, 1).select(
+        F.concat(F.lit("old-"), F.col("id").cast("string")).alias("payload")
+    )
+    ok.write.format("lpframes").mode("append").save(out)
+
+    # failed overwrite (oversized frame): old generation must survive
+    bad = spark.range(0, 2).select(F.rpad(F.lit("x"), 200, "x").alias("payload"))
+    with pytest.raises(Exception, match="exceeds cap"):
+        bad.write.format("lpframes").mode("overwrite").option(
+            "maxFrameBytes", "64"
+        ).save(out)
+    got = {r.payload for r in spark.read.format("lpframes").load(out).collect()}
+    assert got == {f"old-{i}" for i in range(5)}, "old data lost on failed overwrite"
+
+    # successful overwrite: only the new generation remains
+    new = spark.range(0, 3, 1, 1).select(
+        F.concat(F.lit("new-"), F.col("id").cast("string")).alias("payload")
+    )
+    new.write.format("lpframes").mode("overwrite").save(out)
+    got = {r.payload for r in spark.read.format("lpframes").load(out).collect()}
+    assert got == {f"new-{i}" for i in range(3)}

@@ -817,3 +817,40 @@ def test_decode_pixels_falls_back_on_lookalike_bytes():
     assert mm._decode_pixels(mm.PNG_SIG + b"\x00\x01garbage") is None
     feats = mm._stub_decode(b"BMW is a German carmaker", dim=8)
     assert len(feats) == 8  # hash fallback, no exception
+
+
+def test_decode_pixels_survives_truncated_deflate_and_headers():
+    """Malformed-but-plausible PNGs (complete CRC-valid chunks whose
+    deflate stream is incomplete; chunk header cut mid-length) must fall
+    back to None, not leak struct.error/zlib.error into the stage."""
+    import struct
+    import zlib
+
+    whole = mm.make_png(4, 4, bytes(range(48)))
+    # rebuild with a CRC-valid IDAT holding only HALF the deflate bytes
+    pos = 8
+    chunks = []
+    while pos + 12 <= len(whole):
+        clen, tag = struct.unpack_from(">I4s", whole, pos)
+        chunks.append((tag, whole[pos + 8 : pos + 8 + clen]))
+        pos += 12 + clen
+    rebuilt = mm.PNG_SIG
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            body = body[: len(body) // 2]  # incomplete deflate stream
+        rebuilt += (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+    assert mm._decode_pixels(rebuilt) is None
+
+    # file cut exactly at a chunk body's end (its CRC missing): the
+    # CRC unpack runs past the buffer -> struct.error path
+    pos = 8
+    while True:
+        clen, tag = struct.unpack_from(">I4s", whole, pos)
+        if tag == b"IDAT":
+            cut_at_body_end = whole[: pos + 8 + clen]
+            break
+        pos += 12 + clen
+    assert mm._decode_pixels(cut_at_body_end) is None
