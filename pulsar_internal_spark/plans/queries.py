@@ -18,11 +18,11 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (68 of 123; r01+r02 union covers the other 55):
+checked through r02 (69 of 124; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
-  cube_event_stats derive_bytes_nation descendants_tree
-  dq_constraint_violations
+  containment_candidates cube_event_stats derive_bytes_nation
+  descendants_tree dq_constraint_violations
   djb2_hash_nation doc_fingerprints envelope_header_parse
   executor_identity files_census function_hash_sha2 funnel_conversion
   http_record_shape hypertable_rollup_merge iscached_probe
@@ -4037,6 +4037,94 @@ def segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_segments"),
             F.sum(dup).cast("long").alias("n_dup_segments"),
             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+    )
+
+
+@_register(
+    "containment_candidates",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4
+                  THEN list_transform(range(1, len(w) - 2),
+                         i -> substr(sha256(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8))
+                  ELSE [] END AS kh
+      FROM toks
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN len(kh) >= 5
+                  THEN list_distinct(list_transform(range(1, len(kh) - 3),
+                         i -> list_min(list_slice(kh, i, i + 4))))
+                  ELSE list_distinct(kh) END AS fps
+      FROM kg
+    ), fp AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), keep AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 8
+    ), fpk AS (
+      SELECT fp.* FROM fp JOIN keep USING (fp)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fpk GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b, s.n_shared,
+           ROUND(s.n_shared * 1.0 / LEAST(sa.n_fp, sb.n_fp), 6) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.n_shared * 2 >= LEAST(sa.n_fp, sb.n_fp)
+    """,
+)
+def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection (Broder's containment coefficient over
+    winnowing fingerprints): |shared| / |smaller doc's fingerprints| —
+    catches a document QUOTED or embedded inside a larger one, which
+    symmetric Jaccard dilutes below threshold (|A∩B|/|A∪B| is tiny
+    when |B| >> |A| even at full containment). Shares the entire
+    fingerprint pipeline with winnowing_matches (k-gram sha2, w-window
+    minima, MOSS stop-fingerprint cap), then joins per-doc fingerprint
+    counts and keeps pairs covering >= half the smaller side. Scale
+    shape: the pair join is the capped fingerprint equi-join; the size
+    table is doc-grain (tiny relative to fingerprints) and joins on the
+    pair's ids."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    kg = toks.select("doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh"))
+    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    fp = sel.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    fp = dedup_ops.drop_hot_keys(fp, ["fp"], max_df=8)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    small = F.least("n_a", "n_b")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("n_shared") * 2 >= small)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / small, 6).alias("containment"),
         )
     )
 
