@@ -18,7 +18,7 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
 98+-oracle differential suite every run — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (69 of 124; r01+r02 union covers the other 55):
+checked through r02 (70 of 125; r01+r02 union covers the other 55):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   containment_candidates cube_event_stats derive_bytes_nation
@@ -29,7 +29,8 @@ checked through r02 (69 of 124; r01+r02 union covers the other 55):
   multimodal_envelope
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
-  pii_redaction provenance_flags q4_late_shipment_priority
+  per_source_sample_cap pii_redaction provenance_flags
+  q4_late_shipment_priority
   q5_local_supplier_volume q6_forecast_revenue q7_volume_shipping
   q8_national_market_share
   q10_returned_items q13_order_count_distribution
@@ -4126,6 +4127,43 @@ def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             F.round(F.col("n_shared") / small, 6).alias("containment"),
         )
+    )
+
+
+@_register(
+    "per_source_sample_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def per_source_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling cap (SURVEY.md §7 Phase 4 mixture family —
+    the fixed-COUNT companion to weighted_mixture_sample's fixed-RATE
+    keep): at most K docs per source, selected by ranking on
+    sha256(doc_id) — a deterministic uniform draw that is reproducible
+    across runs, engines and repartitions, unlike rand() reservoirs
+    (and unlike ORDER BY doc_id, which would bias toward old docs).
+    One shuffle on source; the per-source window never sees more than
+    one source's rows, and the rank predicate cuts each group to K
+    before anything downstream. Tie-break on doc_id makes the frontier
+    exact at hash collisions."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
     )
 
 
