@@ -4932,7 +4932,9 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate >= TIMESTAMP '1996-01-01'
@@ -4948,23 +4950,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation dim, then top-20 by aggregated revenue as
     TakeOrderedAndProject (no global sort of the aggregate). Ties
     broken on c_custkey so the LIMIT frontier is deterministic across
-    engines (revenue is ROUNDed before ordering for the same reason).
-    """
+    engines. Revenue uses EXACT DECIMAL arithmetic (cast before the
+    multiply, round, then to double): a double-sum here once landed on
+    a .xx5 boundary at sf0.01 where a last-ulp partial-order difference
+    flipped ROUND between engines — decimals make the sum and its
+    rounding bit-identical everywhere, which ROUND-of-double cannot
+    guarantee on ranking frontiers."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
     )
     lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(price_dec * (F.lit(1) - disc_dec)), 2)
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
