@@ -204,3 +204,20 @@ def test_q20_correlated_agg_decorrelates(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     # the decorrelated per-part total is a real aggregate in the plan
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_containment_keeps_capped_join_shape(spark, sf_dir):
+    """Containment must inherit the winnowing pipeline's posture: the
+    stop-fingerprint broadcast anti join before the pair join, hash
+    equi-joins only."""
+    plan = _plan(spark, sf_dir, "containment_candidates")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_per_source_cap_single_shuffle(spark, sf_dir):
+    """The per-source sampler is one hash-partitioned window — no
+    global sort, no single-partition funnel."""
+    plan = _plan(spark, sf_dir, "per_source_sample_cap")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
