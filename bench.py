@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -95,8 +96,10 @@ def main() -> None:
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
 
+    # statistics.median averages the middle pair for even run counts —
+    # sorted(ts)[n//2] would record the MAX when SPARK_GRAFT_BENCH_RUNS=2
     timings = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
     print(

@@ -42,14 +42,26 @@ def _closed_hour_cutoff(events: DataFrame):
     return events.agg(F.date_trunc("hour", F.max("ts")).alias("_cut"))
 
 
-def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> None:
+def refresh_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    lateness_buckets: int = 0,
+) -> None:
     """Materialize/refresh the closed-hour rollup at ``path``.
 
-    Incremental: only events in hours >= the previously materialized
-    maximum bucket are re-aggregated (that boundary hour was open at
-    the last refresh, so it is recomputed in full), and dynamic
-    partition overwrite rewrites exactly the touched bucket_hour
-    directories. First call materializes everything closed."""
+    Incremental: only events in hours >= (previously materialized
+    maximum bucket − ``lateness_buckets``) are re-aggregated (the
+    boundary hour was open at the last refresh, so it is recomputed in
+    full), and dynamic partition overwrite rewrites exactly the touched
+    bucket_hour directories. First call materializes everything closed.
+
+    **Lateness contract**: an event arriving late into an hour within
+    ``lateness_buckets`` buckets behind the watermark is picked up by
+    the next refresh (its partition is fully recomputed). An event
+    later than that window is permanently dropped from the materialized
+    rollup — the same bounded-lateness semantics a streaming watermark
+    gives; pick the window from the pipeline's observed arrival skew."""
     cut = _closed_hour_cutoff(events)
     closed = events.join(F.broadcast(cut)).filter(F.col("ts") < F.col("_cut"))
 
@@ -65,7 +77,9 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> None:
     # treating it as first-materialization would silently rewrite all
     # history partitions and mask the underlying fault
     if existing_max is not None:
-        boundary = F.to_timestamp(F.lit(existing_max), BUCKET_FMT)
+        boundary = F.to_timestamp(F.lit(existing_max), BUCKET_FMT) - F.expr(
+            f"INTERVAL {int(lateness_buckets)} HOURS"
+        )
         closed = closed.filter(F.date_trunc("hour", "ts") >= boundary)
 
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -97,14 +111,40 @@ def expire_partitions(path: str, keep_from_bucket: str) -> list[str]:
     return removed
 
 
-def serve_rollup(spark: SparkSession, events: DataFrame, path: str) -> DataFrame:
+def serve_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    lateness_buckets: int = 0,
+) -> DataFrame:
     """Serve the hourly rollup: materialized closed-hour partials UNION
     a raw-tail aggregation of events past the materialized watermark,
     merged by one final algebraic aggregate (the same shape
     hypertable_rollup_merge proves against the single-pass oracle).
+
+    ``lateness_buckets`` mirrors :func:`refresh_rollup`: materialized
+    partials in the last K buckets are DISCARDED and those hours are
+    re-aggregated from raw alongside the tail, so an event that arrived
+    late (within the window) after the last refresh is still counted —
+    serving matches the single-pass aggregate for any lateness ≤ K
+    buckets, not just for perfectly ordered arrivals.
     Returns (bucket_hour, event_type, n_events, value_sum)."""
     mat = spark.read.parquet(path).select("bucket_hour", "event_type", "pn", "pv")
-    watermark = mat.agg(F.max("bucket_hour").alias("_wm"))
+    # serve boundary = watermark − K buckets, carried as a broadcast
+    # column (no driver scalar): materialized rows above it are dropped,
+    # raw rows above it are re-aggregated
+    watermark = mat.agg(
+        F.date_format(
+            F.to_timestamp(F.max("bucket_hour"), BUCKET_FMT)
+            - F.expr(f"INTERVAL {int(lateness_buckets)} HOURS"),
+            BUCKET_FMT,
+        ).alias("_wm")
+    )
+    mat = (
+        mat.join(F.broadcast(watermark))
+        .filter(F.col("bucket_hour") <= F.col("_wm"))
+        .drop("_wm")
+    )
     tail_events = events.join(F.broadcast(watermark)).filter(
         F.date_trunc("hour", "ts") > F.to_timestamp(F.col("_wm"), BUCKET_FMT)
     )

@@ -4984,7 +4984,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -5001,15 +5003,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     input and once inside a scalar MAX subquery. Catalyst plans the
     scalar as a 1-row broadcast (never a driver collect) and the
     supplier dim broadcasts against the aggregated (small) revenue
-    side. Revenue ROUNDed before the equality so the max-tie frontier
-    is engine-deterministic."""
+    side. Revenue uses EXACT DECIMAL arithmetic (cast before multiply,
+    as q10 does): the max-tie frontier is an EQUALITY on a rounded sum,
+    and a partial-sum-order last-ulp difference at a .xx5 boundary
+    could otherwise flip which suppliers tie the max between engines."""
     for t in ("lineitem", "supplier"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(
         """
         WITH rev AS (
           SELECT l_suppkey AS supplier_no,
-                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                      AS DOUBLE) AS total_revenue
           FROM v_lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1996-04-01'

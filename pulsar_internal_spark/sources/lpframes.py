@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -44,11 +45,15 @@ from pyspark.sql.types import (
 
 MAX_FRAME_BYTES = 8 * 1024 * 1024  # server.cpp:84-85
 
+# ``payload`` is the UTF-8 decode (lossy for binary frames — errors are
+# replaced); ``payload_bin`` carries the exact wire bytes, so binary
+# frames (BMP/PNG/WAV multimodal payloads) survive the reader intact.
 FRAME_SCHEMA = StructType(
     [
         StructField("file", StringType()),
         StructField("frame_idx", IntegerType()),
         StructField("payload", StringType()),
+        StructField("payload_bin", BinaryType()),
         StructField("n_bytes", LongType()),
         StructField("oversized", BooleanType()),
     ]
@@ -114,6 +119,7 @@ class _LPFrameReader(DataSourceReader):
                 fname,
                 idx,
                 body.decode("utf-8", errors="replace"),
+                body,
                 len(body),
                 oversized,
             )
@@ -202,6 +208,7 @@ class _LPFrameStreamReader(SimpleDataSourceStreamReader):
                         fname,
                         idx,
                         body.decode("utf-8", errors="replace"),
+                        body,
                         len(body),
                         oversized,
                     )
@@ -266,7 +273,12 @@ class _LPFrameWriter(DataSourceWriter):
         n = 0
         with open(staged, "wb") as f:
             for row in iterator:
-                body = (row.payload or "").encode("utf-8")
+                # binary-exact path first (payload_bin), else UTF-8 text
+                bin_val = getattr(row, "payload_bin", None)
+                if bin_val is not None:
+                    body = bytes(bin_val)
+                else:
+                    body = (getattr(row, "payload", None) or "").encode("utf-8")
                 if len(body) > self.cap:
                     raise ValueError(
                         f"frame of {len(body)} bytes exceeds cap {self.cap}"
@@ -303,23 +315,68 @@ class _LPFrameWriter(DataSourceWriter):
                 floor_ns = max(floor_ns, existing + 1)
         return f"{floor_ns:020d}-{uuid.uuid4().hex[:6]}"
 
+    def _acquire_commit_lock(self, timeout_s: float = 60.0) -> str:
+        """Serialize the epoch-assignment + rename window across
+        concurrently committing jobs with an O_CREAT|O_EXCL lock file.
+        Without it, job A (lower epoch) could publish AFTER job B
+        (higher epoch) became visible; a streaming reader polling in
+        between would advance its name watermark past A's epoch and A's
+        frames would be silently skipped forever. A stale lock (holder
+        crashed mid-commit) is broken after ``timeout_s`` by mtime."""
+        import time
+
+        lock = os.path.join(self.path, ".commit.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age > timeout_s:
+                    # stale: holder died mid-commit — break the lock
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"lpframes: commit lock {lock} held > {timeout_s}s"
+                    )
+                time.sleep(0.02)
+
     def commit(self, messages) -> None:
-        pre_existing = [
-            f for f in os.listdir(self.path) if f.endswith(".bin")
-        ]
-        epoch = self._commit_epoch()
-        # ascending final-name order: a concurrent lister sees a prefix
-        for m in sorted(
-            (m for m in messages if m is not None), key=lambda m: m.pid
-        ):
-            final = os.path.join(self.path, f"part-{epoch}-{m.pid:05d}.bin")
-            os.replace(m.staged, final)
-        if self.overwrite:
-            # only after the new generation is fully published
-            for f in pre_existing:
-                p = os.path.join(self.path, f)
-                if os.path.exists(p):
-                    os.remove(p)
+        # a 0-partition write runs no tasks, so the directory may not
+        # exist yet — committing an empty generation must still succeed
+        os.makedirs(self.path, exist_ok=True)
+        lock = self._acquire_commit_lock()
+        try:
+            pre_existing = [
+                f for f in os.listdir(self.path) if f.endswith(".bin")
+            ]
+            epoch = self._commit_epoch()
+            # ascending final-name order: a concurrent lister sees a prefix
+            for m in sorted(
+                (m for m in messages if m is not None), key=lambda m: m.pid
+            ):
+                final = os.path.join(self.path, f"part-{epoch}-{m.pid:05d}.bin")
+                os.replace(m.staged, final)
+            if self.overwrite:
+                # only after the new generation is fully published
+                for f in pre_existing:
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         self._sweep_staging()  # this job's losing attempts
 
     def abort(self, messages) -> None:

@@ -67,6 +67,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     and this is a no-op — the check keeps it from ever ADDING a shuffle
     to a well-partitioned input.
     """
+    if df.isStreaming:
+        # a streaming DataFrame has no .rdd to probe (and micro-batch
+        # sizing is the trigger's job) — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

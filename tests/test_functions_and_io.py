@@ -351,3 +351,16 @@ def test_stage_selectivity_multiple_stages_one_plan(spark, sf_dir):
     assert in1.get["n_rows"] == orders.count()
     assert out1.get["n_rows"] == in2.get["n_rows"]
     assert out2.get["n_rows"] == n
+
+
+def test_spread_passes_streaming_df_through(spark, tmp_path):
+    """spread() must not probe .rdd on a streaming DataFrame (that
+    conversion is unsupported) — it passes the stream through."""
+    from pulsar_internal_spark.sources.tables import spread
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    out = spread(sdf)
+    assert out.isStreaming
+    assert out is sdf  # untouched, no repartition injected

@@ -338,3 +338,127 @@ def test_overwrite_commit_never_drops_both_generations(registered, tmp_path):
     new.write.format("lpframes").mode("overwrite").save(out)
     got = {r.payload for r in spark.read.format("lpframes").load(out).collect()}
     assert got == {f"new-{i}" for i in range(3)}
+
+
+def test_binary_payload_roundtrips_through_wire(registered, tmp_path):
+    """Binary frames must survive the reader byte-exact via payload_bin
+    (the text `payload` column is a lossy UTF-8 decode): a PNG written
+    with write_frames reads back and parses successfully, and the sink
+    prefers payload_bin over payload so binary writes roundtrip too."""
+    from pulsar_internal_spark.operators.multimodal import make_png, parse_png
+    from pulsar_internal_spark.sources.lpframes import write_frames
+
+    spark = registered
+    png = make_png(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7]))
+    spool = tmp_path / "binwire"
+    spool.mkdir()
+    write_frames(str(spool / "000.bin"), [png, b"\x00\xff\xfe plain"])
+
+    df = spark.read.format("lpframes").load(str(spool))
+    rows = {r.frame_idx: r for r in df.collect()}
+    assert bytes(rows[0].payload_bin) == png
+    parsed = parse_png(bytes(rows[0].payload_bin))
+    assert (parsed["width"], parsed["height"]) == (2, 2)
+    assert bytes(rows[1].payload_bin) == b"\x00\xff\xfe plain"
+    # the text decode is lossy for these bytes — that's what payload_bin fixes
+    assert rows[1].n_bytes == len(b"\x00\xff\xfe plain")
+
+    # sink side: writing the frame back out preserves the exact bytes
+    out = str(tmp_path / "binwire_out")
+    df.select("payload", "payload_bin").write.format("lpframes").mode(
+        "append"
+    ).save(out)
+    back = {bytes(r.payload_bin) for r in
+            spark.read.format("lpframes").load(out).collect()}
+    assert back == {png, b"\x00\xff\xfe plain"}
+
+
+def test_empty_zero_partition_commit_succeeds(registered, tmp_path):
+    """A 0-partition write runs no tasks, so no task ever created the
+    directory — commit() must still publish an (empty) generation
+    instead of crashing on the missing dir."""
+    import os
+
+    spark = registered
+    out = str(tmp_path / "empty_gen")
+    empty = spark.createDataFrame([], "payload string").repartition(1).limit(0)
+    # force an actually-empty plan: rdd with 0 partitions via filter
+    empty.write.format("lpframes").mode("append").save(out)
+    assert os.path.isdir(out)
+    assert spark.read.format("lpframes").load(out).count() == 0
+
+
+def test_concurrent_commits_keep_name_order(registered, tmp_path):
+    """Two writers committing concurrently must serialize through the
+    commit lock so epochs are assigned in publish order — no later-
+    visible file may carry a lower epoch than an earlier-visible one.
+    Simulated by interleaving two writer objects' commit phases."""
+    import os
+
+    from pulsar_internal_spark.sources.lpframes import (
+        _LPFrameCommit,
+        _LPFrameWriter,
+        iter_frames,
+    )
+
+    out = str(tmp_path / "race")
+    os.makedirs(out)
+
+    def stage(writer, tag):
+        staged = os.path.join(out, f".job-{writer.job}-00000.a0.staging")
+        import struct as _s
+        with open(staged, "wb") as f:
+            body = tag.encode()
+            f.write(_s.pack(">I", len(body)))
+            f.write(body)
+        return [_LPFrameCommit(staged, 0, 1)]
+
+    a = _LPFrameWriter({"path": out}, overwrite=False)
+    b = _LPFrameWriter({"path": out}, overwrite=False)
+    ma, mb = stage(a, "from-a"), stage(b, "from-b")
+    # B commits first, then A: A's epoch must still sort AFTER B's
+    b.commit(mb)
+    names_after_b = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    a.commit(ma)
+    names_after_a = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    new = [n for n in names_after_a if n not in names_after_b]
+    assert len(new) == 1 and new[0] > max(names_after_b)
+    assert not os.path.exists(os.path.join(out, ".commit.lock"))
+
+
+def test_commit_lock_blocks_second_committer(tmp_path):
+    """While one job holds the commit lock, a second job's commit spins
+    until release — and a stale lock is broken after the timeout."""
+    import os
+    import threading
+    import time
+
+    from pulsar_internal_spark.sources.lpframes import _LPFrameWriter
+
+    out = str(tmp_path / "lockdir")
+    os.makedirs(out)
+    w = _LPFrameWriter({"path": out}, overwrite=False)
+    lock = os.path.join(out, ".commit.lock")
+    open(lock, "w").close()
+
+    acquired = []
+
+    def contender():
+        got = w._acquire_commit_lock(timeout_s=5.0)
+        acquired.append(got)
+        os.remove(got)
+
+    t = threading.Thread(target=contender)
+    t.start()
+    time.sleep(0.2)
+    assert not acquired, "lock acquired while held"
+    os.remove(lock)  # holder releases
+    t.join(timeout=5)
+    assert acquired, "contender never acquired after release"
+
+    # stale-lock break: a lock whose mtime is ancient is removed
+    open(lock, "w").close()
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    got = w._acquire_commit_lock(timeout_s=60.0)
+    os.remove(got)

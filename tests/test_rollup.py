@@ -148,3 +148,44 @@ def test_expire_partitions_ttl(spark, sf_dir, tmp_path):
     # serving over the retained window still merges with the raw tail
     served = serve_rollup(spark, events, path)
     assert served.filter(F.col("bucket_hour") >= keep_from).count() > 0
+
+
+def test_late_events_within_window_are_counted(spark, sf_dir, tmp_path):
+    """Bounded-lateness contract: an event arriving late into an
+    already-materialized hour is (a) still served exactly when within
+    the serve-side lateness window, and (b) folded into the
+    materialization by the next refresh with the same window — while a
+    zero-window refresh (the old behavior) would drop it forever."""
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup_late")
+
+    refresh_rollup(spark, events, path)
+    wm = max(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("bucket_hour=")
+    )  # e.g. 2024-01-31-22
+
+    # a late event landing ONE bucket behind the watermark
+    late_hour_ts = wm.rsplit("-", 1)[0] + " " + wm.rsplit("-", 1)[1] + ":17:00"
+    late = spark.createDataFrame(
+        [(999999, late_hour_ts, "late_type", 42.5)],
+        "user_id long, ts string, event_type string, value double",
+    ).select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "event_type", "value"
+    )
+    full = events.select("user_id", "ts", "event_type", "value").unionByName(late)
+
+    # (a) serving with lateness window: exact vs single-pass aggregate
+    served = _rows(serve_rollup(spark, full, path, lateness_buckets=1))
+    assert served == _rows(_direct(full))
+    # sanity: zero-window serving misses the late row (the hazard)
+    served0 = _rows(serve_rollup(spark, full, path, lateness_buckets=0))
+    assert (wm, "late_type") not in served0
+
+    # (b) refresh with the window folds the late row into the partition
+    refresh_rollup(spark, full, path, lateness_buckets=1)
+    mat = spark.read.parquet(path).filter(
+        (F.col("bucket_hour") == wm) & (F.col("event_type") == "late_type")
+    )
+    assert mat.count() == 1
+    # and serving straight off the refreshed materialization is exact
+    assert _rows(serve_rollup(spark, full, path)) == _rows(_direct(full))
