@@ -4152,17 +4152,38 @@ def per_source_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256(doc_id) — a deterministic uniform draw that is reproducible
     across runs, engines and repartitions, unlike rand() reservoirs
     (and unlike ORDER BY doc_id, which would bias toward old docs).
-    One shuffle on source; the per-source window never sees more than
-    one source's rows, and the rank predicate cuts each group to K
-    before anything downstream. Tie-break on doc_id makes the frontier
-    exact at hash collisions."""
+    HIERARCHICAL top-K (two phases), because a single per-source window
+    would pin EVERY row of the biggest source into one task before the
+    rank filter — at a 100 TB corpus where one source is 80% of rows
+    that is a single-task straggler sorting 80 TB. Phase 1 salts each
+    source into 16 deterministic subgroups by the hash's first hex
+    char and keeps each subgroup's top-K — the hot source now spreads
+    across 16 tasks and each sorts only its share. Phase 2 re-ranks the
+    ≤ 16·K survivors per source exactly. Equivalent to the single
+    window: every global top-K row ranks ≤ K inside its own salt
+    bucket (all rows ordered before it are also global top-K), so
+    phase 1 never drops a winner, and phase 2's ordering over a
+    superset of the top-K assigns the same ranks. Same two-phase shape
+    as operators/skew.py's salted_agg. Tie-break on doc_id makes the
+    frontier exact at hash collisions."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    k = 20
+    h = F.sha2(F.col("doc_id").cast("string"), 256)
+    staged = docs.select(
+        "doc_id",
+        "source",
+        h.alias("_h"),
+    ).withColumn("_salt", F.conv(F.substring("_h", 1, 1), 16, 10).cast("int"))
+    w1 = Window.partitionBy("source", "_salt").orderBy("_h", "doc_id")
+    survivors = (
+        staged.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .drop("_rk1", "_salt")
     )
+    w2 = Window.partitionBy("source").orderBy("_h", "doc_id")
     return (
-        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
+        survivors.select("doc_id", "source", F.row_number().over(w2).alias("rk"))
+        .filter(F.col("rk") <= k)
         .select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
     )
 

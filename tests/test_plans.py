@@ -215,9 +215,20 @@ def test_containment_keeps_capped_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
 
-def test_per_source_cap_single_shuffle(spark, sf_dir):
-    """The per-source sampler is one hash-partitioned window — no
-    global sort, no single-partition funnel."""
+def test_per_source_cap_is_hierarchical_topk(spark, sf_dir):
+    """The per-source sampler is a TWO-phase top-K: phase 1 windows
+    over (source, salt) — so a mega-source spreads across the salt
+    buckets instead of serializing its full sort into one reduce task —
+    and phase 2 re-ranks only the bounded survivors per source. Also:
+    no global sort, no single-partition funnel, and the map-side
+    WindowGroupLimit prunes to K before each shuffle."""
     plan = _plan(spark, sf_dir, "per_source_sample_cap")
     assert "Exchange SinglePartition" not in plan, plan
-    assert "Window" in plan, plan
+    # phase-1 shuffle must key on BOTH source and the salt column
+    import re
+
+    assert re.search(r"hashpartitioning\(source#\d+, _salt#\d+", plan), plan
+    # two window phases: salted then exact
+    assert plan.count("Window [row_number()") == 2, plan
+    # map-side pruning before the shuffle (bounded shuffle volume)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
