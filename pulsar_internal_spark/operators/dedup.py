@@ -107,6 +107,58 @@ def minhash_signature(hashed_shingles_col, num_hashes: int = 8):
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) banded minhash signatures — the narrow
+    (no-shuffle) front half of LSH dedup, shared by the one-shot
+    self-join (minhash_lsh_candidates) and the incremental store
+    (signature_store.py). Stage tokens, then per-shingle sha2, each in
+    its own projection so the split runs once per doc and the digest
+    once per shingle (never once per signature slot). spread():
+    shingling is compute-bound, so partition by cores, not bytes."""
+    assert num_hashes % band_size == 0
+    bands = num_hashes // band_size
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), tokenized(text_col).alias("_words")
+    )
+    hashed = toks.select(
+        "id",
+        F.transform(
+            shingles_of(F.col("_words"), shingle_n), lambda s: F.sha2(s, 256)
+        ).alias("hs"),
+    )
+    return (
+        hashed.select("id", minhash_signature(F.col("hs"), num_hashes).alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("sig"), b * band_size + j + 1)
+                                    for j in range(band_size)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("id", "band.band_idx", "band.band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,39 +174,7 @@ def minhash_lsh_candidates(
     The self-join shuffles on (band_idx, band_key) — the classic LSH
     bucket join; bucket skew (a viral band) is handled by AQE skew-join.
     """
-    assert num_hashes % band_size == 0
-    bands = num_hashes // band_size
-    # Stage tokens, then per-shingle sha2, each into its own projection so
-    # the split runs once per doc and the digest once per shingle (never
-    # once per signature slot). spread(): shingling is compute-bound, so
-    # partition by cores, not bytes.
-    toks = spread(df).select(
-        F.col(id_col).alias("id"), tokenized(text_col).alias("_words")
-    )
-    hashed = toks.select(
-        "id",
-        F.transform(
-            shingles_of(F.col("_words"), shingle_n), lambda s: F.sha2(s, 256)
-        ).alias("hs"),
-    )
-    banded = hashed.select(
-        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
-    ).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "|", *[F.element_at(F.col("sig"), b * band_size + j + 1) for j in range(band_size)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_key")
+    banded = banded_signatures(df, id_col, text_col, num_hashes, band_size, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

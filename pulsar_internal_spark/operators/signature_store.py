@@ -1,0 +1,138 @@
+"""Incremental MinHash dedup: new batches vs a persisted signature store.
+
+At 100 TB the near-dup pipeline does not recompute the corpus — each
+ingest batch is signed once, its signatures are appended to a persisted
+bucket table, and candidate pairs are found by joining the NEW batch's
+bands against the store. Grown from the reference's incremental
+hash-memo idiom (script.hpp:127-129: fingerprints computed once, then
+looked up) and the batch operator it must stay equivalent to
+(dedup.py:minhash_lsh_candidates).
+
+Store layout: parquet at ``store_path`` with columns
+(id, band_idx, band_key, batch_id), hive-partitioned by ``batch_id`` —
+so "the new batch" and "everything before it" are PARTITION-PRUNED
+scans, not filters over the whole store, and a crashed append can be
+rolled back by deleting one partition directory. Bands stay together
+within a batch (band_idx would explode the dir count at many batches
+and prunes nothing the join needs).
+
+Equivalence invariant (property-tested): for documents arriving in any
+batch split, the union over batches of ``candidates_for_batch`` equals
+``minhash_lsh_candidates`` over the full corpus. Proof sketch: order
+the batches; a bucket-sharing pair (x, y) with batch(x) <= batch(y) is
+emitted exactly when y's batch is processed (x is then in the store or
+in y's own batch); no other pairs are ever emitted.
+
+Scale posture: per increment, the only shuffle is the band-key join of
+the (small) new batch against the store; at cluster scale, writing the
+store with ``bucketBy(band_key)`` into a catalog table would make the
+history side shuffle-free — noted here because path-based parquet
+cannot persist bucketing metadata. Signatures are computed ONCE per
+document lifetime (at append), never re-derived from text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import banded_signatures
+
+STORE_SCHEMA = "id BIGINT, band_idx INT, band_key STRING, batch_id INT"
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException:
+        return None  # store absent: first batch
+    # any OTHER failure (corrupt footer, permissions) must propagate
+
+
+def append_signature_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> int:
+    """Sign ``new_docs`` and append the banded signatures to the store
+    under the next batch_id (0 for a fresh store). Returns the batch_id.
+
+    The write is the only place signatures are computed; everything
+    downstream (same-batch pairs, cross-batch pairs, later batches)
+    reads the columnar store. Signature parameters must match across
+    batches — they define the hash family, so they are part of the
+    store's identity (asserted against a stored _PARAMS marker row is
+    overkill; the caller owns the config, as with any table schema)."""
+    existing = _read_store(spark, store_path)
+    if existing is None:
+        bid = 0
+    else:
+        prev = existing.agg(F.max("batch_id")).collect()[0][0]
+        bid = 0 if prev is None else int(prev) + 1
+    (
+        banded_signatures(
+            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        )
+        .withColumn("batch_id", F.lit(bid))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+    return bid
+
+
+def candidates_for_batch(
+    spark: SparkSession, store_path: str, batch_id: int
+) -> DataFrame:
+    """Near-dup candidate pairs introduced by ``batch_id``: pairs within
+    the batch plus pairs between the batch and every earlier batch.
+    Returns (id_a, id_b), id_a < id_b, distinct. Never joins history
+    against history — those pairs were emitted when their own batches
+    arrived, which is what makes the increment O(new x matched), not
+    O(corpus^2)."""
+    store = spark.read.parquet(store_path)
+    new = store.filter(F.col("batch_id") == batch_id)
+    hist = store.filter(F.col("batch_id") < batch_id)
+
+    a, b = new.alias("a"), new.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    n, h = new.alias("n"), hist.alias("h")
+    across = (
+        n.join(
+            h,
+            (F.col("n.band_idx") == F.col("h.band_idx"))
+            & (F.col("n.band_key") == F.col("h.band_key"))
+            & (F.col("n.id") != F.col("h.id")),
+        )
+        .select(
+            F.least("n.id", "h.id").alias("id_a"),
+            F.greatest("n.id", "h.id").alias("id_b"),
+        )
+    )
+    return within.unionByName(across).distinct()
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    **sig_params,
+) -> DataFrame:
+    """One ingest step: append the batch's signatures, return its
+    candidate pairs (new-vs-new plus new-vs-history)."""
+    bid = append_signature_batch(spark, new_docs, store_path, **sig_params)
+    return candidates_for_batch(spark, store_path, bid)

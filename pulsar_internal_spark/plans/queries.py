@@ -1700,6 +1700,36 @@ WITH toks AS (
 """
 
 
+@_register("incremental_minhash_dedup", _SHINGLE_CTE + "SELECT id_a, id_b FROM cand")
+def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup (operators/signature_store.py): the
+    corpus arrives as two ingest batches (split by doc_id parity); each
+    batch's banded signatures are appended to a persisted bucket store
+    and its candidates are found by joining the batch against the store
+    — history is never re-signed and never self-joined. The oracle is
+    the FULL-corpus LSH: the union of per-batch candidate sets must
+    equal one-shot minhash_lsh_candidates over everything, which is the
+    batch-equivalence invariant the store guarantees (same hash family,
+    same bands; the split is arbitrary). This is the 100 TB shape — a
+    daily batch joins the store's buckets instead of recomputing the
+    corpus-wide self-join."""
+    import tempfile
+
+    from ..operators import signature_store as sig_store
+
+    docs = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="pulsar_sigstore_")
+    c0 = sig_store.incremental_minhash_dedup(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store
+    )
+    c1 = sig_store.incremental_minhash_dedup(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store
+    )
+    # batch-0 pairs are even-even, batch-1 pairs odd-odd or odd-even:
+    # disjoint by construction, so the union IS the full candidate set
+    return c0.unionByName(c1)
+
+
 @_register("minhash_band_candidates", _SHINGLE_CTE + "SELECT id_a, id_b FROM cand")
 def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: shingle -> 8-hash minhash

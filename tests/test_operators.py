@@ -854,3 +854,72 @@ def test_decode_pixels_survives_truncated_deflate_and_headers():
             break
         pos += 12 + clen
     assert mm._decode_pixels(cut_at_body_end) is None
+
+
+def test_incremental_minhash_equals_batch_on_union(spark, sf_dir, tmp_path):
+    """Batch-equivalence invariant of the signature store: documents
+    arriving as THREE arbitrary batches, deduped incrementally, must
+    yield exactly the candidate set of one-shot minhash_lsh_candidates
+    over the full corpus — and history is never re-signed (the store
+    holds one signature row set per batch partition)."""
+    import os
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sigstore")
+
+    # uneven 3-way split
+    batches = [
+        docs.filter(F.col("doc_id") % 5 <= 1),
+        docs.filter(F.col("doc_id") % 5 == 2),
+        docs.filter(F.col("doc_id") % 5 >= 3),
+    ]
+    got = set()
+    for i, b in enumerate(batches):
+        bid = S.append_signature_batch(spark, b, store)
+        assert bid == i
+        got |= {
+            (r.id_a, r.id_b)
+            for r in S.candidates_for_batch(spark, store, bid).collect()
+        }
+
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    assert got == want, (
+        f"incremental != batch: missing={sorted(want - got)[:5]} "
+        f"extra={sorted(got - want)[:5]}"
+    )
+
+    # store layout: one hive partition per batch (prunable increments)
+    parts = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_incremental_minhash_empty_and_single_batches(spark, tmp_path):
+    """Edge cases: the first batch against an empty store yields only
+    within-batch pairs; an empty batch yields nothing and still
+    advances the batch counter consistently."""
+    from pulsar_internal_spark.operators import signature_store as S
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sigstore_edge")
+    bid = S.append_signature_batch(spark, docs, store)
+    assert bid == 0
+    pairs = {(r.id_a, r.id_b)
+             for r in S.candidates_for_batch(spark, store, 0).collect()}
+    assert pairs == {(1, 2)}
+
+    empty = docs.filter(F.col("doc_id") < 0)
+    bid2 = S.append_signature_batch(spark, empty, store)
+    assert bid2 == 1
+    assert S.candidates_for_batch(spark, store, 1).count() == 0
