@@ -30,8 +30,8 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
   per_source_sample_cap pii_redaction provenance_flags
-  q4_late_shipment_priority
-  q5_local_supplier_volume q6_forecast_revenue q7_volume_shipping
+  q2_min_cost_supplier q4_late_shipment_priority
+  q5_local_supplier_volume q6_forecast_revenue q7_volume_shipping q11_important_stock
   q8_national_market_share
   q10_returned_items q13_order_count_distribution
   q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
@@ -5075,6 +5075,122 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_suppkey, s_name, total_revenue
         FROM v_supplier JOIN rev ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """
+    )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part, supplier, partsupp, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps_supplycost)
+        FROM partsupp, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (SURVEY.md §2.3 superset): the CORRELATED
+    scalar-aggregate-over-a-bridge-table decorrelation — for each
+    European part, keep only suppliers whose supply cost equals the
+    per-part regional minimum. The fixture has no partsupp, so the
+    bridge is DERIVED from lineitem: one keyed agg over distinct
+    (partkey, suppkey) with MIN(l_extendedprice) as the supply-cost
+    proxy — no arithmetic, so the double min is bit-identical across
+    engines and the equality frontier is deterministic. Catalyst
+    decorrelates the correlated MIN into an aggregate joined back on
+    ps_partkey (plan-tested: no per-row subquery survives); the
+    nation/region dims broadcast; top-100 is TakeOrderedAndProject.
+    """
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(l_extendedprice) AS ps_supplycost
+          FROM v_lineitem GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        FROM v_part, v_supplier, partsupp, v_nation, v_region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps_supplycost)
+            FROM partsupp, v_supplier, v_nation, v_region
+            WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(FLOOR(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT) AS ps_cost_cents,
+             CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    ), natsupp AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM natsupp GROUP BY ps_partkey
+    HAVING CAST(SUM(v) AS BIGINT) > (SELECT CAST(SUM(v) AS BIGINT) FROM natsupp) * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (SURVEY.md §2.3 superset): group-share HAVING
+    over an UNCORRELATED scalar subquery — keep parts whose national
+    stock value exceeds 0.1% of the nation's total, both sides derived
+    from the same bridge aggregation (partsupp derived from lineitem as
+    in q2_min_cost_supplier). All value arithmetic is INTEGER CENTS
+    (explicit half-up via FLOOR(x*100+0.5), FLOOR before the quantity
+    cast — Spark truncates double→long where DuckDB rounds), so group
+    sums and the 0.1% threshold are bit-identical across engines and
+    the HAVING frontier can't flip on a last-ulp difference. Catalyst
+    plans the scalar total as a one-row subquery (its own bounded
+    aggregation pass — the single-partition exchange there holds one
+    row) compared against the grouped aggregate in a plain Filter."""
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(FLOOR(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT) AS ps_cost_cents,
+                 CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS ps_availqty
+          FROM v_lineitem GROUP BY 1, 2
+        ), natsupp AS (
+          SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+          FROM partsupp JOIN v_supplier ON ps_suppkey = s_suppkey
+                        JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+        )
+        SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+        FROM natsupp GROUP BY ps_partkey
+        HAVING CAST(SUM(v) AS BIGINT) > (SELECT CAST(SUM(v) AS BIGINT) FROM natsupp) * 0.001
         """
     )
 

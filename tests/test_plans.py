@@ -232,3 +232,29 @@ def test_per_source_cap_is_hierarchical_topk(spark, sf_dir):
     assert plan.count("Window [row_number()") == 2, plan
     # map-side pruning before the shuffle (bounded shuffle volume)
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_q2_correlated_min_decorrelates_to_join(spark, sf_dir):
+    """Q2's correlated scalar MIN over the derived bridge must be
+    rewritten into an aggregate joined back on the part key — no
+    per-row subquery in the main plan — with the part filter broadcast
+    and the top-100 as TakeOrderedAndProject (no global sort)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Subquery" not in plan, plan  # fully decorrelated
+    assert re.search(r"min\(ps_supplycost\)", plan), plan  # agg+join rewrite
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan, plan  # filter pushed to scan
+
+
+def test_q11_having_over_scalar_is_one_row_subquery(spark, sf_dir):
+    """Q11's 0.1%-of-total threshold must plan as ONE scalar subquery
+    whose single-partition exchange carries exactly one total row —
+    the group aggregate itself stays hash-partitioned."""
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    assert "Subquery subquery" in plan, plan
+    # the only single-partition funnel is the 1-row scalar total
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
