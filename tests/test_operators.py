@@ -923,3 +923,50 @@ def test_incremental_minhash_empty_and_single_batches(spark, tmp_path):
     bid2 = S.append_signature_batch(spark, empty, store)
     assert bid2 == 1
     assert S.candidates_for_batch(spark, store, 1).count() == 0
+
+
+def test_ann_recall_regression_planted_neighbors(spark):
+    """ANN recall regression gate (fixed-seed planted-neighbor corpus):
+    40 base vectors, each with a planted near-duplicate (cos ~0.998)
+    among 200 distractors. Everything is deterministic — numpy seed,
+    sha-derived hyperplanes, seeded kmeans — so these floors are exact
+    reproducible values minus a small safety margin; a param/seed
+    change that collapses recall fails here, which is the only
+    correctness signal the rows-only IVF path has. Measured values at
+    pin time: LSH(4 planes) planted=0.925 overall=0.305; IVF(8 cells,
+    nprobe=4) planted=1.000 overall=0.810."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    bases = rng.normal(size=(40, dim))
+    planted = bases + 0.05 * rng.normal(size=(40, dim))
+    distract = rng.normal(size=(200, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(bases)]
+    rows += [(int(1000 + i), [float(x) for x in v]) for i, v in enumerate(planted)]
+    rows += [(int(2000 + i), [float(x) for x in v]) for i, v in enumerate(distract)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 40")
+
+    bf = sim.brute_force_topk(corpus, queries, k=5).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf}
+    rank1 = {r.query_id: r.neighbor_id for r in bf if r.rank == 1}
+    assert all(rank1[q] == 1000 + q for q in range(40)), (
+        "planted neighbor must be the exact rank-1 hit"
+    )
+
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in sim.lsh_bucketed_topk(corpus, queries, k=5, num_planes=4).collect()}
+    lsh_planted = sum(1 for q in range(40) if (q, 1000 + q) in lsh) / 40
+    lsh_recall = len(lsh & bf_pairs) / len(bf_pairs)
+    assert lsh_planted >= 0.90, f"LSH planted recall collapsed: {lsh_planted}"
+    assert lsh_recall >= 0.30, f"LSH recall@5 collapsed: {lsh_recall}"
+
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in sim.ivf_topk(corpus, queries, k=5, num_centroids=8, nprobe=4).collect()}
+    ivf_planted = sum(1 for q in range(40) if (q, 1000 + q) in ivf) / 40
+    ivf_recall = len(ivf & bf_pairs) / len(bf_pairs)
+    assert ivf_planted >= 0.95, f"IVF planted recall collapsed: {ivf_planted}"
+    assert ivf_recall >= 0.80, f"IVF recall@5 collapsed: {ivf_recall}"
