@@ -303,3 +303,64 @@ def winnow(kh, w: int = 5):
     return F.when(F.size(kh) >= w, F.array_distinct(wins)).otherwise(
         F.array_distinct(kh)
     )
+
+
+def hamming_banded_pairs(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance over an integer
+    fingerprint column (SimHash/pHash family), banded so the join is an
+    EQUI-join on (band_idx, band_val) — never all-pairs. Pigeonhole
+    guarantee: with ``bits/band_bits`` bands, any pair within Hamming
+    distance < #bands shares at least one identical band, so for
+    ``max_hamming < bands`` the banded result EQUALS the brute-force
+    result (exactness is unit-tested against a Python mirror).
+    ``max_df`` caps degenerate fingerprint buckets via drop_hot_keys
+    (a mono-color mega-cluster would otherwise go quadratic); at the
+    default it is a pure scale guard that never fires on healthy data.
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct."""
+    assert bits % band_bits == 0
+    bands = bits // band_bits
+    assert max_hamming < bands, "banding recall is only exact below #bands"
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "h", "band.band_idx", "band.band_val")
+    banded = drop_hot_keys(banded, ["band_idx", "band_val"], max_df)
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

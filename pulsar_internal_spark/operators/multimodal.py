@@ -733,3 +733,86 @@ def frame_sample_real(df: DataFrame, every_k: int = 2, max_frames: int = 8) -> D
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, FRAME_SCHEMA_MM)
+
+
+# -- perceptual image dedup ------------------------------------------------
+
+GROUP_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def attach_group_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 40,
+    image_format: str = "bmp",
+) -> DataFrame:
+    """Manufacture a near-duplicate image corpus: each doc's 4x4 image
+    derives from its GROUP (doc_id % groups) — docs sharing a group get
+    near-identical pixels differing by one low-delta byte perturbation
+    (pixel byte ``group % 48`` += ``doc_id % 3``, mod 256). Real format
+    bytes (BMP or PNG), deterministic, so an independent oracle can
+    recompute every pixel from sha256 arithmetic alone."""
+    if image_format not in ("bmp", "png"):
+        raise ValueError(f"unsupported image_format: {image_format}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        maker = make_png if image_format == "png" else make_bmp
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % groups
+                px = bytearray(
+                    hashlib.sha256(f"img:{g}".encode()).digest()
+                    + hashlib.sha256(f"img2:{g}".encode()).digest()[:16]
+                )
+                idx = g % 48
+                px[idx] = (px[idx] + int(doc_id) % 3) % 256
+                ids.append(doc_id)
+                payloads.append(maker(4, 4, bytes(px)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+
+
+def ahash_bits(pixels: bytes, n_px: int) -> int:
+    """Average hash of decoded RGB pixels, all-integer: gray_i =
+    r+g+b; bit i set iff n*gray_i > sum(gray) (strict, so ties clear
+    the bit identically in every engine). n_px bits wide."""
+    grays = [
+        pixels[3 * i] + pixels[3 * i + 1] + pixels[3 * i + 2] for i in range(n_px)
+    ]
+    total = sum(grays)
+    return sum(1 << i for i, gr in enumerate(grays) if n_px * gr > total)
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode image payloads (real BMP/PNG parse) and emit the 16-bit
+    average hash of the decoded pixels — the perceptual fingerprint
+    whose Hamming distance survives low-amplitude pixel edits that
+    break exact content hashing. Arrow-batched; per-payload-byte cost."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                img = parse_bmp(data) if data[:2] == b"BM" else parse_png(data)
+                ids.append(doc_id)
+                hashes.append(
+                    ahash_bits(img["pixels"], img["width"] * img["height"])
+                )
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.mapInPandas(decode, AHASH_SCHEMA)

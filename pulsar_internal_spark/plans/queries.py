@@ -25,7 +25,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   descendants_tree dq_constraint_violations
   djb2_hash_nation doc_fingerprints envelope_header_parse
   executor_identity files_census function_hash_sha2 funnel_conversion
-  http_record_shape hypertable_rollup_merge iscached_probe
+  http_record_shape hypertable_rollup_merge image_near_dup iscached_probe
   multimodal_envelope
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
@@ -2324,6 +2324,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_len",
         F.size("feature").alias("feat_dim"),
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+@_register(
+    "image_near_dup",
+    """
+    WITH img AS (
+      SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS v FROM documents
+    ), hx AS (
+      SELECT doc_id, g, v,
+             sha256('img:' || g) AS h1, sha256('img2:' || g) AS h2
+      FROM img
+    ), px0 AS (
+      SELECT doc_id, g, v, list_transform(range(48), i ->
+        CASE WHEN i < 32 THEN
+          (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+2, 1))-1)
+        ELSE
+          (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+2, 1))-1)
+        END) AS px
+      FROM hx
+    ), pxp AS (
+      SELECT doc_id, list_transform(range(48), i ->
+        CASE WHEN i = g % 48 THEN (px[CAST(i AS INT)+1] + v) % 256
+             ELSE px[CAST(i AS INT)+1] END) AS px
+      FROM px0
+    ), gr AS (
+      SELECT doc_id, list_transform(range(16), j ->
+        px[3*CAST(j AS INT)+1] + px[3*CAST(j AS INT)+2] + px[3*CAST(j AS INT)+3]) AS grays
+      FROM pxp
+    ), ah AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(16), j ->
+               CASE WHEN 16 * grays[CAST(j AS INT)+1] > list_sum(grays)
+                    THEN 1 << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS ahash
+      FROM gr
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """,
+)
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup, tying the multimodal codecs into the
+    dedup family: each doc carries a real 4x4 BMP (pixels derived from
+    its group key with a per-doc low-amplitude perturbation — the
+    planted near-dup structure), the REAL decoder parses it back, the
+    16-bit average hash (all-integer: bit i = 16*gray_i > total) is the
+    perceptual fingerprint, and pairs within Hamming distance 2 are
+    found by a nibble-banded EQUI-join (operators/dedup.py
+    hamming_banded_pairs, reusing drop_hot_keys) — never all-pairs,
+    exact by pigeonhole for max_hamming < #bands. The oracle recomputes
+    pixels from sha256 arithmetic, the same hash, and an all-pairs
+    Hamming join (equivalent by the pigeonhole guarantee; oracle size
+    is fixture-bounded). At 100 TB the banded join is the only shuffle
+    and its worst bucket is capped."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    hashes = mm.image_ahash(mm.attach_group_images(docs, groups=40))
+    return dedup_ops.hamming_banded_pairs(
+        hashes, hash_col="ahash", id_col="doc_id", bits=16, band_bits=4,
+        max_hamming=2,
     )
 
 

@@ -970,3 +970,64 @@ def test_ann_recall_regression_planted_neighbors(spark):
     ivf_recall = len(ivf & bf_pairs) / len(bf_pairs)
     assert ivf_planted >= 0.95, f"IVF planted recall collapsed: {ivf_planted}"
     assert ivf_recall >= 0.80, f"IVF recall@5 collapsed: {ivf_recall}"
+
+
+def test_image_ahash_banded_pairs_exact_vs_brute_force(spark):
+    """Perceptual image dedup exactness: the nibble-banded Hamming join
+    must return EXACTLY the brute-force pair set (pigeonhole: hamming
+    <= 2 < 4 bands guarantees a shared band), and the planted same-
+    group perturbed variants must dominate the matches. The hash is
+    computed through the REAL codec path: synth BMP -> parse_bmp ->
+    integer aHash."""
+    import hashlib
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import multimodal as mm
+
+    ids = list(range(120))  # 40 groups x 3 variants
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    hashes_df = mm.image_ahash(mm.attach_group_images(docs, groups=40))
+    got_hashes = {r.doc_id: r.ahash for r in hashes_df.collect()}
+
+    # independent Python mirror of the synth + hash
+    def mirror(doc_id):
+        g, v = doc_id % 40, doc_id % 3
+        px = bytearray(
+            hashlib.sha256(f"img:{g}".encode()).digest()
+            + hashlib.sha256(f"img2:{g}".encode()).digest()[:16]
+        )
+        px[g % 48] = (px[g % 48] + v) % 256
+        return mm.ahash_bits(bytes(px), 16)
+
+    assert got_hashes == {i: mirror(i) for i in ids}, "codec path broke the hash"
+
+    pairs = D.hamming_banded_pairs(hashes_df, max_hamming=2)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    want = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(mirror(i) ^ mirror(j)).count("1")
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want, f"banded != brute force: {got ^ want}"
+    # planted pairs recovered: same-group variant pairs at hamming<=2
+    same_group = {(a, b) for (a, b, _) in want if a % 40 == b % 40}
+    assert len(same_group) >= 30, f"too few planted pairs matched: {len(same_group)}"
+
+
+def test_hamming_banded_pairs_caps_mega_bucket(spark):
+    """Adversarial mono-hash cluster: 500 identical fingerprints would
+    go quadratic (125k pairs); drop_hot_keys with a low cap must excise
+    the degenerate bucket while distinct near-pairs still match."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    rows = [(i, 0xABCD) for i in range(500)]        # mega-cluster
+    rows += [(1000, 0x1234), (1001, 0x1236)]        # hamming 1 pair
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+    pairs = D.hamming_banded_pairs(hashes, max_hamming=2, max_df=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in got, "healthy pair lost to the cap"
+    assert not any(a < 500 and b < 500 for a, b in got), (
+        "mega-bucket pairs must be excised by the hot-key cap"
+    )
