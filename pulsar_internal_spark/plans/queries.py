@@ -37,7 +37,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
   q17_small_quantity_revenue q18_large_volume_customers
   q19_disjunctive_pushdown q20_part_share_suppliers
-  q21_sole_late_supplier q22_idle_rich_customers rag_chunking
+  dedup_keep_best q21_sole_late_supplier q22_idle_rich_customers rag_chunking
   random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
   scalar_subquery_orders scd2_user_state_history
@@ -1855,6 +1855,96 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         comp.select(F.col("id").alias("doc_id"), "cluster_id")
         .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+
+
+@_register(
+    "dedup_keep_best",
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + r"""
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    , pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN dsh a ON c.id_a = a.doc_id JOIN dsh b ON c.id_b = b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1
+                          ELSE len(list_distinct(a.s || b.s)) END), 6) >= 0.5
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id),
+    qfeats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+             len(regexp_extract_all(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                                    '\b(the|and|of|to|is)\b')) AS stop
+      FROM documents
+    ), qr AS (
+      SELECT doc_id,
+             ROUND(CAST(n_chars AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS avg_token_len,
+             ROUND(CAST(punct AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 4) AS punct_ratio,
+             ROUND(CAST(stop AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 4) AS stopword_ratio
+      FROM qfeats
+    ), qual AS (
+      SELECT doc_id,
+             ROUND(LEAST(stopword_ratio * 2.0, 1.0) * 0.4
+                   + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.3 END) * 0.3
+                   + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3, 4) AS quality
+      FROM qr
+    ), csize AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY cluster_id
+    )
+    SELECT c.cluster_id, c.id AS keep_doc_id, q.quality AS best_quality, s.n_members
+    FROM comp c JOIN qual q ON c.id = q.doc_id JOIN csize s ON c.cluster_id = s.cluster_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality DESC, c.id ASC) = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup emission: per near-dup cluster, keep the BEST-
+    QUALITY member (not min-id) — composes three existing operators:
+    the capstone cluster pipeline (LSH candidates -> jaccard verify ->
+    connected components), the quality_scores scalar, and a bounded
+    per-cluster ranking window (clusters are small by construction, so
+    the window partition is tiny; tie-break on doc_id keeps the
+    frontier engine-deterministic on the rounded score). Returns one
+    row per cluster: (cluster_id, keep_doc_id, best_quality,
+    n_members)."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    pairs = dedup_ops.jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
+    qual = (
+        spread(docs)
+        .select("doc_id", textops.quality_features("text").alias("_f"))
+        .select("doc_id", textops.quality_score_from(F.col("_f")).alias("quality"))
+    )
+    j = comp.select(F.col("id").alias("doc_id"), "cluster_id").join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
     )
 
 
