@@ -240,3 +240,83 @@ def test_hot_band_bucket_capped_in_lsh_band_join(spark):
 
     plan = capped_df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan, plan
+
+
+def _plant_docs(spark, tmp_path, rows):
+    """Write a synthetic documents table so the REAL query plans (which
+    read {sf_dir}/documents.parquet) run against planted content."""
+    import os
+
+    sf = str(tmp_path / "sf_planted")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_segment_dedup_survives_viral_boilerplate(spark, tmp_path):
+    """Adversarial viral footer: 2,000 docs share ONE 10-token segment
+    (the hot seg_hash has 2,000 occurrences). The join-form plan must
+    (a) stay exact — every doc scores exactly the planted fraction,
+    (b) never route the hot segment through a per-key window (the
+    single-task straggler shape the docstring rejects), and (c) finish
+    inside a generous wall-clock bound — a quadratic or serialized
+    regression blows the bound by orders of magnitude."""
+    import time
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    footer = " ".join(f"viral{i}" for i in range(10))
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(20)) + " " + footer, "s")
+        for i in range(2000)
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+
+    t0 = time.perf_counter()
+    df = QUERIES["segment_dedup_fraction"](spark, sf)
+    got = {r.doc_id: (r.n_segments, r.n_dup_segments, r.dup_fraction)
+           for r in df.collect()}
+    elapsed = time.perf_counter() - t0
+    # 30 tokens -> 3 segments; the footer lands in its own segment
+    # (tokens 21-30), duplicated corpus-wide; the other 2 are unique
+    assert got == {i: (3, 1, round(1 / 3, 6)) for i in range(2000)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hot segment must not pin to a window task"
+    assert elapsed < 60, f"viral-boilerplate path too slow: {elapsed:.1f}s"
+
+
+def test_containment_cap_excises_viral_boilerplate(spark, tmp_path):
+    """Adversarial boilerplate block shared by 500 docs: uncapped, its
+    fingerprints alone would emit ~C(500,2)=125k pair rows; the MOSS
+    stop-fingerprint cap (max_df=8) must excise them BEFORE the
+    self-join so only genuine containment survives — including a
+    planted quote pair (doc 9000 fully contained in doc 9001) whose
+    fingerprints stay under the cap."""
+    import time
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    boiler = " ".join(f"footer{i}" for i in range(30))
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(30)) + " " + boiler, "s")
+        for i in range(500)
+    ]
+    quoted = " ".join(f"rare{j}" for j in range(40))
+    rows.append((9000, quoted, "s"))
+    rows.append((9001, quoted + " " + " ".join(f"extra{j}" for j in range(60)), "s"))
+    sf = _plant_docs(spark, tmp_path, rows)
+
+    t0 = time.perf_counter()
+    pairs = QUERIES["containment_candidates"](spark, sf).collect()
+    elapsed = time.perf_counter() - t0
+    got = {(r.id_a, r.id_b): r.containment for r in pairs}
+    assert (9000, 9001) in got, "planted containment pair lost"
+    assert got[(9000, 9001)] >= 0.9, got[(9000, 9001)]
+    # boilerplate must not create a pair explosion among the 500 docs
+    boiler_pairs = [p for p in got if p[0] < 500 and p[1] < 500]
+    assert len(boiler_pairs) == 0, (
+        f"{len(boiler_pairs)} boilerplate-driven pairs leaked past the cap"
+    )
+    assert elapsed < 60, f"capped containment too slow: {elapsed:.1f}s"
