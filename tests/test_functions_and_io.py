@@ -364,3 +364,116 @@ def test_spread_passes_streaming_df_through(spark, tmp_path):
     out = spread(sdf)
     assert out.isStreaming
     assert out is sdf  # untouched, no repartition injected
+
+
+# -- HTTP ingestion (D7 records, http.hpp:139-294/450-496) ----------------
+
+
+import threading
+
+
+def _start_http_server():
+    """Local-only test server: JSON body + custom header + cookie on /ok,
+    404 on /missing, POST echo on /echo."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b'{"hello": "world"}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("X-Custom", "yes")
+                self.send_header("Set-Cookie", "sid=abc123; Path=/")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                body = b"nope"
+                self.send_response(404)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = b"echo:" + self.rfile.read(n)
+            self.send_response(201)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}"
+
+
+def test_http_request_builds_d7_records(spark):
+    """Driver-side HttpGet/HttpPost: D7 shape (Success, StatusCode,
+    StatusMessage phrase, header map, cookie map, body), failures kept
+    as evidence rows."""
+    from pulsar_internal_spark.sources.http import http_request
+
+    srv, base = _start_http_server()
+    try:
+        df = http_request(
+            spark,
+            [
+                {"url": f"{base}/ok"},
+                {"url": f"{base}/missing"},
+                {"url": f"{base}/echo", "method": "POST", "body": "ping"},
+                {"url": "http://127.0.0.1:1/unreachable", },
+            ],
+            timeout=5.0,
+        )
+        rows = {r.url.rsplit("/", 1)[-1]: r for r in df.collect()}
+    finally:
+        srv.shutdown()
+
+    ok = rows["ok"]
+    assert (ok.Success, ok.StatusCode, ok.StatusMessage) == (True, 200, "OK")
+    assert ok.Headers["x-custom"] == "yes"
+    assert ok.Cookies == {"sid": "abc123"}
+    assert '"hello"' in ok.Body
+
+    miss = rows["missing"]
+    assert (miss.Success, miss.StatusCode, miss.StatusMessage) == (
+        False, 404, "Not Found")
+    assert miss.Body == "nope"
+
+    echo = rows["echo"]
+    assert (echo.Success, echo.StatusCode, echo.StatusMessage) == (
+        True, 201, "Created")
+    assert echo.Body == "echo:ping"
+
+    dead = rows["unreachable"]
+    assert dead.Success is False and dead.StatusCode == 0
+    assert dead.StatusMessage  # error text preserved
+
+
+def test_http_fetch_distributed_matches_driver_path(spark):
+    """Executor-side fetch of a request table: same records as the
+    driver path, produced by Arrow-batched workers — and the plan is a
+    mapInPandas over the request table (no collect of payloads)."""
+    from pulsar_internal_spark.sources.http import (
+        http_fetch_distributed,
+        http_request,
+    )
+
+    srv, base = _start_http_server()
+    try:
+        urls = [f"{base}/ok", f"{base}/missing"]
+        req_df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        dist = {r.url: r for r in http_fetch_distributed(req_df).collect()}
+        drv = {r.url: r for r in
+               http_request(spark, [{"url": u} for u in urls]).collect()}
+    finally:
+        srv.shutdown()
+    for u in urls:
+        a, b = dist[u], drv[u]
+        assert (a.Success, a.StatusCode, a.StatusMessage, a.Body) == (
+            b.Success, b.StatusCode, b.StatusMessage, b.Body)
+        assert a.Cookies == b.Cookies

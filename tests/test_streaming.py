@@ -735,3 +735,141 @@ def test_streaming_scd2_drops_cross_batch_late_events(spark, tmp_path):
     ), rows
     opens = [r for r in rows if r.is_current]
     assert {(r.state, r.valid_from_us) for r in opens} == {("B", 2000)}
+
+
+# -- full-duplex framed socket client (WebSocket analogue) ----------------
+
+
+def test_duplex_client_roundtrip_and_close(spark, tmp_path):
+    """The WebSocket triangle over the 4-byte-BE frame wire: Send
+    (client->server), OnMessage (server frames land in the lpframes
+    spool, binary-exact), OnClose (marker committed exactly once when
+    the peer closes; with_close_flag annotates the read)."""
+    import socket
+    import struct
+    import threading
+
+    from pulsar_internal_spark.sources.lpframes import LengthPrefixedFrames
+    from pulsar_internal_spark.streaming.duplex import (
+        CLOSE_MARKER,
+        FrameSocketClient,
+        stream_closed,
+        with_close_flag,
+    )
+
+    received = []
+
+    def serve(listener, n_expect):
+        conn, _ = listener.accept()
+        with conn:
+            # read n_expect frames from the client (Send direction)...
+            for _ in range(n_expect):
+                hdr = b""
+                while len(hdr) < 4:
+                    hdr += conn.recv(4 - len(hdr))
+                n = struct.unpack(">I", hdr)[0]
+                body = b""
+                while len(body) < n:
+                    body += conn.recv(n - len(body))
+                received.append(body)
+            # ...then push 3 frames back (OnMessage direction), incl. binary
+            for p in (b"event-1", b"\x00\xffbin", b"event-3"):
+                conn.sendall(struct.pack(">I", len(p)) + p)
+        # connection closes -> client must commit the OnClose marker
+
+    listener = socket.create_connection  # noqa: F841 (clarity)
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    t = threading.Thread(target=serve, args=(srv, 2), daemon=True)
+    t.start()
+
+    spool = str(tmp_path / "duplex_spool")
+    client = FrameSocketClient(
+        "127.0.0.1", srv.getsockname()[1], spool, frames_per_file=2
+    )
+    client.send(b"hello")
+    client.send(b"\x01\x02 binary out")
+    assert client.closed.wait(timeout=10), "close event never fired"
+    client.close()
+    t.join(timeout=5)
+    srv.close()
+
+    assert received == [b"hello", b"\x01\x02 binary out"]
+
+    import os
+
+    assert os.path.exists(os.path.join(spool, CLOSE_MARKER))
+    assert stream_closed(spool)
+
+    spark.dataSource.register(LengthPrefixedFrames)
+    df = with_close_flag(spark.read.format("lpframes").load(spool), spool)
+    rows = sorted(
+        (bytes(r.payload_bin) for r in df.collect()),
+    )
+    assert sorted([b"event-1", b"\x00\xffbin", b"event-3"]) == rows
+    assert all(r.stream_closed for r in df.collect())
+
+
+def test_duplex_sink_sends_streaming_batches(spark, tmp_path):
+    """Send as a STREAMING sink: a foreachBatch query frames its rows
+    out the socket; the peer receives every payload byte-exact."""
+    import socket
+    import struct
+    import threading
+    import time
+
+    from pulsar_internal_spark.streaming.duplex import (
+        FrameSocketClient,
+        sink_to_socket,
+    )
+
+    got = []
+    done = threading.Event()
+
+    def serve(srv, n_expect):
+        conn, _ = srv.accept()
+        with conn:
+            for _ in range(n_expect):
+                hdr = b""
+                while len(hdr) < 4:
+                    hdr += conn.recv(4 - len(hdr))
+                n = struct.unpack(">I", hdr)[0]
+                body = b""
+                while len(body) < n:
+                    body += conn.recv(n - len(body))
+                got.append(body)
+        done.set()
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    threading.Thread(target=serve, args=(srv, 5), daemon=True).start()
+
+    spool = str(tmp_path / "sink_spool")
+    client = FrameSocketClient("127.0.0.1", srv.getsockname()[1], spool)
+
+    from pyspark.sql import functions as F
+
+    inbox = tmp_path / "sink_inbox"
+    inbox.mkdir()
+    for i in range(5):
+        (inbox / f"{i:03d}.txt").write_text(f"msg-{i}")
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "2")
+        .load(str(inbox))
+        .select(F.col("value").alias("payload"))
+    )
+    q = stream.writeStream.foreachBatch(sink_to_socket(client)).option(
+        "checkpointLocation", str(tmp_path / "sink_ckpt")
+    ).start()
+    try:
+        deadline = time.monotonic() + 60
+        while len(got) < 5 and time.monotonic() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        client.close()
+        srv.close()
+    assert sorted(got) == [f"msg-{i}".encode() for i in range(5)]

@@ -43,6 +43,12 @@ HEADLINERS: list[tuple[str, str]] = [
     ("segment_dedup_fraction", "sub-document dedup: segment hash frequency join, partial-agg + AQE-skew-safe (deliberately no window)"),
     ("user_pagerank", "3 power iterations: one edge join + one keyed agg per round, N as broadcast column"),
     ("hypertable_rollup_merge", "continuous aggregate: closed partials + raw tail merged by a final algebraic agg"),
+    ("per_source_sample_cap", "hierarchical two-phase top-K: (source, salt) window then exact re-rank of bounded survivors"),
+    ("q2_min_cost_supplier", "correlated scalar MIN decorrelated to aggregate+join on the part key; top-100 TakeOrdered"),
+    ("q11_important_stock", "HAVING over an uncorrelated scalar: 1-row subquery is the only single-partition exchange"),
+    ("incremental_minhash_dedup", "new-batch bands vs persisted signature store: within-batch self-join + new-vs-history equi-join"),
+    ("image_near_dup", "perceptual dedup: real BMP decode -> integer aHash -> nibble-banded Hamming equi-join with hot-key cap"),
+    ("dedup_keep_best", "cluster pipeline + quality join + bounded per-cluster ranking window"),
 ]
 
 
