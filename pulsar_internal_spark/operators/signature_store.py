@@ -56,6 +56,7 @@ def append_signature_batch(
     new_docs: DataFrame,
     store_path: str,
     *,
+    batch_id: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
@@ -63,7 +64,13 @@ def append_signature_batch(
     shingle_n: int = 3,
 ) -> int:
     """Sign ``new_docs`` and append the banded signatures to the store
-    under the next batch_id (0 for a fresh store). Returns the batch_id.
+    under ``batch_id`` (next sequential id when None; 0 for a fresh
+    store). Returns the batch_id used.
+
+    An EXPLICIT batch_id is written with dynamic partition overwrite,
+    making the write IDEMPOTENT on that id — a retried streaming batch
+    replaces its own partial partition instead of double-appending
+    signatures (the exactly-once contract foreachBatch needs).
 
     The write is the only place signatures are computed; everything
     downstream (same-batch pairs, cross-batch pairs, later batches)
@@ -71,21 +78,29 @@ def append_signature_batch(
     batches — they define the hash family, so they are part of the
     store's identity (asserted against a stored _PARAMS marker row is
     overkill; the caller owns the config, as with any table schema)."""
-    existing = _read_store(spark, store_path)
-    if existing is None:
-        bid = 0
+    if batch_id is None:
+        existing = _read_store(spark, store_path)
+        if existing is None:
+            bid = 0
+        else:
+            prev = existing.agg(F.max("batch_id")).collect()[0][0]
+            bid = 0 if prev is None else int(prev) + 1
     else:
-        prev = existing.agg(F.max("batch_id")).collect()[0][0]
-        bid = 0 if prev is None else int(prev) + 1
-    (
-        banded_signatures(
-            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        bid = int(batch_id)
+    out = banded_signatures(
+        new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+    ).withColumn("batch_id", F.lit(bid))
+    if batch_id is None:
+        out.write.mode("append").partitionBy("batch_id").parquet(store_path)
+    else:
+        saved = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
-        .withColumn("batch_id", F.lit(bid))
-        .write.mode("append")
-        .partitionBy("batch_id")
-        .parquet(store_path)
-    )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("batch_id").parquet(store_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     return bid
 
 
@@ -136,3 +151,48 @@ def incremental_minhash_dedup(
     candidate pairs (new-vs-new plus new-vs-history)."""
     bid = append_signature_batch(spark, new_docs, store_path, **sig_params)
     return candidates_for_batch(spark, store_path, bid)
+
+
+def streaming_minhash_dedup(
+    docs_stream: DataFrame,
+    store_path: str,
+    candidates_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **sig_params,
+):
+    """CONTINUOUS near-dup dedup: each micro-batch of documents is
+    signed, idempotently appended to the signature store under the
+    STREAMING batch id, and its candidate pairs (within-batch plus
+    vs-all-history) land in ``candidates_path`` partitioned by
+    batch_id. Both writes use dynamic partition overwrite keyed on the
+    engine's batch id, so a replayed batch after a crash replaces its
+    own partitions — exactly-once output on top of at-least-once
+    foreachBatch, the same idempotence contract run_fifo_sink
+    documents. Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        append_signature_batch(
+            spark, batch_df, store_path, batch_id=batch_id, **sig_params
+        )
+        cands = candidates_for_batch(spark, store_path, batch_id).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        saved = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cands.write.mode("overwrite").partitionBy("batch_id").parquet(
+                candidates_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    writer = docs_stream.writeStream.queryName("minhash_dedup").option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

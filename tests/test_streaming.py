@@ -873,3 +873,74 @@ def test_duplex_sink_sends_streaming_batches(spark, tmp_path):
         client.close()
         srv.close()
     assert sorted(got) == [f"msg-{i}".encode() for i in range(5)]
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
+    """Continuous near-dup dedup: docs arriving as streamed files must
+    yield, across all micro-batches, exactly the one-shot LSH candidate
+    set over the union — the streaming twin of the signature-store
+    equivalence property — and the explicit-batch-id append must be
+    idempotent (re-appending a batch id leaves the store unchanged)."""
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import signature_store as S
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"while carrying a basket of fresh green apples to market"
+        for i in range(12)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text.replace("basket", "bundle")))
+
+    inbox = tmp_path / "mh_inbox"
+    inbox.mkdir()
+    # two file-drops -> two (or more) micro-batches
+    for half in (0, 1):
+        chunk = rows[half * 12 : (half + 1) * 12]
+        (inbox / f"{half}.csv").write_text(
+            "\n".join(f"{i}\t{t}" for i, t in chunk)
+        )
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    store = str(tmp_path / "mh_store")
+    cands = str(tmp_path / "mh_cands")
+    q = S.streaming_minhash_dedup(
+        stream, store, cands, str(tmp_path / "mh_ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(cands).select("id_a", "id_b").collect()
+    }
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs).collect()}
+    assert got == want, f"missing={want - got} extra={got - want}"
+
+    # idempotence: replaying the LAST batch id must not change the store
+    import duckdb
+
+    last_bid = max(
+        int(r.batch_id)
+        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    )
+    replay = docs.filter(F.col("doc_id") >= 12)  # any subset; same bid
+    S.append_signature_batch(spark, replay, store, batch_id=last_bid)
+    S.append_signature_batch(spark, replay, store, batch_id=last_bid)
+    after1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    S.append_signature_batch(spark, replay, store, batch_id=last_bid)
+    after2 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    assert after1 == after2, "explicit-batch-id append must be idempotent"
