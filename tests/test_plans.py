@@ -65,6 +65,10 @@ def test_compaction_is_single_aggregation_not_window(spark, sf_dir):
         "exact_dedup_docs",
         "context_packing",
         "weighted_mixture_sample",
+        "image_near_dup",
+        "incremental_minhash_dedup",
+        "dedup_keep_best",
+        "per_source_sample_cap",
     ],
 )
 def test_no_single_partition_exchange(spark, sf_dir, name):
@@ -258,3 +262,15 @@ def test_q11_having_over_scalar_is_one_row_subquery(spark, sf_dir):
     # the only single-partition funnel is the 1-row scalar total
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_image_near_dup_is_banded_equi_join_with_cap(spark, sf_dir):
+    """Perceptual dedup must pair via the nibble-band hash equi-join
+    with the hot-key cap's broadcast anti join in front — no all-pairs
+    shape anywhere, decode stays in Arrow batches (no row-at-a-time
+    Python)."""
+    plan = _plan(spark, sf_dir, "image_near_dup")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "LeftAnti" in plan, plan  # drop_hot_keys broadcast anti join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # mapInPandas only
