@@ -113,7 +113,10 @@ def candidates_for_batch(
     against history — those pairs were emitted when their own batches
     arrived, which is what makes the increment O(new x matched), not
     O(corpus^2)."""
-    store = spark.read.parquet(store_path)
+    return _candidates(spark.read.parquet(store_path), batch_id)
+
+
+def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
     new = store.filter(F.col("batch_id") == batch_id)
     hist = store.filter(F.col("batch_id") < batch_id)
 
@@ -196,3 +199,88 @@ def streaming_minhash_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+# -- bucketed-table store: shuffle-free history joins ---------------------
+
+
+def append_signature_batch_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    *,
+    batch_id: int | None = None,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> int:
+    """The CLUSTER-scale store: a catalog table partitioned by batch_id
+    and BUCKETED on the band key, so candidate joins read both sides
+    pre-hash-partitioned — ZERO exchanges in the pair join (plan-tested
+    in test_scale_ops). This is the path-based store's docstring note
+    made real; path parquet cannot persist bucketing metadata, a
+    catalog table can. Appends the batch's signatures; returns the
+    batch_id used.
+
+    The bucket column is ``band`` = band_idx ':' band_key — ONE column,
+    because the bucketed-scan planner only keeps the bucketing when the
+    join keys equal the bucket column set (a (band_idx, band_key)
+    two-key join against a band_key-only bucketing gets its bucketed
+    scan disabled as 'unnecessary'). Sorted within buckets so the
+    sort-merge join reads presorted runs."""
+    if batch_id is None:
+        if spark.catalog.tableExists(table):
+            prev = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
+            bid = 0 if prev is None else int(prev) + 1
+        else:
+            bid = 0
+    else:
+        bid = int(batch_id)
+    (
+        banded_signatures(
+            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        )
+        .select(
+            "id",
+            F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("band"),
+        )
+        .withColumn("batch_id", F.lit(bid))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .bucketBy(num_buckets, "band")
+        .sortBy("band")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return bid
+
+
+def candidates_for_batch_bucketed(
+    spark: SparkSession, table: str, batch_id: int
+) -> DataFrame:
+    """candidates_for_batch over the bucketed catalog store: identical
+    semantics, but the within-batch self-join AND the new-vs-history
+    join are co-located by the table's band bucketing — the only
+    shuffle left in the whole increment is the final distinct."""
+    store = spark.table(table)
+    new = store.filter(F.col("batch_id") == batch_id)
+    hist = store.filter(F.col("batch_id") < batch_id)
+
+    a, b = new.alias("a"), new.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    n, h = new.alias("n"), hist.alias("h")
+    across = n.join(
+        h,
+        (F.col("n.band") == F.col("h.band")) & (F.col("n.id") != F.col("h.id")),
+    ).select(
+        F.least("n.id", "h.id").alias("id_a"),
+        F.greatest("n.id", "h.id").alias("id_b"),
+    )
+    return within.unionByName(across).distinct()

@@ -320,3 +320,76 @@ def test_containment_cap_excises_viral_boilerplate(spark, tmp_path):
         f"{len(boiler_pairs)} boilerplate-driven pairs leaked past the cap"
     )
     assert elapsed < 60, f"capped containment too slow: {elapsed:.1f}s"
+
+
+def test_bucketed_signature_store_joins_without_exchange(spark, tmp_path):
+    """The bucketed signature store must (a) return the same candidate
+    set as the path-based store, and (b) plan the pair joins with ZERO
+    hash-exchanges on the store scans — both join sides come from the
+    band_key-bucketed table, so the only shuffle in the increment is
+    the final distinct. This is the 100 TB incremental-dedup shape:
+    history is never re-shuffled, per-batch cost is the batch itself."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.sources.tables import load_table
+
+    table = "sig_store_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
+
+    sf_dir = __import__("os").environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+
+    store_path = str(tmp_path / "sig_store_plain")
+    got, want = set(), set()
+    try:
+        for b in batches:
+            bid = S.append_signature_batch_bucketed(spark, b, table)
+            got |= {
+                (r.id_a, r.id_b)
+                for r in S.candidates_for_batch_bucketed(spark, table, bid).collect()
+            }
+            bid2 = S.append_signature_batch(spark, b, store_path)
+            want |= {
+                (r.id_a, r.id_b)
+                for r in S.candidates_for_batch(spark, store_path, bid2).collect()
+            }
+        assert got == want and got, "bucketed store diverged from path store"
+
+        # plan: with broadcast disabled, the pair joins must be
+        # co-located bucket reads — no hash exchange below the joins
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            for k in saved:
+                spark.conf.set(k, "-1")
+            df = S.candidates_for_batch_bucketed(spark, table, 1)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        import re
+
+        # every store scan keeps its bucketing; no exchange on the band
+        # key anywhere; the ONLY shuffle is the final distinct
+        assert plan.count("Bucketed: true") == 4, plan
+        assert "Bucketed: false" not in plan, plan
+        assert not re.findall(r"Exchange hashpartitioning\(band", plan), plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
