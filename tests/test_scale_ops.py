@@ -393,3 +393,59 @@ def test_bucketed_signature_store_joins_without_exchange(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Runtime semi-join reduction: a selective dim-side filter must
+    inject a bloom filter onto the fact side of a shuffle join
+    (might_contain over bloom_filter_agg in the optimized plan) — at
+    100 TB this prunes fact rows BEFORE the shuffle, the single biggest
+    lever on selective star joins that are too big to broadcast. The
+    application-side threshold is lowered because the fixture is small;
+    on a cluster the 10 GiB default gates it to scans that matter."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        # and the result is unaffected by the filter (pure pruning)
+        thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        spark.conf.set(thr, saved[thr]) if saved[thr] is not None else spark.conf.unset(thr)
+        plain = {
+            (r.o_orderstatus, r["count"])
+            for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        assert {(r.o_orderstatus, r["count"]) for r in j.collect()} == plain
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
