@@ -1713,12 +1713,19 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bands; the split is arbitrary). This is the 100 TB shape — a
     daily batch joins the store's buckets instead of recomputing the
     corpus-wide self-join."""
+    import os
+    import shutil
     import tempfile
 
     from ..operators import signature_store as sig_store
 
     docs = _t(spark, sf_dir, "documents")
-    store = tempfile.mkdtemp(prefix="pulsar_sigstore_")
+    # one deterministic scratch dir per process, wiped per invocation —
+    # repeated bench runs must not accumulate tempdirs
+    store = os.path.join(
+        tempfile.gettempdir(), f"pulsar_sigstore_demo_{os.getpid()}"
+    )
+    shutil.rmtree(store, ignore_errors=True)
     c0 = sig_store.incremental_minhash_dedup(
         spark, docs.filter(F.col("doc_id") % 2 == 0), store
     )
