@@ -197,9 +197,23 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (id_a, id_b) pairs.
-    array_intersect/array_union on distinct shingles — JVM-side."""
+    array_intersect/array_union on distinct shingles — JVM-side.
+
+    Only docs that appear in a candidate pair are shingled: the verify
+    stage semi-joins the corpus against the (small) candidate id set
+    first, so its cost is bounded by the LSH fan-out, not the corpus —
+    at 100 TB candidates are a vanishing fraction of documents and
+    re-shingling everything for the verify would dwarf the verify
+    itself. The id set broadcasts (left-semi builds right), so the
+    corpus scan streams with no shuffle added."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sh = (
-        spread(df)
+        spread(needed)
         .select(F.col(id_col).alias("id"), tokenized(text_col).alias("_words"))
         .select(
             "id",
