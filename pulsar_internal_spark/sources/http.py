@@ -151,20 +151,21 @@ def http_fetch_distributed(
     fetch their rows (Arrow-batched mapInPandas), so throughput scales
     with the cluster, the driver never sees a payload, and a dead URL
     costs one evidence row, not a task retry. Partition the input by
-    target host if politeness/connection reuse matters upstream."""
+    target host if politeness/connection reuse matters upstream.
+    Null method/body cells are treated as absent."""
     import pandas as pd
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {f.name: [] for f in HTTP_RECORD_SCHEMA.fields}
             for _, row in pdf.iterrows():
-                rec = fetch_record(
-                    row[url_col],
-                    str(row[method_col]) if method_col else "GET",
-                    None,
-                    str(row[body_col]) if body_col and row[body_col] is not None else None,
-                    timeout,
-                )
+                # null method/body arrive as NaN through Arrow — treat
+                # as absent, not the string "nan"
+                method = row[method_col] if method_col else None
+                method = "GET" if method is None or pd.isna(method) else str(method)
+                body = row[body_col] if body_col else None
+                body = None if body is None or pd.isna(body) else str(body)
+                rec = fetch_record(row[url_col], method, None, body, timeout)
                 for k, v in rec.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

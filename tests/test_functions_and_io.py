@@ -477,3 +477,22 @@ def test_http_fetch_distributed_matches_driver_path(spark):
         assert (a.Success, a.StatusCode, a.StatusMessage, a.Body) == (
             b.Success, b.StatusCode, b.StatusMessage, b.Body)
         assert a.Cookies == b.Cookies
+
+
+def test_http_fetch_distributed_null_method_body(spark):
+    """Nullable method/body columns: NaN cells must mean 'absent'
+    (GET, no body), never the literal string 'nan'."""
+    from pulsar_internal_spark.sources.http import http_fetch_distributed
+
+    srv, base = _start_http_server()
+    try:
+        req = spark.createDataFrame(
+            [(f"{base}/echo", "POST", "data"), (f"{base}/ok", None, None)],
+            "url string, method string, body string",
+        )
+        rows = {r.url.rsplit("/", 1)[-1]: r for r in http_fetch_distributed(
+            req, method_col="method", body_col="body").collect()}
+    finally:
+        srv.shutdown()
+    assert rows["echo"].Body == "echo:data"
+    assert rows["ok"].StatusCode == 200 and '"hello"' in rows["ok"].Body

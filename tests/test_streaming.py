@@ -777,7 +777,6 @@ def test_duplex_client_roundtrip_and_close(spark, tmp_path):
                 conn.sendall(struct.pack(">I", len(p)) + p)
         # connection closes -> client must commit the OnClose marker
 
-    listener = socket.create_connection  # noqa: F841 (clarity)
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))
     srv.listen(1)
