@@ -1031,3 +1031,35 @@ def test_hamming_banded_pairs_caps_mega_bucket(spark):
     assert not any(a < 500 and b < 500 for a, b in got), (
         "mega-bucket pairs must be excised by the hot-key cap"
     )
+
+
+def test_ivf_index_build_probe_and_partition_pruning(spark, sf_dir, tmp_path):
+    """Persisted IVF index: (a) probing with nprobe == num_centroids
+    degenerates to exact brute force (same pairs, same ranks), (b) a
+    partial probe's scores are exact for every returned pair, and (c)
+    the cells scan is DYNAMICALLY PARTITION-PRUNED by the probed cell
+    set — the serving-path guarantee that a batch reads
+    nprobe/num_centroids of the index, not all of it."""
+    from pulsar_internal_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(emb, path, num_centroids=8)
+    queries = emb.limit(6)
+
+    bf = sim.brute_force_topk(emb, queries, k=5).collect()
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}
+
+    full = sim.ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in bf
+    }, "nprobe == cells must equal brute force"
+
+    part = sim.ivf_index_topk(spark, path, queries, k=5, nprobe=3)
+    for r in part.collect():
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(r.cos_sim - bf_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
