@@ -284,3 +284,58 @@ def candidates_for_batch_bucketed(
         F.greatest("n.id", "h.id").alias("id_b"),
     )
     return within.unionByName(across).distinct()
+
+
+def compact_store(spark: SparkSession, store_path: str) -> int:
+    """Maintenance: fold every batch partition into a single base batch
+    (id 0). Thousands of daily increments otherwise accumulate one
+    hive partition each — small files and listing cost — while the
+    candidates algebra only ever distinguishes "mine" from "earlier",
+    so collapsing history is semantics-preserving: a future batch N
+    joins hist = batch_id < N either way, and already-emitted pairs
+    are never re-emitted (compaction changes no membership, only
+    layout). Returns the number of batches folded. Staged safely:
+    write the compacted generation beside the store, then swap."""
+    import os
+    import shutil
+
+    store = spark.read.parquet(store_path)
+    n_batches = store.select("batch_id").distinct().count()
+    if n_batches <= 1:
+        return n_batches
+    tmp = store_path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        store.select("id", "band_idx", "band_key")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    old = store_path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store_path, old)
+    os.replace(tmp, store_path)
+    shutil.rmtree(old)
+    return n_batches
+
+
+def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
+    """Retention: drop signature partitions for batches strictly below
+    ``keep_from_batch`` (documents aged out of the dedup horizon) — a
+    directory-level delete, the same O(#partitions) metadata operation
+    as rollup.expire_partitions. New batches then stop matching against
+    the expired era; pairs already emitted are unaffected. Returns the
+    removed batch ids."""
+    import os
+    import shutil
+
+    removed = []
+    for d in sorted(os.listdir(store_path)):
+        if not d.startswith("batch_id="):
+            continue
+        bid = int(d.split("=", 1)[1])
+        if bid < keep_from_batch:
+            shutil.rmtree(os.path.join(store_path, d))
+            removed.append(bid)
+    return removed

@@ -1063,3 +1063,58 @@ def test_ivf_index_build_probe_and_partition_pruning(spark, sf_dir, tmp_path):
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
+    """Store maintenance is semantics-preserving: after compacting N
+    batch partitions into one base, a NEW batch's candidates are
+    byte-identical to the uncompacted store's; retention removes whole
+    batch partitions and only silences matches against the expired
+    era."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    plain, compacted = str(tmp_path / "s_plain"), str(tmp_path / "s_comp")
+    for store in (plain, compacted):
+        S.append_signature_batch(spark, b0, store)
+        S.append_signature_batch(spark, b1, store)
+
+    folded = S.compact_store(spark, compacted)
+    assert folded == 2
+    import os
+
+    assert sorted(
+        d for d in os.listdir(compacted) if d.startswith("batch_id=")
+    ) == ["batch_id=0"]
+
+    # new batch: candidates identical against compacted vs plain store
+    bid_p = S.append_signature_batch(spark, b2, plain)
+    bid_c = S.append_signature_batch(spark, b2, compacted)
+    assert bid_c == 1  # next after the folded base
+    got_p = {(r.id_a, r.id_b)
+             for r in S.candidates_for_batch(spark, plain, bid_p).collect()}
+    got_c = {(r.id_a, r.id_b)
+             for r in S.candidates_for_batch(spark, compacted, bid_c).collect()}
+    assert got_p == got_c and got_p
+
+    # retention on the plain store: expiring batches 0-1 leaves only
+    # within-batch pairs for a re-appended batch
+    removed = S.expire_batches(plain, keep_from_batch=2)
+    assert removed == [0, 1]
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)  # same docs, next batch
+    bid3 = S.append_signature_batch(spark, b3, plain)
+    only_new = S.candidates_for_batch(spark, plain, bid3)
+    # every pair now involves two batch>=2 members (the expired era is
+    # gone); pairs against b0/b1 members of other residue classes vanish
+    ids = {r.doc_id for r in b3.select("doc_id").collect()} | {
+        r.doc_id for r in b2.select("doc_id").collect()
+    }
+    for r in only_new.collect():
+        assert r.id_a in ids and r.id_b in ids
