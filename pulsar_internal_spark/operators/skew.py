@@ -83,3 +83,53 @@ def salted_broadcast_left_join(
     skew fix when the small side fits in memory. (For two big sides,
     rely on AQE skew-join; for pathological keys, pre-split them.)"""
     return big.join(F.broadcast(small), on, how)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    salt_buckets: int = 16,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Hierarchical per-group top-K — the ranking twin of salted_agg.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    pins EVERY row of the biggest group into one reduce task before the
+    rank filter; when one group dominates (one source is 80% of a
+    corpus), that task sorts the whole group alone. Phase 1 here salts
+    each group into ``salt_buckets`` subgroups and keeps each
+    subgroup's top-K; phase 2 re-ranks the ≤ salt_buckets·K survivors
+    exactly. Equivalent to the single window: every global top-K row
+    ranks ≤ K inside its own salt bucket (all rows ordered before it
+    are also global top-K), so phase 1 never drops a winner.
+
+    ``salt_col`` must be DETERMINISTIC per row (derived from row
+    content, e.g. a hash prefix) so retries and resumptions rank
+    identically; defaults to a hash of the order columns. Returns the
+    input columns plus ``rk`` (1-based exact group rank), rows with
+    rk <= k only.
+    """
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(
+            F.hash(*[F.col(c) if isinstance(c, str) else c for c in order_cols]),
+            F.lit(salt_buckets),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .drop("_rk1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )

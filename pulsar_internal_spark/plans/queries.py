@@ -4359,26 +4359,20 @@ def per_source_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset of the top-K assigns the same ranks. Same two-phase shape
     as operators/skew.py's salted_agg. Tie-break on doc_id makes the
     frontier exact at hash collisions."""
+    from ..operators.skew import grouped_topk
+
     docs = _t(spark, sf_dir, "documents")
-    k = 20
     h = F.sha2(F.col("doc_id").cast("string"), 256)
-    staged = docs.select(
-        "doc_id",
-        "source",
-        h.alias("_h"),
-    ).withColumn("_salt", F.conv(F.substring("_h", 1, 1), 16, 10).cast("int"))
-    w1 = Window.partitionBy("source", "_salt").orderBy("_h", "doc_id")
-    survivors = (
-        staged.withColumn("_rk1", F.row_number().over(w1))
-        .filter(F.col("_rk1") <= k)
-        .drop("_rk1", "_salt")
-    )
-    w2 = Window.partitionBy("source").orderBy("_h", "doc_id")
-    return (
-        survivors.select("doc_id", "source", F.row_number().over(w2).alias("rk"))
-        .filter(F.col("rk") <= k)
-        .select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
-    )
+    staged = docs.select("doc_id", "source", h.alias("_h"))
+    # salt = first hex char of the ordering hash: deterministic per row,
+    # uniform over 16 buckets, and free (the hash is already staged)
+    return grouped_topk(
+        staged,
+        ["source"],
+        ["_h", "doc_id"],
+        k=20,
+        salt_col=F.conv(F.substring("_h", 1, 1), 16, 10).cast("int"),
+    ).select("doc_id", "source", F.col("rk").cast("long").alias("sample_rank"))
 
 
 @_register(

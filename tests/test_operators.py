@@ -1118,3 +1118,34 @@ def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
     }
     for r in only_new.collect():
         assert r.id_a in ids and r.id_b in ids
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hashes=st.lists(st.integers(0, (1 << 16) - 1), min_size=2, max_size=25),
+    max_hamming=st.integers(0, 3),
+)
+def test_hamming_banded_pairs_pigeonhole_property(spark, hashes, max_hamming):
+    """Property: for ANY 16-bit fingerprint multiset and any threshold
+    below the band count, the banded join returns EXACTLY the
+    brute-force Hamming-pair set — the pigeonhole guarantee, not a
+    recall approximation."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "doc_id long, ahash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_banded_pairs(df, max_hamming=max_hamming).collect()
+    }
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            d = bin(a[1] ^ b[1]).count("1")
+            if d <= max_hamming:
+                want.add((a[0], b[0], d))
+    assert got == want

@@ -449,3 +449,29 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_grouped_topk_matches_plain_window_under_skew(spark):
+    """grouped_topk == the plain per-group window on a 100:1 skewed
+    input, and its phase-1 exchange carries the salt (the hot group
+    spreads instead of serializing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pulsar_internal_spark.operators.skew import grouped_topk
+
+    df = _hot_100_to_1(spark).withColumn(
+        "o", F.sha2(F.col("v").cast("string"), 256)
+    )
+    got = grouped_topk(df, ["key"], ["o", "v"], k=7)
+    w = Window.partitionBy("key").orderBy("o", "v")
+    want = (
+        df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 7)
+    )
+    assert sorted((r.key, r.rk, r.v) for r in got.collect()) == sorted(
+        (r.key, r.rk, r.v) for r in want.collect()
+    )
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(key#\d+, _salt#\d+", plan), plan
