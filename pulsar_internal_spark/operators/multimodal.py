@@ -816,3 +816,66 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.mapInPandas(decode, AHASH_SCHEMA)
+
+
+def attach_group_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 40,
+) -> DataFrame:
+    """Near-duplicate AUDIO corpus (the WAV twin of
+    attach_group_images): 17 int16 samples derive from the doc's group
+    key; docs sharing a group differ by one low-amplitude sample
+    perturbation (sample ``group % 17`` += ``doc_id % 3``, int16
+    wraparound) — real RIFF/WAVE bytes, sha256-derivable by an
+    independent oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % groups
+                raw = (
+                    hashlib.sha256(f"aud:{g}".encode()).digest()
+                    + hashlib.sha256(f"aud2:{g}".encode()).digest()[:2]
+                )
+                samples = [
+                    struct.unpack_from("<h", raw, 2 * i)[0] for i in range(17)
+                ]
+                j = g % 17
+                samples[j] = ((samples[j] + int(doc_id) % 3 + 32768) % 65536) - 32768
+                ids.append(doc_id)
+                payloads.append(make_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+
+
+def audio_fingerprint_bits(samples: list[int]) -> int:
+    """16-bit difference fingerprint of a sample sequence: bit i set
+    iff s[i+1] > s[i] — the sign-of-delta sketch (the simplified form
+    of spectral-landmark audio fingerprints), robust to low-amplitude
+    noise: a one-sample perturbation flips at most the two adjacent
+    bits."""
+    return sum(
+        1 << i for i in range(len(samples) - 1) if samples[i + 1] > samples[i]
+    )
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode WAV payloads (real RIFF chunk walk) and emit the 16-bit
+    difference fingerprint as ``ahash`` — named to feed straight into
+    dedup.hamming_banded_pairs. Arrow-batched."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                wav = parse_wav(bytes(payload))
+                ids.append(doc_id)
+                hashes.append(audio_fingerprint_bits(wav["samples"]))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.mapInPandas(decode, AHASH_SCHEMA)

@@ -25,7 +25,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   descendants_tree dq_constraint_violations
   djb2_hash_nation doc_fingerprints envelope_header_parse
   executor_identity files_census function_hash_sha2 funnel_conversion
-  http_record_shape hypertable_rollup_merge image_near_dup iscached_probe
+  audio_near_dup http_record_shape hypertable_rollup_merge image_near_dup iscached_probe
   multimodal_envelope
   multimodal_features multimodal_frame_sample multimodal_png_decode
   multimodal_real_decode multimodal_resize_real path_normalization
@@ -2486,6 +2486,72 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = mm.image_ahash(mm.attach_group_images(docs, groups=40))
     return dedup_ops.hamming_banded_pairs(
         hashes, hash_col="ahash", id_col="doc_id", bits=16, band_bits=4,
+        max_hamming=2,
+    )
+
+
+@_register(
+    "audio_near_dup",
+    """
+    WITH aud AS (
+      SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS v FROM documents
+    ), hx AS (
+      SELECT doc_id, g, v,
+             sha256('aud:' || g) AS h1, sha256('aud2:' || g) AS h2
+      FROM aud
+    ), by AS (
+      SELECT doc_id, g, v, list_transform(range(34), i ->
+        CASE WHEN i < 32 THEN
+          (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+2, 1))-1)
+        ELSE
+          (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+2, 1))-1)
+        END) AS b
+      FROM hx
+    ), smp0 AS (
+      SELECT doc_id, g, v, list_transform(range(17), i ->
+        CASE WHEN b[2*CAST(i AS INT)+1] + b[2*CAST(i AS INT)+2] * 256 >= 32768
+             THEN b[2*CAST(i AS INT)+1] + b[2*CAST(i AS INT)+2] * 256 - 65536
+             ELSE b[2*CAST(i AS INT)+1] + b[2*CAST(i AS INT)+2] * 256 END) AS s
+      FROM by
+    ), smp AS (
+      SELECT doc_id, list_transform(range(17), i ->
+        CASE WHEN i = g % 17
+             THEN ((s[CAST(i AS INT)+1] + v + 32768) % 65536) - 32768
+             ELSE s[CAST(i AS INT)+1] END) AS s
+      FROM smp0
+    ), fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(16), i ->
+               CASE WHEN s[CAST(i AS INT)+2] > s[CAST(i AS INT)+1]
+                    THEN 1 << CAST(i AS INT) ELSE 0 END)) AS BIGINT) AS afp
+      FROM smp
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 2
+    """,
+)
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup (the WAV twin of image_near_dup): each
+    doc carries a real 17-sample PCM WAV derived from its group key
+    with a one-sample low-amplitude perturbation; the REAL RIFF parser
+    decodes it back, the 16-bit sign-of-delta fingerprint (bit i =
+    s[i+1] > s[i] — a one-sample edit flips at most the two adjacent
+    bits) is the perceptual hash, and pairs within Hamming distance 2
+    come from the same nibble-banded equi-join as the image path
+    (hamming_banded_pairs; pigeonhole-exact). Oracle recomputes the
+    int16 samples from sha256 arithmetic, the same wraparound
+    perturbation, fingerprint and all-pairs Hamming join."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fp = mm.audio_fingerprint(mm.attach_group_audio(docs, groups=40))
+    return dedup_ops.hamming_banded_pairs(
+        fp, hash_col="ahash", id_col="doc_id", bits=16, band_bits=4,
         max_hamming=2,
     )
 

@@ -1149,3 +1149,44 @@ def test_hamming_banded_pairs_pigeonhole_property(spark, hashes, max_hamming):
             if d <= max_hamming:
                 want.add((a[0], b[0], d))
     assert got == want
+
+
+def test_audio_fingerprint_banded_pairs_exact_vs_brute_force(spark):
+    """Audio perceptual dedup exactness through the REAL codec path:
+    synth WAV -> RIFF parse -> sign-of-delta fingerprint must match an
+    independent Python mirror byte-for-byte, and the banded Hamming
+    pairs must equal brute force (pigeonhole)."""
+    import hashlib
+    import struct
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import multimodal as mm
+
+    ids = list(range(90))  # 30 groups x 3 variants
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    fp_df = mm.audio_fingerprint(mm.attach_group_audio(docs, groups=30))
+    got_fp = {r.doc_id: r.ahash for r in fp_df.collect()}
+
+    def mirror(doc_id):
+        g, v = doc_id % 30, doc_id % 3
+        raw = (hashlib.sha256(f"aud:{g}".encode()).digest()
+               + hashlib.sha256(f"aud2:{g}".encode()).digest()[:2])
+        s = [struct.unpack_from("<h", raw, 2 * i)[0] for i in range(17)]
+        j = g % 17
+        s[j] = ((s[j] + v + 32768) % 65536) - 32768
+        return mm.audio_fingerprint_bits(s)
+
+    assert got_fp == {i: mirror(i) for i in ids}, "codec path broke the fp"
+
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in D.hamming_banded_pairs(fp_df, max_hamming=2).collect()}
+    want = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(mirror(i) ^ mirror(j)).count("1")
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want
+    same_group = {(a, b) for (a, b, _) in want if a % 30 == b % 30}
+    assert len(same_group) >= 25, f"too few planted audio pairs: {len(same_group)}"
