@@ -48,6 +48,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("q11_important_stock", "HAVING over an uncorrelated scalar: 1-row subquery is the only single-partition exchange"),
     ("incremental_minhash_dedup", "new-batch bands vs persisted signature store: within-batch self-join + new-vs-history equi-join"),
     ("image_near_dup", "perceptual dedup: real BMP decode -> integer aHash -> nibble-banded Hamming equi-join with hot-key cap"),
+    ("audio_near_dup", "perceptual audio dedup: real WAV decode -> sign-of-delta fingerprint -> same banded Hamming join"),
     ("dedup_keep_best", "cluster pipeline + quality join + bounded per-cluster ranking window"),
 ]
 
