@@ -879,3 +879,65 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.mapInPandas(decode, AHASH_SCHEMA)
+
+
+def attach_group_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 40,
+) -> DataFrame:
+    """Near-duplicate VIDEO corpus (the AVI member of the
+    attach_group_* family): 4 frames of 4x4 RGB per doc, each frame's
+    pixels derived from (group, frame) sha256 keys; docs sharing a
+    group differ by a one-byte low-amplitude perturbation in ONE frame
+    (frame ``group % 4``, byte ``group % 48``, += ``doc_id % 3``).
+    Real RIFF/AVI bytes; every pixel is sha256-derivable by an
+    independent oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % groups
+                frames = []
+                for j in range(4):
+                    px = bytearray(
+                        hashlib.sha256(f"vid:{g}:{j}".encode()).digest()
+                        + hashlib.sha256(f"vid2:{g}:{j}".encode()).digest()[:16]
+                    )
+                    if j == g % 4:
+                        idx = g % 48
+                        px[idx] = (px[idx] + int(doc_id) % 3) % 256
+                    frames.append(bytes(px))
+                ids.append(doc_id)
+                payloads.append(make_avi(4, 4, frames, fps=10))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+
+
+def video_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode AVI payloads (real RIFF hdrl/movi walk) and emit a 60-bit
+    perceptual fingerprint as ``ahash``: the per-frame average hash of
+    each of the first 4 frames, truncated to 15 bits and concatenated
+    (frame j occupies bits [15j, 15j+15); 15 not 16 keeps the packed
+    value inside a signed int64) — an edit localized to one frame
+    disturbs only that frame's bits, so temporal structure survives
+    the sketch. Feeds dedup.hamming_banded_pairs with bits=60,
+    band_bits=15 (one band per frame: near-dup videos match on any
+    unedited frame)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                vid = parse_avi(bytes(payload))
+                n_px = vid["width"] * vid["height"]
+                fp = 0
+                for j, fr in enumerate(vid["frames"][:4]):
+                    fp |= (ahash_bits(fr, n_px) & 0x7FFF) << (15 * j)
+                ids.append(doc_id)
+                hashes.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.mapInPandas(decode, AHASH_SCHEMA)

@@ -45,7 +45,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   set_ops_user_cohorts
   simhash_near_dup tfidf_top_terms timestamp_format_minutes
   token_counts_by_source top_accounts_limit user_pagerank
-  value_anomaly_flags
+  value_anomaly_flags video_near_dup
   weekly_retention_cohorts weighted_mixture_sample
   winnowing_matches word_explode_counts
   xor_crypt_nation
@@ -2552,6 +2552,79 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = mm.audio_fingerprint(mm.attach_group_audio(docs, groups=40))
     return dedup_ops.hamming_banded_pairs(
         fp, hash_col="ahash", id_col="doc_id", bits=16, band_bits=4,
+        max_hamming=2,
+    )
+
+
+@_register(
+    "video_near_dup",
+    """
+    WITH vid AS (
+      SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS v FROM documents
+    ), fr AS (
+      SELECT doc_id, g, v, CAST(j AS INT) AS j
+      FROM vid, unnest(range(4)) AS t(j)
+    ), hx AS (
+      SELECT doc_id, g, v, j,
+             sha256('vid:' || g || ':' || j) AS h1,
+             sha256('vid2:' || g || ':' || j) AS h2
+      FROM fr
+    ), px0 AS (
+      SELECT doc_id, g, v, j, list_transform(range(48), i ->
+        CASE WHEN i < 32 THEN
+          (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h1, 2*CAST(i AS INT)+2, 1))-1)
+        ELSE
+          (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h2, 2*CAST(i-32 AS INT)+2, 1))-1)
+        END) AS px
+      FROM hx
+    ), pxp AS (
+      SELECT doc_id, j, list_transform(range(48), i ->
+        CASE WHEN j = g % 4 AND i = g % 48 THEN (px[CAST(i AS INT)+1] + v) % 256
+             ELSE px[CAST(i AS INT)+1] END) AS px
+      FROM px0
+    ), gr AS (
+      SELECT doc_id, j, list_transform(range(16), p ->
+        px[3*CAST(p AS INT)+1] + px[3*CAST(p AS INT)+2] + px[3*CAST(p AS INT)+3]) AS grays
+      FROM pxp
+    ), ah AS (
+      SELECT doc_id, j,
+             list_sum(list_transform(range(15), p ->
+               CASE WHEN 16 * grays[CAST(p AS INT)+1] > list_sum(grays)
+                    THEN 1 << CAST(p AS INT) ELSE 0 END)) AS fh
+      FROM gr
+    ), fp AS (
+      SELECT doc_id, CAST(SUM(fh << (15 * j)) AS BIGINT) AS vfp
+      FROM ah GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 2
+    """,
+)
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup, completing the modality triad beside
+    image_near_dup / audio_near_dup: each doc carries a real 4-frame
+    4x4 AVI (one frame perturbed by one low-amplitude byte per doc
+    variant), the REAL RIFF hdrl/movi parser decodes it, and the
+    64-bit fingerprint concatenates the per-frame 16-bit average
+    hashes — so an edit localized to one frame disturbs only that
+    frame's bits and near-dup videos still match on any unedited
+    frame. Pairs within Hamming distance 2 via hamming_banded_pairs
+    with ONE BAND PER FRAME (bits=60, band_bits=15 — 15-bit per-frame
+    hashes keep the packed value signed-int64-safe): the banding is
+    semantically the 'any shared unedited frame' rule, and pigeonhole
+    keeps it exact for max_hamming < 4. Oracle recomputes all four
+    frames from sha256 arithmetic and the same fingerprint."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fp = mm.video_fingerprint(mm.attach_group_video(docs, groups=40))
+    return dedup_ops.hamming_banded_pairs(
+        fp, hash_col="ahash", id_col="doc_id", bits=60, band_bits=15,
         max_hamming=2,
     )
 

@@ -1190,3 +1190,48 @@ def test_audio_fingerprint_banded_pairs_exact_vs_brute_force(spark):
     assert got == want
     same_group = {(a, b) for (a, b, _) in want if a % 30 == b % 30}
     assert len(same_group) >= 25, f"too few planted audio pairs: {len(same_group)}"
+
+
+def test_video_fingerprint_banded_pairs_exact_vs_brute_force(spark):
+    """Video perceptual dedup exactness through the REAL codec path:
+    synth AVI -> RIFF hdrl/movi parse -> per-frame aHash concat must
+    match an independent Python mirror, and the frame-banded Hamming
+    pairs must equal brute force (pigeonhole: one band per frame)."""
+    import hashlib
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import multimodal as mm
+
+    ids = list(range(60))  # 20 groups x 3 variants
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    fp_df = mm.video_fingerprint(mm.attach_group_video(docs, groups=20))
+    got_fp = {r.doc_id: r.ahash for r in fp_df.collect()}
+
+    def mirror(doc_id):
+        g, v = doc_id % 20, doc_id % 3
+        fp = 0
+        for j in range(4):
+            px = bytearray(
+                hashlib.sha256(f"vid:{g}:{j}".encode()).digest()
+                + hashlib.sha256(f"vid2:{g}:{j}".encode()).digest()[:16]
+            )
+            if j == g % 4:
+                px[g % 48] = (px[g % 48] + v) % 256
+            fp |= (mm.ahash_bits(bytes(px), 16) & 0x7FFF) << (15 * j)
+        return fp
+
+    assert got_fp == {i: mirror(i) for i in ids}, "codec path broke the fp"
+
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in D.hamming_banded_pairs(
+               fp_df, bits=60, band_bits=15, max_hamming=2).collect()}
+    want = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(mirror(i) ^ mirror(j)).count("1")
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want
+    same_group = {(a, b) for (a, b, _) in want if a % 20 == b % 20}
+    assert len(same_group) >= 20, f"too few planted video pairs: {len(same_group)}"
