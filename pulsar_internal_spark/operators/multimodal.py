@@ -801,18 +801,25 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode image payloads (real BMP/PNG parse) and emit the 16-bit
     average hash of the decoded pixels — the perceptual fingerprint
     whose Hamming distance survives low-amplitude pixel edits that
-    break exact content hashing. Arrow-batched; per-payload-byte cost."""
+    break exact content hashing. Arrow-batched; per-payload-byte cost.
+    A corrupt payload is DROPPED (one row of evidence lost, never a
+    failed job — the multimodal family's standing policy)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                img = parse_bmp(data) if data[:2] == b"BM" else parse_png(data)
+                try:
+                    img = parse_bmp(data) if data[:2] == b"BM" else parse_png(data)
+                    h = ahash_bits(img["pixels"], img["width"] * img["height"])
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    continue  # format corruption: drop the row
                 ids.append(doc_id)
-                hashes.append(
-                    ahash_bits(img["pixels"], img["width"] * img["height"])
-                )
+                hashes.append(h)
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.mapInPandas(decode, AHASH_SCHEMA)
@@ -870,12 +877,18 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     dedup.hamming_banded_pairs. Arrow-batched."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                wav = parse_wav(bytes(payload))
+                try:
+                    wav = parse_wav(bytes(payload))
+                    h = audio_fingerprint_bits(wav["samples"])
+                except (ValueError, struct.error):
+                    continue  # format corruption: drop the row
                 ids.append(doc_id)
-                hashes.append(audio_fingerprint_bits(wav["samples"]))
+                hashes.append(h)
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.mapInPandas(decode, AHASH_SCHEMA)
@@ -928,14 +941,19 @@ def video_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     unedited frame)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                vid = parse_avi(bytes(payload))
-                n_px = vid["width"] * vid["height"]
-                fp = 0
-                for j, fr in enumerate(vid["frames"][:4]):
-                    fp |= (ahash_bits(fr, n_px) & 0x7FFF) << (15 * j)
+                try:
+                    vid = parse_avi(bytes(payload))
+                    n_px = vid["width"] * vid["height"]
+                    fp = 0
+                    for j, fr in enumerate(vid["frames"][:4]):
+                        fp |= (ahash_bits(fr, n_px) & 0x7FFF) << (15 * j)
+                except (ValueError, struct.error, IndexError):
+                    continue  # format corruption: drop the row
                 ids.append(doc_id)
                 hashes.append(fp)
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})

@@ -1235,3 +1235,34 @@ def test_video_fingerprint_banded_pairs_exact_vs_brute_force(spark):
     assert got == want
     same_group = {(a, b) for (a, b, _) in want if a % 20 == b % 20}
     assert len(same_group) >= 20, f"too few planted video pairs: {len(same_group)}"
+
+
+def test_perceptual_decoders_drop_corrupt_payloads(spark):
+    """A corrupt payload costs one dropped row, never a failed job —
+    the multimodal family's standing policy, extended to all three
+    perceptual fingerprint decoders."""
+    from pulsar_internal_spark.operators import multimodal as mm
+
+    good_img = mm.make_bmp(2, 2, bytes(range(12)))
+    good_wav = mm.make_wav([1, -2, 3, -4])
+    good_avi = mm.make_avi(4, 4, [bytes(range(48))] * 4)
+    garbage = b"\x00garbage not a format"
+    trunc_png = mm.make_png(2, 2, bytes(range(12)))[:20]
+
+    img_df = spark.createDataFrame(
+        [(1, good_img), (2, garbage), (3, trunc_png)],
+        "doc_id long, payload binary",
+    )
+    assert {r.doc_id for r in mm.image_ahash(img_df).collect()} == {1}
+
+    wav_df = spark.createDataFrame(
+        [(1, good_wav), (2, garbage), (3, good_wav[:10])],
+        "doc_id long, payload binary",
+    )
+    assert {r.doc_id for r in mm.audio_fingerprint(wav_df).collect()} == {1}
+
+    avi_df = spark.createDataFrame(
+        [(1, good_avi), (2, garbage), (3, good_avi[:30])],
+        "doc_id long, payload binary",
+    )
+    assert {r.doc_id for r in mm.video_fingerprint(avi_df).collect()} == {1}
