@@ -49,6 +49,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("incremental_minhash_dedup", "new-batch bands vs persisted signature store: within-batch self-join + new-vs-history equi-join"),
     ("image_near_dup", "perceptual dedup: real BMP decode -> integer aHash -> nibble-banded Hamming equi-join with hot-key cap"),
     ("audio_near_dup", "perceptual audio dedup: real WAV decode -> sign-of-delta fingerprint -> same banded Hamming join"),
+    ("video_near_dup", "perceptual video dedup: real AVI decode -> frame-concatenated aHash -> one Hamming band per frame"),
     ("dedup_keep_best", "cluster pipeline + quality join + bounded per-cluster ranking window"),
 ]
 
