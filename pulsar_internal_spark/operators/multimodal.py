@@ -737,19 +737,16 @@ def frame_sample_real(df: DataFrame, every_k: int = 2, max_frames: int = 8) -> D
 
 # -- perceptual image dedup ------------------------------------------------
 
-GROUP_IMAGE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]
-)
+def _group_payload_schema(id_col: str) -> StructType:
+    return StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
 
-AHASH_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("ahash", LongType()),
-    ]
-)
+
+def _ahash_schema(id_col: str) -> StructType:
+    return StructType(
+        [StructField(id_col, LongType()), StructField("ahash", LongType())]
+    )
 
 
 def attach_group_images(
@@ -781,23 +778,32 @@ def attach_group_images(
                 px[idx] = (px[idx] + int(doc_id) % 3) % 256
                 ids.append(doc_id)
                 payloads.append(maker(4, 4, bytes(px)))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+    return df.select(id_col).mapInPandas(gen, _group_payload_schema(id_col))
 
 
 def ahash_bits(pixels: bytes, n_px: int) -> int:
     """Average hash of decoded RGB pixels, all-integer: gray_i =
     r+g+b; bit i set iff n*gray_i > sum(gray) (strict, so ties clear
-    the bit identically in every engine). n_px bits wide."""
+    the bit identically in every engine). min(n_px, 63) bits wide —
+    capped at 63 so the hash always fits a SIGNED int64 column (a
+    legitimate 8x8 image would otherwise set bit 63 and overflow the
+    Arrow conversion, failing the task on a perfectly valid payload)."""
     grays = [
         pixels[3 * i] + pixels[3 * i + 1] + pixels[3 * i + 2] for i in range(n_px)
     ]
     total = sum(grays)
-    return sum(1 << i for i, gr in enumerate(grays) if n_px * gr > total)
+    return sum(
+        1 << i
+        for i, gr in enumerate(grays[:63])
+        if n_px * gr > total
+    )
 
 
-def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def image_ahash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
     """Decode image payloads (real BMP/PNG parse) and emit the 16-bit
     average hash of the decoded pixels — the perceptual fingerprint
     whose Hamming distance survives low-amplitude pixel edits that
@@ -811,7 +817,7 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
         for pdf in batches:
             ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
                 try:
                     img = parse_bmp(data) if data[:2] == b"BM" else parse_png(data)
@@ -820,9 +826,9 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     continue  # format corruption: drop the row
                 ids.append(doc_id)
                 hashes.append(h)
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
-    return df.mapInPandas(decode, AHASH_SCHEMA)
+    return df.mapInPandas(decode, _ahash_schema(id_col))
 
 
 def attach_group_audio(
@@ -855,9 +861,9 @@ def attach_group_audio(
                 samples[j] = ((samples[j] + int(doc_id) % 3 + 32768) % 65536) - 32768
                 ids.append(doc_id)
                 payloads.append(make_wav(samples, sample_rate=8000))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+    return df.select(id_col).mapInPandas(gen, _group_payload_schema(id_col))
 
 
 def audio_fingerprint_bits(samples: list[int]) -> int:
@@ -871,7 +877,9 @@ def audio_fingerprint_bits(samples: list[int]) -> int:
     )
 
 
-def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
     """Decode WAV payloads (real RIFF chunk walk) and emit the 16-bit
     difference fingerprint as ``ahash`` — named to feed straight into
     dedup.hamming_banded_pairs. Arrow-batched."""
@@ -881,7 +889,7 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
         for pdf in batches:
             ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     wav = parse_wav(bytes(payload))
                     h = audio_fingerprint_bits(wav["samples"])
@@ -889,9 +897,9 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     continue  # format corruption: drop the row
                 ids.append(doc_id)
                 hashes.append(h)
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
-    return df.mapInPandas(decode, AHASH_SCHEMA)
+    return df.mapInPandas(decode, _ahash_schema(id_col))
 
 
 def attach_group_video(
@@ -924,12 +932,14 @@ def attach_group_video(
                     frames.append(bytes(px))
                 ids.append(doc_id)
                 payloads.append(make_avi(4, 4, frames, fps=10))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, GROUP_IMAGE_SCHEMA)
+    return df.select(id_col).mapInPandas(gen, _group_payload_schema(id_col))
 
 
-def video_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def video_fingerprint(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
     """Decode AVI payloads (real RIFF hdrl/movi walk) and emit a 60-bit
     perceptual fingerprint as ``ahash``: the per-frame average hash of
     each of the first 4 frames, truncated to 15 bits and concatenated
@@ -945,7 +955,7 @@ def video_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
         for pdf in batches:
             ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     vid = parse_avi(bytes(payload))
                     n_px = vid["width"] * vid["height"]
@@ -956,6 +966,6 @@ def video_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     continue  # format corruption: drop the row
                 ids.append(doc_id)
                 hashes.append(fp)
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
-    return df.mapInPandas(decode, AHASH_SCHEMA)
+    return df.mapInPandas(decode, _ahash_schema(id_col))

@@ -71,25 +71,29 @@ def refresh_rollup(
         existing_max = (
             spark.read.parquet(path).agg(F.max("bucket_hour")).collect()[0][0]
         )
-    except AnalysisException:
-        existing_max = None  # path absent: first materialization
-    # any OTHER failure (corrupt footer, permissions) must propagate —
-    # treating it as first-materialization would silently rewrite all
-    # history partitions and mask the underlying fault
+    except AnalysisException as e:
+        # ONLY path-absent means first materialization; any OTHER
+        # analysis failure (corrupt footer, schema lost) must propagate —
+        # treating it as first-materialization would silently rewrite all
+        # history partitions and mask the underlying fault
+        err = getattr(e, "getErrorClass", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" not in err and "Path does not exist" not in str(e):
+            raise
+        existing_max = None
     if existing_max is not None:
         boundary = F.to_timestamp(F.lit(existing_max), BUCKET_FMT) - F.expr(
             f"INTERVAL {int(lateness_buckets)} HOURS"
         )
         closed = closed.filter(F.date_trunc("hour", "ts") >= boundary)
 
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        hourly_partials(closed.drop("_cut")).write.mode("overwrite").partitionBy(
-            "bucket_hour"
-        ).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    # per-write option scopes the dynamic overwrite to this write only
+    (
+        hourly_partials(closed.drop("_cut"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_hour")
+        .parquet(path)
+    )
 
 
 def expire_partitions(path: str, keep_from_bucket: str) -> list[str]:
@@ -122,17 +126,22 @@ def serve_rollup(
     merged by one final algebraic aggregate (the same shape
     hypertable_rollup_merge proves against the single-pass oracle).
 
-    ``lateness_buckets`` mirrors :func:`refresh_rollup`: materialized
-    partials in the last K buckets are DISCARDED and those hours are
-    re-aggregated from raw alongside the tail, so an event that arrived
-    late (within the window) after the last refresh is still counted —
-    serving matches the single-pass aggregate for any lateness ≤ K
-    buckets, not just for perfectly ordered arrivals.
+    ``lateness_buckets`` mirrors :func:`refresh_rollup` EXACTLY — both
+    use the same boundary (watermark − K) and the same inclusive side:
+    materialized partials at or above the boundary are DISCARDED and
+    those hours re-aggregated from raw alongside the tail, the same
+    hours the next refresh will recompute. An event that arrived late
+    (within the window) after the last refresh is therefore counted
+    identically by serve-now and by refresh-then-serve — serving
+    matches the single-pass aggregate for any lateness ≤ K buckets.
     Returns (bucket_hour, event_type, n_events, value_sum)."""
     mat = spark.read.parquet(path).select("bucket_hour", "event_type", "pn", "pv")
     # serve boundary = watermark − K buckets, carried as a broadcast
-    # column (no driver scalar): materialized rows above it are dropped,
-    # raw rows above it are re-aggregated
+    # column (no driver scalar): materialized rows AT or above it are
+    # dropped, raw rows at or above it are re-aggregated — the same
+    # >= boundary refresh_rollup uses, so the two windows agree at the
+    # boundary bucket (a '> here, >= there' split would hide a late
+    # event exactly K buckets back until the next refresh)
     watermark = mat.agg(
         F.date_format(
             F.to_timestamp(F.max("bucket_hour"), BUCKET_FMT)
@@ -142,11 +151,11 @@ def serve_rollup(
     )
     mat = (
         mat.join(F.broadcast(watermark))
-        .filter(F.col("bucket_hour") <= F.col("_wm"))
+        .filter(F.col("bucket_hour") < F.col("_wm"))
         .drop("_wm")
     )
     tail_events = events.join(F.broadcast(watermark)).filter(
-        F.date_trunc("hour", "ts") > F.to_timestamp(F.col("_wm"), BUCKET_FMT)
+        F.date_trunc("hour", "ts") >= F.to_timestamp(F.col("_wm"), BUCKET_FMT)
     )
     tail = hourly_partials(tail_events.drop("_wm"))
     return (

@@ -46,9 +46,15 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
 
     try:
         return spark.read.parquet(store_path)
-    except AnalysisException:
-        return None  # store absent: first batch
-    # any OTHER failure (corrupt footer, permissions) must propagate
+    except AnalysisException as e:
+        # ONLY path-absent means "first batch" — any other analysis
+        # failure (schema lost, empty dir from a corrupt store) must
+        # propagate, or batch numbering silently restarts at 0 over
+        # damaged history
+        err = getattr(e, "getErrorClass", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in err or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def append_signature_batch(
@@ -93,14 +99,14 @@ def append_signature_batch(
     if batch_id is None:
         out.write.mode("append").partitionBy("batch_id").parquet(store_path)
     else:
-        saved = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-write option scopes the dynamic overwrite to THIS write —
+        # no session-conf mutation to save/restore
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("batch_id").parquet(store_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     return bid
 
 
@@ -182,16 +188,12 @@ def streaming_minhash_dedup(
         cands = candidates_for_batch(spark, store_path, batch_id).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        saved = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        (
+            cands.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(candidates_path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            cands.write.mode("overwrite").partitionBy("batch_id").parquet(
-                candidates_path
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
     writer = docs_stream.writeStream.queryName("minhash_dedup").option(
         "checkpointLocation", checkpoint_dir

@@ -85,10 +85,13 @@ def fetch_record(
     import urllib.request
 
     data = body.encode("utf-8") if isinstance(body, str) else body
-    req = urllib.request.Request(
-        url, data=data, headers=headers or {}, method=method.upper()
-    )
     try:
+        # Request construction itself validates the URL (a schemeless or
+        # malformed url raises ValueError here) — it must be inside the
+        # never-raises envelope or one bad row kills a distributed fetch
+        req = urllib.request.Request(
+            url, data=data, headers=headers or {}, method=method.upper()
+        )
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             code = resp.status
             hdrs = list(resp.getheaders())

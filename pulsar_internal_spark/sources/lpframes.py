@@ -331,6 +331,13 @@ class _LPFrameWriter(DataSourceWriter):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
+                # sweep renamed-away stale locks (best effort, tiny)
+                for f in os.listdir(self.path):
+                    if f.startswith(".commit.lock.stale-"):
+                        try:
+                            os.remove(os.path.join(self.path, f))
+                        except OSError:
+                            pass
                 return lock
             except FileExistsError:
                 try:
@@ -338,11 +345,18 @@ class _LPFrameWriter(DataSourceWriter):
                 except OSError:
                     continue  # holder just released; retry immediately
                 if age > timeout_s:
-                    # stale: holder died mid-commit — break the lock
+                    # stale: holder died mid-commit — break the lock by
+                    # RENAME, not remove: exactly one waiter wins the
+                    # rename, so a loser cannot delete a lock another
+                    # waiter just freshly re-acquired (remove-based
+                    # breaking has that TOCTOU: A removes + recreates,
+                    # then B's queued remove deletes A's live lock)
+                    import uuid as _uuid
+
                     try:
-                        os.remove(lock)
+                        os.replace(lock, f"{lock}.stale-{_uuid.uuid4().hex[:8]}")
                     except OSError:
-                        pass
+                        pass  # someone else broke it first
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(

@@ -61,7 +61,18 @@ class FrameSocketClient:
         os.makedirs(spool_dir, exist_ok=True)
         self._sock = socket.create_connection((host, port))
         self._send_lock = threading.Lock()
+        # resume ABOVE any previously published epoch: a restarted
+        # client writing part-0000... again would both clobber earlier
+        # spool files and sort below the streaming reader's checkpointed
+        # name watermark — silently losing every new frame (the same
+        # invariant _LPFrameWriter._commit_epoch maintains)
         self._epoch = 0
+        for f in os.listdir(spool_dir):
+            if f.startswith("part-") and f.endswith("-rx.bin"):
+                try:
+                    self._epoch = max(self._epoch, int(f.split("-")[1]) + 1)
+                except (IndexError, ValueError):
+                    continue
         self.closed = threading.Event()
         self._rx = threading.Thread(target=self._recv_loop, daemon=True)
         self._rx.start()
@@ -136,15 +147,16 @@ def sink_to_socket(client: FrameSocketClient):
     matching the reference's per-event Send sequencing."""
 
     def sink(batch_df, batch_id: int) -> None:
-        cols = set(batch_df.columns)
-        if "payload_bin" in cols:
-            rows = batch_df.select("payload_bin").collect()
-            for r in rows:
-                client.send(bytes(r.payload_bin))
-        else:
-            rows = batch_df.select("payload").collect()
-            for r in rows:
-                client.send((r.payload or "").encode("utf-8"))
+        cols = [c for c in ("payload_bin", "payload") if c in batch_df.columns]
+        for r in batch_df.select(*cols).collect():
+            # per-ROW fallback (a mixed stream may carry payload_bin for
+            # binary rows and null there for text rows — same contract
+            # as the lpframes writer)
+            bin_val = getattr(r, "payload_bin", None)
+            if bin_val is not None:
+                client.send(bytes(bin_val))
+            else:
+                client.send((getattr(r, "payload", None) or "").encode("utf-8"))
 
     return sink
 

@@ -164,8 +164,17 @@ def test_late_events_within_window_are_counted(spark, sf_dir, tmp_path):
         d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("bucket_hour=")
     )  # e.g. 2024-01-31-22
 
-    # a late event landing ONE bucket behind the watermark
-    late_hour_ts = wm.rsplit("-", 1)[0] + " " + wm.rsplit("-", 1)[1] + ":17:00"
+    # a late event ONE bucket behind the serve boundary: at K=0 the
+    # boundary is wm (the watermark bucket itself is always raw-served,
+    # matching refresh's inclusive side), so the hazard bucket is wm-1
+    from datetime import datetime, timedelta
+
+    late_bucket = (
+        datetime.strptime(wm, "%Y-%m-%d-%H") - timedelta(hours=1)
+    ).strftime("%Y-%m-%d-%H")
+    late_hour_ts = (
+        late_bucket.rsplit("-", 1)[0] + " " + late_bucket.rsplit("-", 1)[1] + ":17:00"
+    )
     late = spark.createDataFrame(
         [(999999, late_hour_ts, "late_type", 42.5)],
         "user_id long, ts string, event_type string, value double",
@@ -179,12 +188,12 @@ def test_late_events_within_window_are_counted(spark, sf_dir, tmp_path):
     assert served == _rows(_direct(full))
     # sanity: zero-window serving misses the late row (the hazard)
     served0 = _rows(serve_rollup(spark, full, path, lateness_buckets=0))
-    assert (wm, "late_type") not in served0
+    assert (late_bucket, "late_type") not in served0
 
     # (b) refresh with the window folds the late row into the partition
     refresh_rollup(spark, full, path, lateness_buckets=1)
     mat = spark.read.parquet(path).filter(
-        (F.col("bucket_hour") == wm) & (F.col("event_type") == "late_type")
+        (F.col("bucket_hour") == late_bucket) & (F.col("event_type") == "late_type")
     )
     assert mat.count() == 1
     # and serving straight off the refreshed materialization is exact

@@ -943,3 +943,47 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     S.append_signature_batch(spark, replay, store, batch_id=last_bid)
     after2 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
     assert after1 == after2, "explicit-batch-id append must be idempotent"
+
+
+def test_duplex_client_resumes_epoch_after_restart(tmp_path):
+    """A restarted client must publish spool files that sort AFTER every
+    file from its previous life — otherwise the streaming reader's name
+    watermark silently ignores all new frames (and old files could be
+    clobbered)."""
+    import os
+    import socket
+    import struct
+    import threading
+
+    from pulsar_internal_spark.streaming.duplex import FrameSocketClient
+
+    spool = str(tmp_path / "resume_spool")
+
+    def one_session(payloads):
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+
+        def serve():
+            conn, _ = srv.accept()
+            with conn:
+                for p in payloads:
+                    conn.sendall(struct.pack(">I", len(p)) + p)
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        c = FrameSocketClient(
+            "127.0.0.1", srv.getsockname()[1], spool, frames_per_file=1
+        )
+        assert c.closed.wait(timeout=10)
+        c.close()
+        srv.close()
+
+    one_session([b"first-life-1", b"first-life-2"])
+    gen1 = sorted(f for f in os.listdir(spool) if f.endswith("-rx.bin"))
+    # the close marker from life 1 is fine; life 2 reuses the spool
+    one_session([b"second-life-1"])
+    gen2 = sorted(f for f in os.listdir(spool) if f.endswith("-rx.bin"))
+    new = [f for f in gen2 if f not in gen1]
+    assert len(gen2) == 3, "restart must never clobber earlier spool files"
+    assert len(new) == 1 and new[0] > max(gen1), (gen1, new)
