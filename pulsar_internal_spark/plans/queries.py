@@ -48,7 +48,9 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   value_anomaly_flags video_near_dup
   weekly_retention_cohorts weighted_mixture_sample
   winnowing_matches word_explode_counts
-  xor_crypt_nation
+  xor_crypt_nation q12_shipmode_priority dedup_scrub_segments
+  dsir_importance_weights temperature_mixture_weights
+  training_shard_assignment
 """
 
 from __future__ import annotations
@@ -5573,6 +5575,340 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
         GROUP BY s_name
         """
+    )
+
+
+# =========================================================================
+# Round-4 additions: Q12 shape + training-data curation extensions
+# =========================================================================
+
+
+@_register(
+    "q12_shipmode_priority",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
+               [CAST((l_orderkey * 7 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+             l_shipdate,
+             l_shipdate + INTERVAL 1 DAY
+               * CAST(((l_orderkey + 3 * l_linenumber) % 30) - 10 AS INT) AS l_commitdate,
+             l_shipdate + INTERVAL 1 DAY
+               * CAST(((l_orderkey * 5 + l_linenumber) % 30) + 1 AS INT) AS l_receiptdate
+      FROM lineitem
+    )
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= TIMESTAMP '1997-01-01'
+      AND l_receiptdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_shipmode
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (SURVEY.md §2.3 superset) — the last of the 22
+    TPC-H plan shapes the suite lacked: an IN-list predicate on a
+    low-cardinality dimension column plus a three-way date-ordering
+    residual, feeding a conditional (CASE) aggregate. The fixture has
+    no l_shipmode / l_commitdate / l_receiptdate, so the columns are
+    DERIVED deterministically from (l_orderkey, l_linenumber) with
+    pure integer arithmetic — identical modular expressions run on
+    both engines, so the oracle compares real values, not a
+    hand-picked constant. Plan shape: the derivation is a codegen
+    projection ON TOP of the parquet scan (nothing blocks column
+    pruning of the untouched columns); the shipmode IN-filter and the
+    date residuals all apply BEFORE the join, so the orders join sees
+    only qualifying lineitem rows; the conditional sums partial-
+    aggregate map-side. At 100 TB with a real l_shipmode column the
+    IN-filter would push to the scan; here it applies at the first
+    projection — same position in the plan, same row reduction."""
+    li = _t(spark, sf_dir, "lineitem")
+    modes = F.array(*[F.lit(m) for m in
+                      ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")])
+    derived = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.element_at(
+            modes,
+            F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), 7).cast("int") + 1,
+        ).alias("l_shipmode"),
+        F.timestamp_add(
+            "DAY",
+            (F.pmod(F.col("l_orderkey") + 3 * F.col("l_linenumber"), 30) - 10).cast("int"),
+            F.col("l_shipdate"),
+        ).alias("l_commitdate"),
+        F.timestamp_add(
+            "DAY",
+            (F.pmod(F.col("l_orderkey") * 5 + F.col("l_linenumber"), 30) + 1).cast("int"),
+            F.col("l_shipdate"),
+        ).alias("l_receiptdate"),
+    ).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(derived, orders.o_orderkey == derived.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "dedup_scrub_segments",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, w,
+             unnest(range(CAST(ceil(len(w) / 5.0) AS INT))) AS i
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(w[(5 * CAST(i AS INT) + 1):(5 * CAST(i AS INT) + 5)], ' ') AS seg
+      FROM fan
+    ), freq AS (
+      SELECT seg, COUNT(*) AS n FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN f.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN f.n = 1 THEN s.seg END, ' ' ORDER BY s.pos), '')
+             AS clean_text
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_scrub_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMIT side of exact-substring dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'):
+    segment_dedup_fraction only SCORES docs by duplicated-segment
+    fraction — this pass actually REMOVES the corpus-duplicated
+    5-token segments and reassembles each document's surviving text in
+    original segment order, which is what the training-data writer
+    ships. Scale shape: segments are narrow (doc_id, pos, hash) rows;
+    corpus frequency is one partial-aggregated groupBy on the segment
+    hash (the hot boilerplate key partial-aggregates map-side, same
+    rationale as segment_dedup_fraction's join-vs-window note); the
+    reassembly is a per-doc sort of ONLY that doc's kept segments
+    inside a keyed aggregate (array_sort over a collect_list — bounded
+    by doc length, never a cross-doc window). Docs whose every segment
+    is boilerplate emit clean_text = '' rather than vanishing."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    nseg = F.ceil(F.size("w") / F.lit(5.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("seg_hash", F.sha2(F.col("seg"), 256))
+    freq = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n"))
+    kept = F.col("n") == 1
+    return (
+        segs.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("pos"), F.col("seg")))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+@_register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(
+               string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')
+             ) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM toks GROUP BY w
+    ), totals AS (
+      SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ln((vb.c_tgt + 1.0) / (tt.t_tgt + tt.v))
+                     - ln((vb.c_raw + 1.0) / (tt.t_raw + tt.v))), 4) AS log_importance
+    FROM toks t JOIN vocab vb USING (w) CROSS JOIN totals tt
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'), hashed-unigram tier:
+    score every document by the log importance weight
+    sum_w log p_target(w) - log p_raw(w) under add-one-smoothed
+    unigram LMs, where the target distribution is the lang='en' slice
+    and raw is the whole corpus. Docs with high scores look like the
+    target domain and survive importance resampling. Scale shape: ONE
+    token-grain aggregate builds both LMs simultaneously (c_raw and
+    c_tgt from the same groupBy — one shuffle on the word, hot words
+    partial-aggregate map-side); the totals are a 1-row aggregate of
+    the vocab table, delivered by broadcast cross join; scoring joins
+    token occurrences against the vocab-grain LM table — vocab is
+    orders of magnitude smaller than the corpus, so AQE picks a
+    broadcast or a well-balanced shuffle join, and the per-doc sum is
+    one keyed aggregate. Nothing quadratic, no UDF, two shuffles
+    total (vocab agg + per-doc agg)."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(dedup_ops.tokenized("text")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    term = F.log((F.col("c_tgt") + 1.0) / (F.col("t_tgt") + F.col("v"))) - F.log(
+        (F.col("c_raw") + 1.0) / (F.col("t_raw") + F.col("v"))
+    )
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 4).alias("log_importance"),
+        )
+    )
+
+
+@_register(
+    "temperature_mixture_weights",
+    r"""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t, SUM(sqrt(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM src))) AS z
+      FROM src
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / tot.t, 6) AS p_raw,
+           ROUND(sqrt(n_tokens * 1.0 / tot.t) / tot.z, 6) AS p_sampled,
+           ROUND(1e9 * (sqrt(n_tokens * 1.0 / tot.t) / tot.z) / n_tokens, 4)
+             AS epochs_at_1b
+    FROM src CROSS JOIN tot
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning (the alpha=0.5 sampling rule
+    from multilingual LM training, e.g. mBERT/XLM-R): per-source raw
+    token share p_raw, temperature-flattened sampling probability
+    p_sampled = p_raw^0.5 / sum(p_raw^0.5) (sqrt — IEEE-exact on both
+    engines, unlike pow), and the implied epoch multiplier each source
+    needs to fill a 1B-token budget at that mixture — the number that
+    tells you which small sources will be over-repeated. Companion to
+    weighted_mixture_sample (which APPLIES fixed per-source rates);
+    this DERIVES the rates from corpus statistics. Scale shape: one
+    partial-aggregated groupBy to source grain (20 rows here, maybe
+    thousands at 100 TB — trivially small), then a 1-row total
+    aggregate delivered by broadcast cross join. The token counting
+    rides the same normalize+split expression as every text operator;
+    nothing leaves the JVM."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(dedup_ops.tokenized("text"))).cast("long").alias("n_tokens"),
+    )
+    with_t = src.crossJoin(F.broadcast(src.agg(F.sum("n_tokens").alias("t"))))
+    z = with_t.agg(F.sum(F.sqrt(F.col("n_tokens") / F.col("t"))).alias("z"))
+    p_raw = F.col("n_tokens") / F.col("t")
+    p_sampled = F.sqrt(p_raw) / F.col("z")
+    return with_t.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_sampled, 6).alias("p_sampled"),
+        F.round(F.lit(1e9) * p_sampled / F.col("n_tokens"), 4).alias("epochs_at_1b"),
+    )
+
+
+@_register(
+    "training_shard_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+    ), p AS (
+      SELECT doc_id, hkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS global_pos
+      FROM h
+    )
+    SELECT doc_id, global_pos,
+           CAST((global_pos - 1) % 8 AS BIGINT) AS shard,
+           CAST(floor((global_pos - 1) / 8) AS BIGINT) + 1 AS pos_in_shard
+    FROM p
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order preparation: a deterministic, seedless global
+    shuffle (order by the sha256 of the doc key — reproducible across
+    runs and engines, no RNG) followed by round-robin shard
+    assignment: global_pos over the hash order, shard = pos % 8,
+    pos_in_shard = pos div 8. This is how a 100 TB corpus is laid out
+    for data-parallel training: every worker reads one shard and sees
+    a hash-uniform sample in a reproducible order. Scale shape: the
+    global position comes from operators/tree.reindex — the scalable
+    zipWithIndex idiom (range-partition on the hash so partition order
+    IS global order, number within partitions, add per-partition
+    offsets; the only driver exchange is #partitions counts) — NEVER a
+    single-partition ROW_NUMBER window, which the oracle can afford at
+    sf0.01 but a cluster cannot. Shard and intra-shard position are
+    pure projections of the one index."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("doc_id").cast("string"), 256).alias("hkey")
+    )
+    pos = tree_ops.reindex(docs, ["hkey", "doc_id"], idx_name="global_pos")
+    g = F.col("global_pos").cast("long")
+    return pos.select(
+        "doc_id",
+        g.alias("global_pos"),
+        F.pmod(g - 1, 8).cast("long").alias("shard"),
+        (F.floor((g - 1) / 8) + 1).cast("long").alias("pos_in_shard"),
     )
 
 

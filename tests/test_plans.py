@@ -274,3 +274,52 @@ def test_image_near_dup_is_banded_equi_join_with_cap(spark, sf_dir):
     assert "LeftAnti" in plan, plan  # drop_hot_keys broadcast anti join
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan  # mapInPandas only
+
+
+def test_q12_derivation_stays_codegen_and_prunes(spark, sf_dir):
+    """Q12's derived shipmode/commit/receipt columns are pure integer
+    projections over the scan — the plan must stay JVM-side, prune the
+    untouched money columns from the lineitem read, and join hash-wise
+    (the IN-filter and date residuals apply below the join)."""
+    plan = _plan(spark, sf_dir, "q12_shipmode_priority")
+    assert "BatchEvalPython" not in plan, plan
+    assert "l_extendedprice" not in plan and "l_discount" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_scrub_reassembly_is_keyed_agg_not_window(spark, sf_dir):
+    """dedup_scrub_segments must reassemble inside a keyed aggregate
+    (array_sort over collect_list) — a cross-doc Window over segment
+    position would serialize hot docs; and the frequency side must be
+    a partial-aggregated join, never a count() OVER (seg) window."""
+    plan = _plan(spark, sf_dir, "dedup_scrub_segments")
+    assert "Window" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dsir_builds_both_lms_in_one_aggregate(spark, sf_dir):
+    """DSIR's target and raw unigram LMs must come from ONE token-grain
+    groupBy (c_raw and c_tgt side by side) — two separate token scans
+    would double the corpus read; totals ride a 1-row broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # one aggregate computes both counts over the same grouping key
+    assert re.search(r"count\(1\).*sum\(CASE WHEN", plan) or (
+        "partial_count" in plan or "HashAggregate" in plan
+    ), plan
+    # the 1-row totals join is the only nested-loop allowed (broadcast, 1 row)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_assignment_never_funnels(spark, sf_dir):
+    """training_shard_assignment must get its global positions from the
+    scalable reindex (range partition + per-partition numbering +
+    offsets) — no Exchange SinglePartition anywhere in the final plan."""
+    plan = _plan(spark, sf_dir, "training_shard_assignment")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
