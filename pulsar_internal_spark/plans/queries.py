@@ -50,7 +50,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   winnowing_matches word_explode_counts
   xor_crypt_nation q12_shipmode_priority dedup_scrub_segments
   dsir_importance_weights temperature_mixture_weights
-  training_shard_assignment
+  training_shard_assignment countmin_heavy_hitters
 """
 
 from __future__ import annotations
@@ -5909,6 +5909,85 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.alias("global_pos"),
         F.pmod(g - 1, 8).cast("long").alias("shard"),
         (F.floor((g - 1) / 8) + 1).cast("long").alias("pos_in_shard"),
+    )
+
+
+@_register(
+    "countmin_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(
+               string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')
+             ) AS w
+      FROM documents
+    ), exact AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ), cand AS (
+      SELECT * FROM exact ORDER BY cnt DESC, w LIMIT 10
+    ), keyed AS (
+      SELECT w, cnt, r,
+             (16 * (strpos('0123456789abcdef',
+                     substr(sha256(CAST(r AS VARCHAR) || '|' || w), 1, 1)) - 1)
+                 + (strpos('0123456789abcdef',
+                     substr(sha256(CAST(r AS VARCHAR) || '|' || w), 2, 1)) - 1)) AS bucket
+      FROM exact CROSS JOIN (SELECT unnest(range(4)) AS r)
+    ), cells AS (
+      SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM keyed GROUP BY r, bucket
+    )
+    SELECT c.w AS token, c.cnt AS exact_count,
+           CAST(MIN(cl.cell) AS BIGINT) AS cms_estimate
+    FROM cand c
+    JOIN keyed k ON k.w = c.w
+    JOIN cells cl ON cl.r = k.r AND cl.bucket = k.bucket
+    GROUP BY c.w, c.cnt
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation, fully deterministic (sha-based bucket hashing, no
+    seeds): d=4 hash rows x w=256 buckets, every cell a SUM — so the
+    sketch is MERGEABLE, the property that makes it work distributed:
+    per-partition sketches add cell-wise, which Spark gets for free by
+    building the cells with a partial-aggregated groupBy. The cells
+    are built from the token-frequency table (additivity makes that
+    algebraically identical to per-occurrence updates, one corpus scan
+    either way); estimates take min over the candidate's d cells and
+    OVER-estimate by construction (asserted as a property test). At
+    100 TB the sketch stays d*w cells regardless of corpus size — the
+    point of sketching: ship 1 KB instead of the vocabulary. The
+    exact side-by-side count exists to make the error measurable (and
+    gives the oracle real values to check); a production pass would
+    keep only the sketch."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(dedup_ops.tokenized("text")).alias("w"))
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cand = exact.orderBy(F.desc("cnt"), "w").limit(10)
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("w")), 256),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = exact.select(
+        "w", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("bucket", bucket)
+    cells = keyed.groupBy("r", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
+    cand_keyed = cand.select(
+        "w", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("bucket", bucket)
+    return (
+        cand_keyed.join(cells, ["r", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt").alias("exact_count"),
+            "cms_estimate",
+        )
     )
 
 

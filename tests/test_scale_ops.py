@@ -475,3 +475,59 @@ def test_grouped_topk_matches_plain_window_under_skew(spark):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(key#\d+, _salt#\d+", plan), plan
+
+
+def test_scrub_removes_planted_duplicates(spark, tmp_path):
+    """dedup_scrub_segments on planted content: a corpus-shared 5-token
+    footer must be stripped from every doc while each doc's unique
+    20-token body survives byte-exact and in order; a pair of fully
+    identical docs (every segment duplicated) must emit clean_text=''
+    instead of vanishing from the output."""
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    footer = " ".join(f"viral{i}" for i in range(5))
+    dup_text = " ".join(f"dup{j}" for j in range(20))
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(20)) + " " + footer, "s")
+        for i in range(100)
+    ] + [(1000, dup_text, "s"), (1001, dup_text, "s")]
+    sf = _plant_docs(spark, tmp_path, rows)
+
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+        for r in QUERIES["dedup_scrub_segments"](spark, sf).collect()
+    }
+    assert len(got) == 102
+    for i in range(100):
+        body = " ".join(f"u{i}w{j}" for j in range(20))
+        assert got[i] == (5, 4, body), got[i]
+    # full duplicates: all 4 segments corpus-duplicated -> empty text
+    assert got[1000] == (4, 0, "")
+    assert got[1001] == (4, 0, "")
+
+
+def test_shard_assignment_deterministic_dense_balanced(spark, sf_dir):
+    """training_shard_assignment must be (a) bit-stable across runs (no
+    RNG, no partition-order dependence — the reindex range-partitions
+    on the hash key), (b) dense 1..n within every shard, and (c)
+    round-robin balanced (shard sizes differ by at most 1)."""
+    from collections import Counter
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    a = sorted(
+        (r.doc_id, r.global_pos, r.shard, r.pos_in_shard)
+        for r in QUERIES["training_shard_assignment"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.global_pos, r.shard, r.pos_in_shard)
+        for r in QUERIES["training_shard_assignment"](spark, sf_dir).collect()
+    )
+    assert a == b, "shard assignment must be deterministic"
+    sizes = Counter(t[2] for t in a)
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    per_shard = {}
+    for _, _, shard, pos in a:
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard

@@ -51,6 +51,11 @@ HEADLINERS: list[tuple[str, str]] = [
     ("audio_near_dup", "perceptual audio dedup: real WAV decode -> sign-of-delta fingerprint -> same banded Hamming join"),
     ("video_near_dup", "perceptual video dedup: real AVI decode -> frame-concatenated aHash -> one Hamming band per frame"),
     ("dedup_keep_best", "cluster pipeline + quality join + bounded per-cluster ranking window"),
+    ("q12_shipmode_priority", "derived dim columns as codegen projection; IN-filter + date residuals below the join"),
+    ("dedup_scrub_segments", "exact-substring scrub: segment freq join + in-aggregate ordered reassembly (no window)"),
+    ("dsir_importance_weights", "both unigram LMs from ONE token-grain agg; 1-row totals broadcast; vocab join"),
+    ("training_shard_assignment", "deterministic global shuffle via scalable reindex; shards are pure projections"),
+    ("countmin_heavy_hitters", "mergeable count-min sketch: d x w SUM cells from one partial-aggregated groupBy"),
 ]
 
 
