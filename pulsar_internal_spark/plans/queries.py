@@ -50,7 +50,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   winnowing_matches word_explode_counts
   xor_crypt_nation q12_shipmode_priority dedup_scrub_segments
   dsir_importance_weights temperature_mixture_weights
-  training_shard_assignment countmin_heavy_hitters
+  training_shard_assignment countmin_heavy_hitters user_triangle_counts
 """
 
 from __future__ import annotations
@@ -5988,6 +5988,81 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("exact_count"),
             "cms_estimate",
         )
+    )
+
+
+@_register(
+    "user_triangle_counts",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b
+        ON date_trunc('minute', a.ts) = date_trunc('minute', b.ts)
+       AND a.user_id < b.user_id
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY id
+    """,
+)
+def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the user co-occurrence graph —
+    the local-clustering signal (spam rings, bot cliques) and the
+    classic distributed-graph join pattern. Spark side uses DEGREE
+    ORIENTATION (Chiba-Nishizeki / the MapReduce NodeIterator++ form):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges only at each edge's lower-rank vertex,
+    and close them with one more oriented-edge join. Why: wedge count
+    at a vertex is out-degree^2, and orientation bounds out-degree by
+    O(sqrt(m)) — a celebrity node with degree 1M generates 1M oriented
+    wedges instead of 10^12 raw ones. The oracle enumerates the same
+    triangle set by id-canonical 3-way join (fine at oracle scale,
+    degree-blind at ours — exactly why the oriented form exists). Each
+    triangle is found once, at its lowest-rank corner; corner explode +
+    one keyed agg yields per-node counts. Shape: two equi-joins + two
+    aggregates, AQE skew-splits any residual hot bucket, no UDF."""
+    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events"))
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dsrc"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddst"), "dst")
+    )
+    src_first = F.struct(F.col("dsrc"), F.col("src")) < F.struct(F.col("ddst"), F.col("dst"))
+    oriented = ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        ),
+    ).select(
+        F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
+    )
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closer, ["b", "c"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
 
 

@@ -323,3 +323,14 @@ def test_shard_assignment_never_funnels(spark, sf_dir):
     plan = _plan(spark, sf_dir, "training_shard_assignment")
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_counting_is_oriented_equi_joins(spark, sf_dir):
+    """Triangle enumeration must run as hash equi-joins on the wedge
+    center and the closing edge — degree orientation makes the residual
+    rank comparison a filter, never a nested-loop or cartesian pair
+    generator; corners aggregate JVM-side."""
+    plan = _plan(spark, sf_dir, "user_triangle_counts")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan  # closing-edge probe is a semi join
+    assert "BatchEvalPython" not in plan, plan
