@@ -51,6 +51,7 @@ checked through r02 (70 of 125; r01+r02 union covers the other 55):
   xor_crypt_nation q12_shipmode_priority dedup_scrub_segments
   dsir_importance_weights temperature_mixture_weights
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
+  token_entropy_scores histogram_value_quantiles
 """
 
 from __future__ import annotations
@@ -6063,6 +6064,153 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+@_register(
+    "token_entropy_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+               string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')
+             ) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS type_token_ratio,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document — the information-density
+    quality signal that catches repetitive machine-generated junk
+    (keyword stuffing, template spam) that length and stopword ratios
+    miss: a doc repeating one token has entropy 0 bits however long it
+    is. Uses the algebraic identity H = log2(N) - sum(c*log2 c)/N so
+    the whole score reduces to TWO plain SUMs over the per-doc term
+    frequencies — no per-token probability column, no second pass for
+    N. Type-token ratio rides the same aggregate. Shape: one shuffle
+    to (doc, token) grain (partial-aggregated — a hot token inside one
+    doc combines map-side), one shuffle to doc grain; everything
+    JVM-side, scale-invariant."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(dedup_ops.tokenized("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)) / n, 4).alias("type_token_ratio"),
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+@_register(
+    "histogram_value_quantiles",
+    """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), rng AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM ev GROUP BY event_type
+    ), binned AS (
+      SELECT e.event_type,
+             CASE WHEN r.mx = r.mn THEN 0
+                  ELSE CAST(LEAST(63, FLOOR(((e.value - r.mn) * 64.0) / (r.mx - r.mn))) AS BIGINT)
+             END AS bin
+      FROM ev e JOIN rng r USING (event_type)
+    ), hist AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), qb AS (
+      SELECT event_type,
+             CAST(MIN(n) AS BIGINT) AS n_values,
+             MIN(CASE WHEN cumc >= 0.5 * n THEN bin END) AS b50,
+             MIN(CASE WHEN cumc >= 0.9 * n THEN bin END) AS b90,
+             MIN(CASE WHEN cumc >= 0.99 * n THEN bin END) AS b99
+      FROM cum GROUP BY event_type
+    )
+    SELECT q.event_type, q.n_values,
+           ROUND(r.mn + (q.b50 * (r.mx - r.mn)) / 64.0, 6) AS p50_est,
+           ROUND(r.mn + (q.b90 * (r.mx - r.mn)) / 64.0, 6) AS p90_est,
+           ROUND(r.mn + (q.b99 * (r.mx - r.mn)) / 64.0, 6) AS p99_est
+    FROM qb q JOIN rng r USING (event_type)
+    """,
+)
+def histogram_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE equi-width histogram — the
+    other fixed-size summary (beside countmin_heavy_hitters) a 100 TB
+    profiler actually ships: exact percentile_disc needs a global sort
+    per group; this needs one (type, bin) groupBy whose partial
+    aggregates merge cell-wise, then quantile extraction runs on the
+    64-row-per-group HISTOGRAM — the windows below partition over
+    sketch cells, never over data rows, so they are O(64) per group at
+    any corpus size. Bin edges come from an exact min/max pre-pass
+    (broadcast back — two scans total); estimates are the lower edge
+    of the bin where the cumulative count crosses q*N. Every bin
+    expression is written with identical IEEE operation order in both
+    engines, so even the floor() boundaries agree bit-for-bit."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(63),
+                F.floor(((F.col("value") - F.col("mn")) * 64.0) / (F.col("mx") - F.col("mn"))),
+            ).cast("long")
+        )
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qb = cum.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n_values"),
+        F.min(F.when(F.col("cumc") >= 0.5 * F.col("n"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cumc") >= 0.9 * F.col("n"), F.col("bin"))).alias("b90"),
+        F.min(F.when(F.col("cumc") >= 0.99 * F.col("n"), F.col("bin"))).alias("b99"),
+    )
+    est = lambda b: F.round(  # noqa: E731
+        F.col("mn") + (F.col(b) * (F.col("mx") - F.col("mn"))) / 64.0, 6
+    )
+    return qb.join(rng, "event_type").select(
+        "event_type",
+        "n_values",
+        est("b50").alias("p50_est"),
+        est("b90").alias("p90_est"),
+        est("b99").alias("p99_est"),
     )
 
 

@@ -334,3 +334,25 @@ def test_triangle_counting_is_oriented_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "LeftSemi" in plan, plan  # closing-edge probe is a semi join
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_histogram_quantiles_windows_over_cells_only(spark, sf_dir):
+    """The quantile windows must partition over the 64-cell histogram,
+    never the raw rows: the plan's Window operators sit ABOVE the
+    (type, bin) aggregate, and the bin-edge join is a broadcast."""
+    plan = _plan(spark, sf_dir, "histogram_value_quantiles")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # Window input is the aggregated histogram: HashAggregate appears
+    # below Window in the tree (string order is top-down, so the first
+    # Window must come BEFORE the last HashAggregate)
+    assert "Window" in plan and "HashAggregate" in plan, plan
+
+
+def test_entropy_is_two_keyed_aggregates(spark, sf_dir):
+    """Entropy must reduce to two plain SUMs over term frequencies —
+    no window, no per-token probability join back."""
+    plan = _plan(spark, sf_dir, "token_entropy_scores")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
