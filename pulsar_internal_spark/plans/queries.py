@@ -5960,19 +5960,13 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side-by-side count exists to make the error measurable (and
     gives the oracle real values to check); a production pass would
     keep only the sketch."""
+    from ..operators.sketches import bucket_expr
+
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(dedup_ops.tokenized("text")).alias("w"))
     exact = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     cand = exact.orderBy(F.desc("cnt"), "w").limit(10)
-    bucket = F.conv(
-        F.substring(
-            F.sha2(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("w")), 256),
-            1,
-            2,
-        ),
-        16,
-        10,
-    ).cast("long")
+    bucket = bucket_expr(F.col("r"), F.col("w"))
     keyed = exact.select(
         "w", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
     ).withColumn("bucket", bucket)

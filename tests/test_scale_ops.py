@@ -531,3 +531,64 @@ def test_shard_assignment_deterministic_dense_balanced(spark, sf_dir):
         per_shard.setdefault(shard, []).append(pos)
     for shard, poss in per_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_sketch_store_merge_idempotent_compact(spark, sf_dir, tmp_path):
+    """Incremental count-min store invariants: (1) MERGEABILITY — the
+    served (cell-wise summed) sketch over two batch appends equals the
+    one-shot sketch of the full corpus; (2) IDEMPOTENCY — re-appending
+    a batch under its explicit batch_id replaces, never double-counts;
+    (3) COMPACTION — folding partitions is additively lossless and
+    bounds the store at d*256 cells; (4) estimates from the served
+    sketch never underestimate the exact counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import sketches
+    from pulsar_internal_spark.operators.dedup import tokenized
+    from pulsar_internal_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenized("text")).alias("w"))
+    store = str(tmp_path / "cms_store")
+
+    b0 = sketches.append_sketch_batch(
+        spark, toks.filter(F.col("doc_id") % 2 == 0).select("w"), store
+    )
+    b1 = sketches.append_sketch_batch(
+        spark, toks.filter(F.col("doc_id") % 2 == 1).select("w"), store
+    )
+    assert (b0, b1) == (0, 1)
+
+    def cells_of(df):
+        return {(r.r, r.bucket): r.cell for r in df.collect()}
+
+    served = cells_of(sketches.serve_sketch(spark, store))
+    oneshot = cells_of(sketches.countmin_cells(toks.select("w")))
+    assert served == oneshot, "merge of batch sketches != sketch of union"
+
+    # retried batch (same id) must replace its partition, not add to it
+    sketches.append_sketch_batch(
+        spark, toks.filter(F.col("doc_id") % 2 == 1).select("w"), store, batch_id=1
+    )
+    assert cells_of(sketches.serve_sketch(spark, store)) == oneshot
+
+    sketches.compact_sketch_store(spark, store)
+    assert cells_of(sketches.serve_sketch(spark, store)) == oneshot
+    parts = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=0"], parts
+
+    exact = {
+        r.w: r.c
+        for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    cand = toks.select("w").distinct().limit(20)
+    est = {
+        r.w: r.cms_estimate
+        for r in sketches.estimate_counts(
+            sketches.serve_sketch(spark, store), cand, "w"
+        ).collect()
+    }
+    for w, e in est.items():
+        assert e >= exact[w], (w, e, exact[w])
