@@ -987,3 +987,54 @@ def test_duplex_client_resumes_epoch_after_restart(tmp_path):
     new = [f for f in gen2 if f not in gen1]
     assert len(gen2) == 3, "restart must never clobber earlier spool files"
     assert len(new) == 1 and new[0] > max(gen1), (gen1, new)
+
+
+def test_streaming_sketch_matches_batch(spark, tmp_path):
+    """Continuous sketching: token files arriving as micro-batches,
+    each appended to the count-min store by batch id inside
+    foreachBatch, must serve EXACTLY the one-shot sketch of the union
+    — the mergeability property carried through the streaming path
+    with the same exactly-once (batch-id partition overwrite) contract
+    as the signature store."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import sketches
+
+    inbox = tmp_path / "cms_inbox"
+    inbox.mkdir()
+    words = [f"tok{i % 7}" for i in range(60)]
+    for half in (0, 1):
+        (inbox / f"{half}.txt").write_text(
+            "\n".join(words[half * 30 : (half + 1) * 30])
+        )
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(F.col("value").alias("w"))
+    )
+    store = str(tmp_path / "cms_store")
+
+    def sink(bdf, bid):
+        sketches.append_sketch_batch(bdf.sparkSession, bdf, store, batch_id=bid)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    served = {
+        (r.r, r.bucket): r.cell
+        for r in sketches.serve_sketch(spark, store).collect()
+    }
+    oneshot = {
+        (r.r, r.bucket): r.cell
+        for r in sketches.countmin_cells(
+            spark.createDataFrame([(w,) for w in words], ["w"])
+        ).collect()
+    }
+    assert served == oneshot
