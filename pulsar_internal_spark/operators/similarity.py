@@ -525,3 +525,60 @@ def ivf_index_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_append(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a persisted IVF index WITHOUT
+    retraining or rewriting history: assign each new vector to its
+    nearest EXISTING centroid (broadcast distance argmin — the exact
+    ranking expression the probes use, so assignment and probing can
+    never disagree on a cell boundary) and append parquet files into
+    the matching cell partition directories. The coarse quantizer is
+    FROZEN — the standard IVF ingestion trade: cells drift as the
+    vector distribution shifts, which is monitored (cell-size skew)
+    and fixed by an offline rebuild, never by blocking ingest. At
+    100 TB this is the serving shape: a daily embedding batch costs
+    one broadcast join + one partitioned append, while probes keep
+    reading nprobe cell directories; appended files become visible
+    per cell listing, so a concurrent probe sees the old or the new
+    file set, never a torn cell."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    staged = spread(new_vectors).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _norm(F.col(vec_col)).alias("norm"),
+    )
+    assigned = (
+        staged.join(F.broadcast(cents))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "centroid",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "norm", "cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )

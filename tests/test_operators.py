@@ -1278,3 +1278,56 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert len(rows) == 10
     for r in rows:
         assert r.cms_estimate >= r.exact_count, (r.token, r.exact_count, r.cms_estimate)
+
+
+def test_ivf_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: vectors appended to a built index
+    must (a) land in exactly the argmin-distance cell of the FROZEN
+    centroid table — recomputed independently here — and (b) be
+    immediately servable: probing with a clone of an appended vector
+    returns that vector as the top neighbor. Also pins the layout:
+    appends only ever add files under existing cell= directories."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import similarity as S
+    from pulsar_internal_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1).limit(50)
+    idx = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(half_a, idx, num_centroids=8)
+
+    S.ivf_index_append(spark, half_b, idx)
+
+    cents = {
+        r.cell: r.centroid
+        for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    b_ids = {r.vec_id for r in half_b.select("vec_id").collect()}
+    got = {
+        r.vec_id: (r.cell, r.embedding)
+        for r in cells.collect()
+        if r.vec_id in b_ids
+    }
+    assert set(got) == b_ids, "every appended vector must be in the index"
+    for vid, (cell, vec) in got.items():
+        dists = {
+            c: sum((float(a) - b) ** 2 for a, b in zip(vec, ctr))
+            for c, ctr in cents.items()
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert cell == best, (vid, cell, best)
+
+    probe_vec = next(iter(got.values()))[1]
+    probe_id = next(iter(got))
+    queries = spark.createDataFrame(
+        [(999999, [float(x) for x in probe_vec])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    top = S.ivf_index_topk(spark, idx, queries, k=3, nprobe=3).collect()
+    assert top and top[0].neighbor_id == probe_id, top[:3]
+    assert math.isclose(top[0].cos_sim, 1.0, abs_tol=1e-4)
