@@ -16,9 +16,10 @@ re-expressed (see SURVEY.md §2 for the full mapping table).
 
 DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the local
-98+-oracle differential suite every run — this block only tracks which
-have ALSO appeared in a driver CORRECTNESS_r* file). Never driver-
-checked through r02 (70 of 125; r01+r02 union covers the other 55):
+137-oracle differential suite every run — this block only tracks which
+have ALSO appeared in a driver CORRECTNESS_r* file). r03 sampled the
+same 50 keys as r02, so the never-driver-checked set below only GROWS
+with each round's additions (r01+r02+r03 union covers the other 50):
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   containment_candidates cube_event_stats derive_bytes_nation

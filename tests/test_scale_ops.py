@@ -592,3 +592,47 @@ def test_sketch_store_merge_idempotent_compact(spark, sf_dir, tmp_path):
     }
     for w, e in est.items():
         assert e >= exact[w], (w, e, exact[w])
+
+
+def test_dsir_survives_hot_token_skew(spark, tmp_path):
+    """Adversarial stopword skew for dsir_importance_weights: one token
+    ('the') dominates the corpus 50:1. The token->vocab join key is
+    then maximally hot on the probe side; the plan must stay a
+    window-free join+aggregate (AQE splits the hot probe partition —
+    nothing can pin all 'the' occurrences to one task the way a
+    count() OVER (token) window would), results must stay exact, and
+    the wall clock must stay flat — a serialized hot key blows the
+    bound by orders of magnitude."""
+    import time
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    hot = " ".join(["the"] * 50)
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c " + hot, "s")
+        for i in range(2000)
+    ]
+    sf = _plant_docs_with_lang(spark, tmp_path, rows)
+
+    t0 = time.perf_counter()
+    df = QUERIES["dsir_importance_weights"](spark, sf)
+    got = {r.doc_id: r.n_tokens for r in df.collect()}
+    elapsed = time.perf_counter() - t0
+    assert got == {i: 53 for i in range(2000)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hot token must not route through a window"
+    assert elapsed < 60, f"hot-token path too slow: {elapsed:.1f}s"
+
+
+def _plant_docs_with_lang(spark, tmp_path, rows):
+    """documents fixture with the lang column dsir needs (alternating
+    en/fr so the target LM slice is non-trivial)."""
+    import os
+
+    sf = str(tmp_path / "sf_planted_lang")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en" if i % 2 == 0 else "fr", s) for (i, t, s) in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
