@@ -52,7 +52,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   xor_crypt_nation q12_shipmode_priority dedup_scrub_segments
   dsir_importance_weights temperature_mixture_weights
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
-  token_entropy_scores histogram_value_quantiles
+  token_entropy_scores histogram_value_quantiles rag_retrieve_pack
 """
 
 from __future__ import annotations
@@ -6025,7 +6025,12 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle is found once, at its lowest-rank corner; corner explode +
     one keyed agg yields per-node counts. Shape: two equi-joins + two
     aggregates, AQE skew-splits any residual hot bucket, no UDF."""
-    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events"))
+    # The edge list feeds FOUR lineages below (degree table, the rank
+    # join, both wedge sides, the closing-edge probe) — without a
+    # materialization the events self-join would re-execute once per
+    # consumer. Same localCheckpoint idiom as tree.reindex/graph CC;
+    # on a cluster swap for reliable checkpoint(dir).
+    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events")).localCheckpoint()
     deg = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
@@ -6037,11 +6042,13 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddst"), "dst")
     )
     src_first = F.struct(F.col("dsrc"), F.col("src")) < F.struct(F.col("ddst"), F.col("dst"))
+    # oriented is consumed three times (both wedge sides + the closer);
+    # materialize once so the rank joins don't re-run per consumer
     oriented = ranked.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
-    )
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
@@ -6206,6 +6213,79 @@ def histogram_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("b50").alias("p50_est"),
         est("b90").alias("p90_est"),
         est("b99").alias("p99_est"),
+    )
+
+
+@_register(
+    "rag_retrieve_pack",
+    r"""
+    WITH topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS BIGINT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id % 100 = 0
+      QUALIFY rank <= 3
+    ), ctx AS (
+      SELECT t.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             string_agg('[doc ' || t.neighbor_id || '] ' || d.text, ' ' ORDER BY t.rank)
+               AS packed
+      FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id, n_docs,
+           CAST(len(string_split_regex(trim(lower(regexp_replace(packed, '\s+', ' ', 'g'))), '\s+')) AS BIGINT)
+             AS context_tokens,
+           substr(sha256(packed), 1, 16) AS context_sha
+    FROM ctx
+    """,
+)
+def rag_retrieve_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving pipeline end-to-end: exact top-3 retrieval per
+    query vector -> join the document store on the neighbor ids ->
+    assemble the prompt context in RANK order with provenance headers
+    -> report its token budget and a content fingerprint. This is the
+    read-side composite (retrieval -> hydration -> packing) that
+    rag_chunking's write side feeds. Scale shape: the ANN tier is the
+    broadcast-query brute-force plan (corpus never shuffles); document
+    hydration joins ONLY the |queries| x k winner rows against the doc
+    store — at 100 TB that is thousands of rows probing a big table,
+    a textbook broadcast-the-small-side join; packing sorts only each
+    query's own k rows inside a keyed aggregate (array_sort over
+    collect_list — no cross-query window). The sha fingerprint keeps
+    the oracle compare exact without shipping megabyte rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    top = sim_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=3
+    ).select("query_id", "neighbor_id", "rank")
+    hydrated = top.join(
+        docs.select(F.col("doc_id").alias("neighbor_id"), "text"), "neighbor_id"
+    ).select(
+        "query_id",
+        "rank",
+        F.concat(
+            F.lit("[doc "), F.col("neighbor_id").cast("string"), F.lit("] "), F.col("text")
+        ).alias("piece"),
+    )
+    packed = hydrated.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("piece")))),
+                lambda x: x["piece"],
+            ),
+            " ",
+        ).alias("packed"),
+    )
+    return packed.select(
+        "query_id",
+        "n_docs",
+        F.size(dedup_ops.tokenized("packed")).cast("long").alias("context_tokens"),
+        F.substring(F.sha2(F.col("packed"), 256), 1, 16).alias("context_sha"),
     )
 
 

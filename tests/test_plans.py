@@ -356,3 +356,15 @@ def test_entropy_is_two_keyed_aggregates(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_rag_pack_hydrates_winners_only(spark, sf_dir):
+    """RAG packing must hydrate documents for the top-k winner rows
+    only (broadcast of the tiny winner set), keep the ANN tier's
+    broadcast-query shape, pack inside a keyed aggregate (exactly ONE
+    window — the ANN rank), and stay JVM-side."""
+    plan = _plan(spark, sf_dir, "rag_retrieve_pack")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window [") == 1, plan  # only the ANN top-k rank
+    assert "BroadcastHashJoin" in plan, plan
