@@ -53,6 +53,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   dsir_importance_weights temperature_mixture_weights
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
+  minhash_accuracy_pairs
 """
 
 from __future__ import annotations
@@ -6286,6 +6287,91 @@ def rag_retrieve_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.size(dedup_ops.tokenized("packed")).cast("long").alias("context_tokens"),
         F.substring(F.sha2(F.col("packed"), 256), 1, 16).alias("context_sha"),
+    )
+
+
+@_register(
+    "minhash_accuracy_pairs",
+    _SHINGLE_CTE
+    + r"""
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    , est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6)
+               AS sig_estimate
+      FROM cand c
+      JOIN sig sa ON c.id_a = sa.doc_id
+      JOIN sig sb ON c.id_b = sb.doc_id
+    ), jx AS (
+      SELECT e.id_a, e.id_b, e.sig_estimate,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1
+                           ELSE len(list_distinct(a.s || b.s)) END), 6) AS jaccard
+      FROM est e JOIN dsh a ON e.id_a = a.doc_id JOIN dsh b ON e.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, sig_estimate, jaccard,
+           ROUND(ABS(sig_estimate - jaccard), 6) AS abs_err
+    FROM jx
+    """,
+)
+def minhash_accuracy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy measurement for the dedup pipeline: for every
+    LSH candidate pair, the MinHash ESTIMATE of Jaccard (fraction of
+    agreeing signature slots — the unbiased estimator the banding
+    decision is built on) side by side with the EXACT shingle Jaccard,
+    plus the absolute error. This is the eval pass a production dedup
+    pipeline ships with its thresholds: it tells you whether 8 hashes
+    are enough at your chosen cut (E[err] ~ 1/sqrt(num_hashes)) and
+    whether a threshold shift would change the candidate frontier.
+    Scale shape: estimates join signature arrays (8 fixed slots) on the
+    bounded candidate set; exact Jaccard reuses jaccard_pairs; the
+    slot-agreement fraction is a JVM zip_with/filter over 8-element
+    arrays — per-pair O(8), never corpus-dependent."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=8, band_size=2)
+    toks = spread(docs).select(
+        F.col("doc_id").alias("id"), dedup_ops.tokenized("text").alias("_words")
+    )
+    hashed = toks.select(
+        "id",
+        F.transform(
+            dedup_ops.shingles_of(F.col("_words"), 3), lambda s: F.sha2(s, 256)
+        ).alias("hs"),
+    )
+    sig = hashed.select(
+        "id", dedup_ops.minhash_signature(F.col("hs"), 8).alias("sig")
+    )
+    est = (
+        cand.join(
+            sig.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"),
+            "id_a",
+        )
+        .join(
+            sig.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda b: b,
+                    )
+                )
+                / F.lit(8.0),
+                6,
+            ).alias("sig_estimate"),
+        )
+    )
+    exact = dedup_ops.jaccard_pairs(docs, cand)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "sig_estimate",
+        "jaccard",
+        F.round(F.abs(F.col("sig_estimate") - F.col("jaccard")), 6).alias("abs_err"),
     )
 
 
