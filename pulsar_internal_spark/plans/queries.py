@@ -53,7 +53,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   dsir_importance_weights temperature_mixture_weights
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
-  minhash_accuracy_pairs
+  minhash_accuracy_pairs bpe_pair_merges
 """
 
 from __future__ import annotations
@@ -6372,6 +6372,58 @@ def minhash_accuracy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig_estimate",
         "jaccard",
         F.round(F.abs(F.col("sig_estimate") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+@_register(
+    "bpe_pair_merges",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END) AS pair
+      FROM toks
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round at word granularity (Sennrich et al. 2016):
+    the top-20 most frequent ADJACENT token pairs — the candidates the
+    next merge would fuse into a vocabulary symbol. Tokenizer induction
+    over a 100 TB corpus is exactly this aggregate iterated; one round
+    is the representative shape (each further round is the same plan
+    over re-segmented text). Scale shape: pair generation is a JVM
+    transform over the staged token array (no shuffle, one row per
+    adjacent position); ONE partial-aggregated groupBy counts pairs
+    (hot pairs — function-word bigrams — combine map-side); the top-20
+    is TakeOrderedAndProject, never a global sort."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(dedup_ops.tokenized("text").alias("w"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat(
+                        F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
     )
 
 

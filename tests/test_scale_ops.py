@@ -636,3 +636,45 @@ def _plant_docs_with_lang(spark, tmp_path, rows):
         "doc_id long, text string, lang string, source string",
     ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
     return sf
+
+
+def test_triangle_counts_exact_on_planted_clique(spark, tmp_path):
+    """Dense-structure stress: a 64-user clique (every pair co-occurs
+    in one minute bucket) has C(63,2) = 1953 triangles per vertex and
+    C(64,3) = 41664 total — the worst case for wedge enumeration.
+    Degree orientation must still count exactly (each triangle once,
+    at its lowest-rank corner) and stay inside a flat wall-clock
+    bound; background users in other minute buckets must contribute
+    nothing."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    base = datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # the clique: users 0..63 all in minute 0
+    for u in range(64):
+        rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+    # background: pairs only (no triangles): users (1000+2i, 1001+2i)
+    for i in range(50):
+        t = base + timedelta(minutes=i + 10)
+        rows.append((eid, t, 1000 + 2 * i, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, t, 1001 + 2 * i, "click", 1.0, "{}")); eid += 1
+
+    sf = str(tmp_path / "sf_clique")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+    t0 = time.perf_counter()
+    got = {r.user_id: r.n_triangles for r in QUERIES["user_triangle_counts"](spark, sf).collect()}
+    elapsed = time.perf_counter() - t0
+    assert got == {u: 1953 for u in range(64)}, {
+        k: v for k, v in list(got.items())[:5]
+    }
+    assert sum(got.values()) == 3 * 41664
+    assert elapsed < 90, f"clique path too slow: {elapsed:.1f}s"
