@@ -59,6 +59,9 @@ HEADLINERS: list[tuple[str, str]] = [
     ("user_triangle_counts", "degree-oriented triangle enumeration: wedge equi-join + closing-edge semi join"),
     ("token_entropy_scores", "entropy as two SUMs over term frequencies (no window, no probability join-back)"),
     ("histogram_value_quantiles", "quantiles from a mergeable 64-bin histogram; windows over sketch cells only"),
+    ("rag_retrieve_pack", "RAG read side: ANN top-k -> winner-only hydration -> in-aggregate rank-ordered packing"),
+    ("minhash_accuracy_pairs", "sketch-accuracy eval: signature agreement vs exact Jaccard on the bounded candidate set"),
+    ("bpe_pair_merges", "tokenizer-induction merge round: map-side combined pair counts, TakeOrdered top-20"),
 ]
 
 
