@@ -53,7 +53,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   dsir_importance_weights temperature_mixture_weights
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
-  minhash_accuracy_pairs bpe_pair_merges
+  minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
 """
 
 from __future__ import annotations
@@ -6424,6 +6424,96 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
+    )
+
+
+@_register(
+    "kmv_distinct_estimates",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(
+               string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')
+             ) AS w
+      FROM documents
+    ), dtok AS (
+      SELECT DISTINCT source, w FROM toks
+    ), hashed AS (
+      SELECT source, substr(sha256(w), 1, 8) AS h FROM dtok
+    ), ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, source) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS nd
+      FROM hashed
+    ), kth AS (
+      SELECT source, CAST(MAX(nd) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN rk = 16 THEN h END) AS h16
+      FROM ranked WHERE rk <= 16 GROUP BY source
+    ), conv AS (
+      SELECT source, n_exact,
+             CASE WHEN h16 IS NULL THEN NULL ELSE
+               list_sum(list_transform(range(0, 8), i ->
+                 CAST(strpos('0123456789abcdef', substr(h16, CAST(i AS INT) + 1, 1)) - 1
+                      AS DOUBLE) * (16.0 ** (7 - CAST(i AS INT)))))
+             END AS hv
+      FROM kth
+    )
+    SELECT source, n_exact,
+           ROUND(CASE WHEN hv IS NULL THEN n_exact
+                      ELSE 15.0 * 4294967296.0 / (hv + 1.0) END, 4) AS kmv_estimate,
+           ROUND(ABS(CASE WHEN hv IS NULL THEN n_exact
+                          ELSE 15.0 * 4294967296.0 / (hv + 1.0) END - n_exact)
+                 / n_exact, 4) AS rel_err
+    FROM conv
+    """,
+)
+def kmv_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    per source — the DETERMINISTIC, oracle-checkable twin of
+    HyperLogLog (approx_distinct_users is rows-only precisely because
+    HLL's hash family is engine-private; KMV over sha256 is portable):
+    keep the k=16 lexicographically smallest 8-hex-char hashes of the
+    distinct tokens, estimate distinct = (k-1) * 2^32 / kth_value (k sized to engage on the fixture vocabulary), and
+    report the relative error beside the exact count. The sketch is
+    MERGEABLE (union = k smallest of the concatenated minima), sizes
+    O(k) per source at any corpus scale, and the ranking shuffle is
+    bounded map-side by WindowGroupLimit to k rows per partition per
+    source. Ranking compares fixed-width hex STRINGS (lexicographic ==
+    numeric); only each source's single kth hash is converted to a
+    number, so the arithmetic both engines must agree on is one
+    expression per source, written in identical IEEE op order."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    dtok = (
+        docs.select("source", F.explode(dedup_ops.tokenized("text")).alias("w"))
+        .distinct()
+    )
+    hashed = dtok.select(
+        "source", F.substring(F.sha2(F.col("w"), 256), 1, 8).alias("h")
+    )
+    # exact count as a KEYED AGGREGATE (partial-aggregated, hot source
+    # combines map-side) — NOT a count() OVER (PARTITION BY source),
+    # which would pin every distinct token of a mega-source into one
+    # window task. The rank window below is safe where the count window
+    # is not: its rk <= 64 filter makes Spark bound the shuffle with a
+    # map-side WindowGroupLimit of 16 rows per partition per source.
+    nd = hashed.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    wrk = Window.partitionBy("source").orderBy("h", "source")
+    ranked = hashed.select(
+        "source", "h", F.row_number().over(wrk).alias("rk")
+    ).filter(F.col("rk") <= 16)
+    kth = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == 16, F.col("h"))).alias("h16"),
+    ).join(F.broadcast(nd), "source")
+    hv = F.when(
+        F.col("h16").isNotNull(), F.conv(F.col("h16"), 16, 10).cast("double")
+    )
+    est = F.when(hv.isNull(), F.col("n_exact")).otherwise(
+        F.lit(15.0) * F.lit(4294967296.0) / (hv + F.lit(1.0))
+    )
+    return kth.select(
+        "source",
+        "n_exact",
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
     )
 
 
