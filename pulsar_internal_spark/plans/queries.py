@@ -54,6 +54,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
+  corpus_curation_verdicts
 """
 
 from __future__ import annotations
@@ -6514,6 +6515,133 @@ def kmv_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.round(est, 4).alias("kmv_estimate"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+@_register(
+    "corpus_curation_verdicts",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+    ), tf AS (
+      SELECT doc_id, w2 AS w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS w2 FROM toks) GROUP BY doc_id, w2
+    ), ent AS (
+      SELECT doc_id, ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+      FROM tf GROUP BY doc_id
+    ), fan AS (
+      SELECT doc_id, w, unnest(range(CAST(ceil(len(w) / 5.0) AS INT))) AS i FROM toks
+    ), segs AS (
+      SELECT doc_id,
+             sha256(array_to_string(w[(5 * CAST(i AS INT) + 1):(5 * CAST(i AS INT) + 5)], ' ')) AS sh
+      FROM fan
+    ), freq AS (
+      SELECT sh, COUNT(*) AS n FROM segs GROUP BY sh
+    ), dupf AS (
+      SELECT s.doc_id,
+             ROUND(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS dup_fraction
+      FROM segs s JOIN freq f USING (sh) GROUP BY s.doc_id
+    ), pii AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                  AS BIGINT) AS pii_hits
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens, d.dup_fraction, e.entropy_bits, p.pii_hits,
+           CASE WHEN b.n_tokens < 15 OR d.dup_fraction > 0.5 OR e.entropy_bits < 2.0
+                THEN 'drop' ELSE 'keep' END AS verdict,
+           concat_ws(',',
+             CASE WHEN b.n_tokens < 15 THEN 'short' END,
+             CASE WHEN d.dup_fraction > 0.5 THEN 'dup' END,
+             CASE WHEN e.entropy_bits < 2.0 THEN 'low_entropy' END,
+             CASE WHEN p.pii_hits > 0 THEN 'pii_flag' END) AS reasons
+    FROM base b
+    JOIN dupf d USING (doc_id) JOIN ent e USING (doc_id) JOIN pii p USING (doc_id)
+    """,
+)
+def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION layer: every per-doc signal the suite
+    computes separately (token count, sub-document duplication
+    fraction, unigram entropy, PII hits) joined into one keep/drop
+    verdict with an auditable fixed-order reason list — the row a
+    production pipeline writes next to each document so a filtered
+    corpus can always answer 'why was this dropped'. Rules: short
+    (<15 tokens), boilerplate (dup_fraction > 0.5), low information
+    (entropy < 2 bits); PII flags but does not drop (it is redacted
+    downstream, pii_redaction). Scale shape: the signals are the
+    already-scale-safe sub-plans (keyed aggregates + the segment
+    frequency join; no windows anywhere); the final assembly joins
+    doc-grain tables on the doc key — co-partitioned by the first
+    shuffle, AQE-coalesced. Thresholds compare ROUNDED doubles so the
+    keep/drop frontier is engine-exact."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    base = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("w2"))
+        .groupBy("doc_id", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    ent = tf.groupBy("doc_id").agg(
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4).alias(
+            "entropy_bits"
+        )
+    )
+    nseg = F.ceil(F.size("w") / F.lit(5.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.sha2(F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)), 256),
+            )
+        ).alias("sh"),
+    )
+    freq = segs.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    dupf = (
+        segs.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"))
+    )
+    pii = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("pii_hits"),
+    )
+    short = F.col("n_tokens") < 15
+    dupped = F.col("dup_fraction") > 0.5
+    low_ent = F.col("entropy_bits") < 2.0
+    return (
+        base.join(dupf, "doc_id")
+        .join(ent, "doc_id")
+        .join(pii, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_fraction",
+            "entropy_bits",
+            "pii_hits",
+            F.when(short | dupped | low_ent, "drop").otherwise("keep").alias("verdict"),
+            F.concat_ws(
+                ",",
+                F.when(short, "short"),
+                F.when(dupped, "dup"),
+                F.when(low_ent, "low_entropy"),
+                F.when(F.col("pii_hits") > 0, "pii_flag"),
+            ).alias("reasons"),
+        )
     )
 
 

@@ -1331,3 +1331,37 @@ def test_ivf_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
     top = S.ivf_index_topk(spark, idx, queries, k=3, nprobe=3).collect()
     assert top and top[0].neighbor_id == probe_id, top[:3]
     assert math.isclose(top[0].cos_sim, 1.0, abs_tol=1e-4)
+
+
+def test_histogram_quantile_invariants(spark, sf_dir):
+    """Estimator sanity independent of the oracle: per event type the
+    histogram quantile estimates must be monotone (p50 <= p90 <= p99),
+    sit inside [min, max] of the raw values, and n_values must equal
+    the exact non-null count."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.plans.queries import QUERIES
+    from pulsar_internal_spark.sources.tables import load_table
+
+    est = {
+        r.event_type: r
+        for r in QUERIES["histogram_value_quantiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, r in est.items():
+        e = exact[et]
+        assert r.n_values == e.n, et
+        assert r.p50_est <= r.p90_est <= r.p99_est, (et, r)
+        assert e.mn <= r.p50_est and r.p99_est <= e.mx, (et, r, e)
