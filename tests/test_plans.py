@@ -368,3 +368,31 @@ def test_rag_pack_hydrates_winners_only(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window [") == 1, plan  # only the ANN top-k rank
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmv_rank_is_grouplimited_and_count_is_aggregate(spark, sf_dir):
+    """KMV's only window is the bounded rank (WindowGroupLimit prunes
+    to k map-side); the exact distinct count must come from a keyed
+    aggregate, never a count() OVER (PARTITION BY source) that would
+    pin a mega-source into one window task."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_estimates")
+    assert plan.count("Window [") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_curation_verdicts_have_no_windows(spark, sf_dir):
+    """The decision layer joins doc-grain signal tables built from
+    keyed aggregates — no window anywhere, no Python, no cartesian."""
+    plan = _plan(spark, sf_dir, "corpus_curation_verdicts")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_bpe_topk_is_take_ordered(spark, sf_dir):
+    """The merge-candidate top-20 must be TakeOrderedAndProject over
+    the partial-aggregated pair counts — never a global sort."""
+    plan = _plan(spark, sf_dir, "bpe_pair_merges")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -678,3 +678,59 @@ def test_triangle_counts_exact_on_planted_clique(spark, tmp_path):
     }
     assert sum(got.values()) == 3 * 41664
     assert elapsed < 90, f"clique path too slow: {elapsed:.1f}s"
+
+
+def test_scrub_is_identity_without_duplicates(spark, tmp_path):
+    """Property: on a corpus with NO repeated 5-token segment, the
+    scrub emits every document's normalized text unchanged (n_kept ==
+    n_segments, clean_text == normalized input) — pins that
+    tokenization, segmentation, and ordered reassembly compose to the
+    identity when nothing is removable."""
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    rows = [
+        (i, " ".join(f"only{i}tok{j}" for j in range(17)), "s")  # 17 -> 4 segs
+        for i in range(60)
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+        for r in QUERIES["dedup_scrub_segments"](spark, sf).collect()
+    }
+    for i, text, _ in rows:
+        assert got[i] == (4, 4, text), (i, got[i])
+
+
+def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
+    """Crash posture: a compaction that died after staging (leaving a
+    *.compact-* temp dir) must not corrupt the store — a later serve
+    reads only the real store path, and a re-run compaction completes
+    and still serves the exact merged cells."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import sketches
+    from pulsar_internal_spark.operators.dedup import tokenized
+    from pulsar_internal_spark.sources.tables import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .select(F.explode(tokenized("text")).alias("w"))
+    )
+    store = str(tmp_path / "cms_crash")
+    sketches.append_sketch_batch(spark, toks, store)
+    want = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+
+    # simulate a compaction that crashed after writing its staging dir
+    stale = f"{store}.compact-deadbeef"
+    os.makedirs(stale, exist_ok=True)
+    (open(os.path.join(stale, "_garbage"), "w")).write("partial")
+
+    got = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+    assert got == want, "stale staging dir must not affect serving"
+
+    sketches.compact_sketch_store(spark, store)
+    got2 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+    assert got2 == want, "re-run compaction must serve identical cells"

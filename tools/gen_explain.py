@@ -62,6 +62,8 @@ HEADLINERS: list[tuple[str, str]] = [
     ("rag_retrieve_pack", "RAG read side: ANN top-k -> winner-only hydration -> in-aggregate rank-ordered packing"),
     ("minhash_accuracy_pairs", "sketch-accuracy eval: signature agreement vs exact Jaccard on the bounded candidate set"),
     ("bpe_pair_merges", "tokenizer-induction merge round: map-side combined pair counts, TakeOrdered top-20"),
+    ("kmv_distinct_estimates", "KMV distinct sketch: WindowGroupLimit-bounded rank, keyed-aggregate exact count"),
+    ("corpus_curation_verdicts", "decision layer: doc-grain signal joins, zero windows, engine-exact thresholds"),
 ]
 
 
