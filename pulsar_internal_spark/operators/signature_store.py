@@ -297,7 +297,14 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     joins hist = batch_id < N either way, and already-emitted pairs
     are never re-emitted (compaction changes no membership, only
     layout). Returns the number of batches folded. Staged safely:
-    write the compacted generation beside the store, then swap."""
+    write the compacted generation beside the store, then swap.
+
+    MAINTENANCE WINDOW CONTRACT: run from the single maintainer, not
+    concurrently with appends — an append landing between the read and
+    the swap would vanish with the old generation (readers are safe at
+    any moment: old or new directory, never torn). The same contract
+    as sketches.compact_sketch_store and the lpframes spool's
+    single-committing-writer rule."""
     import os
     import shutil
 

@@ -124,7 +124,13 @@ def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
     store at d*w rows however many batches ever landed. Staged through
     a temp dir + atomic swap of the final rename, mirroring the
     signature store's crash posture: the store is either old or new,
-    never half."""
+    never half.
+
+    MAINTENANCE WINDOW CONTRACT (same as signature_store.compact_store):
+    run from the single maintainer, not concurrently with appends — an
+    append that lands between the merge read and the swap would vanish
+    with the old generation. Readers are safe at any time (they see the
+    old or the new directory, never a torn one)."""
     import os
     import shutil
     import uuid
