@@ -54,7 +54,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
-  corpus_curation_verdicts
+  corpus_curation_verdicts gapfill_hourly_locf
 """
 
 from __future__ import annotations
@@ -6642,6 +6642,84 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("pii_hits") > 0, "pii_flag"),
             ).alias("reasons"),
         )
+    )
+
+
+@_register(
+    "gapfill_hourly_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(value), 6) AS avg_v
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type, date_trunc('hour', ts)
+    ), rng AS (
+      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ), joined AS (
+      SELECT s.event_type, s.h, hy.n, hy.avg_v
+      FROM spine s LEFT JOIN hourly hy
+        ON hy.event_type = s.event_type AND hy.h = s.h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_avg,
+           n IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable serving op (TimescaleDB time_bucket_gapfill + locf)
+    that turns a sparse event aggregate into a dense dashboard-ready
+    series: generate the hour spine per series from its own min/max,
+    left join the real buckets, zero-fill counts, carry the last
+    observed average forward, and flag synthesized rows. Scale shape:
+    the aggregate is a keyed partial-aggregated groupBy at (series,
+    hour) grain; the spine EXPLODES from the per-series range row — a
+    spine row costs nothing until the join; the carry-forward window
+    partitions at SERIES grain over SPINE rows (hours), which is
+    bounded by the time horizon, not the event volume — a series with
+    a billion raw events still windows over only its hours. The join
+    is an equi join on (series, hour); AQE handles the spine/bucket
+    size mismatch."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    rng = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("avg_v", ignorenulls=True).over(w), 6).alias("locf_avg"),
+        F.col("n").isNull().alias("is_gap"),
     )
 
 
