@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Enforced at read time (serve_sketch) so a layout drift in the writer
+# fails loudly instead of silently misreading cells.
 CELL_SCHEMA = "r INT, bucket BIGINT, cell BIGINT, batch_id INT"
 
 
@@ -41,21 +43,35 @@ def bucket_expr(r_col: Column, token_col: Column) -> Column:
     ).cast("long")
 
 
+def countmin_cells_from_counts(
+    counts_df: DataFrame,
+    token_col: str = "w",
+    count_col: str = "_c",
+    *,
+    depth: int = 4,
+) -> DataFrame:
+    """(r, bucket, cell) cells from a pre-aggregated (token, count)
+    frequency table — the single definition of the sketch layout,
+    shared by the store writer and the countmin_heavy_hitters query so
+    the two can never diverge. By additivity this is identical to
+    per-occurrence updates, but the hot-token combine already happened
+    map-side in the caller's aggregate."""
+    keyed = counts_df.select(
+        F.col(token_col).alias("_w"),
+        F.col(count_col).alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).withColumn("bucket", bucket_expr(F.col("r"), F.col("_w")))
+    return keyed.groupBy("r", "bucket").agg(F.sum("_n").cast("long").alias("cell"))
+
+
 def countmin_cells(
     tokens_df: DataFrame, token_col: str = "w", *, depth: int = 4
 ) -> DataFrame:
-    """Sketch a token-occurrence DataFrame (one row per occurrence)
-    into (r, bucket, cell) counts — d x 256 cells, built by ONE
-    partial-aggregated groupBy over the token-frequency table (by
-    additivity, identical to per-occurrence updates, but the hot-token
-    combine happens map-side)."""
+    """Sketch a token-occurrence DataFrame (one row per occurrence):
+    ONE partial-aggregated groupBy to the frequency table, then the
+    shared cell constructor."""
     counts = tokens_df.groupBy(token_col).agg(F.count(F.lit(1)).alias("_c"))
-    keyed = counts.select(
-        F.col(token_col).alias("_w"),
-        "_c",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
-    ).withColumn("bucket", bucket_expr(F.col("r"), F.col("_w")))
-    return keyed.groupBy("r", "bucket").agg(F.sum("_c").cast("long").alias("cell"))
+    return countmin_cells_from_counts(counts, token_col, "_c", depth=depth)
 
 
 def append_sketch_batch(
@@ -69,7 +85,14 @@ def append_sketch_batch(
 ) -> int:
     """Sketch ``tokens_df`` and write its cells under ``batch_id``
     (next sequential id when None). Dynamic partition overwrite on an
-    explicit batch_id = idempotent retry, the foreachBatch contract."""
+    explicit batch_id = idempotent retry, the foreachBatch contract.
+
+    An EMPTY batch writes the single zero cell (0, 0, 0) — the
+    additive identity — rather than nothing: the partition then exists,
+    so auto-increment never reissues the id, and a RETRY whose
+    reprocessed content became empty still REPLACES its old partition
+    (the replace-on-retry contract would silently not hold for a
+    zero-row dynamic overwrite)."""
     from .signature_store import _read_store
 
     if batch_id is None:
@@ -79,9 +102,12 @@ def append_sketch_batch(
             if existing is None
             else existing.select(F.max("batch_id")).first()[0] + 1
         )
-    cells = countmin_cells(tokens_df, token_col, depth=depth).withColumn(
-        "batch_id", F.lit(batch_id).cast("int")
+    cells = countmin_cells(tokens_df, token_col, depth=depth)
+    zero = spark.createDataFrame([(0, 0, 0)], "r INT, bucket BIGINT, cell BIGINT")
+    cells = cells.unionByName(zero).groupBy("r", "bucket").agg(
+        F.sum("cell").cast("long").alias("cell")
     )
+    cells = cells.withColumn("batch_id", F.lit(batch_id).cast("int"))
     (
         cells.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -92,11 +118,18 @@ def append_sketch_batch(
 
 
 def serve_sketch(spark: SparkSession, store_path: str) -> DataFrame:
-    """The merged sketch: cell-wise sum over every batch partition."""
+    """The merged sketch: cell-wise sum over every batch partition.
+    Reads with the explicit CELL_SCHEMA so writer drift fails loudly.
+    Zero-valued cells (only the empty-batch sentinel produces them)
+    are dropped after the merge — a zero cell and an absent cell are
+    the same sketch state (estimate_counts zero-fills on its left
+    join), so serving stays bit-identical to the one-shot sketch."""
     return (
-        spark.read.parquet(store_path)
+        spark.read.schema(CELL_SCHEMA)
+        .parquet(store_path)
         .groupBy("r", "bucket")
         .agg(F.sum("cell").cast("long").alias("cell"))
+        .filter(F.col("cell") > 0)
     )
 
 
@@ -104,27 +137,39 @@ def estimate_counts(
     sketch_df: DataFrame, candidates_df: DataFrame, token_col: str, *, depth: int = 4
 ) -> DataFrame:
     """Point estimates for candidate tokens: min over the d cells each
-    candidate hashes to (over-estimates only, by construction). The
-    candidate side fans out d rows per token and equi-joins the d*256
-    cell table — broadcast-sized at any corpus scale."""
+    candidate hashes to (over-estimates only, by construction). LEFT
+    join + zero-fill: a candidate whose (r, bucket) cell was never
+    written must estimate over an IMPLICIT ZERO cell — an inner join
+    would drop the token entirely (absent from output) or, worse,
+    min() only over its collision-populated cells and return a
+    positive count where true count-min returns 0. The candidate side
+    fans out d rows per token and joins the d*256 cell table —
+    broadcast-sized at any corpus scale."""
     keyed = candidates_df.select(
         F.col(token_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
     ).withColumn("bucket", bucket_expr(F.col("r"), F.col(token_col)))
     return (
-        keyed.join(F.broadcast(sketch_df), ["r", "bucket"])
+        keyed.join(F.broadcast(sketch_df), ["r", "bucket"], "left")
+        .select(token_col, F.coalesce(F.col("cell"), F.lit(0)).alias("cell"))
         .groupBy(token_col)
         .agg(F.min("cell").cast("long").alias("cms_estimate"))
     )
 
 
-def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
-    """Fold every batch partition into one: additively lossless (the
-    merged cells are what serve_sketch already computes), bounds the
-    store at d*w rows however many batches ever landed. Staged through
-    a temp dir + atomic swap of the final rename, mirroring the
-    signature store's crash posture: the store is either old or new,
-    never half.
+def compact_sketch_store(spark: SparkSession, store_path: str) -> int:
+    """Fold every batch partition into one base batch (id 0):
+    additively lossless (the merged cells are what serve_sketch
+    already computes), bounds the store at d*w rows however many
+    batches ever landed. Returns the number of batches folded;
+    early-outs (no rewrite, no swap window) when the store already has
+    at most one batch. Staged through FIXED-NAME sibling dirs that are
+    swept on entry — a crashed run's leftovers self-heal on the next
+    run instead of accumulating — then swapped in, mirroring
+    signature_store.compact_store. If a crash lands between the two
+    renames, store_path is briefly absent but the full previous
+    generation survives at {store}.old: recover by renaming it back
+    (never append batch 0 over a missing store without checking).
 
     MAINTENANCE WINDOW CONTRACT (same as signature_store.compact_store):
     run from the single maintainer, not concurrently with appends — an
@@ -133,14 +178,25 @@ def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
     old or the new directory, never a torn one)."""
     import os
     import shutil
-    import uuid
 
+    n_batches = (
+        spark.read.schema(CELL_SCHEMA)
+        .parquet(store_path)
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    if n_batches <= 1:
+        return n_batches
     merged = serve_sketch(spark, store_path).withColumn(
         "batch_id", F.lit(0).cast("int")
     )
-    tmp = f"{store_path}.compact-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    old = f"{store_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(store_path, old)
-    os.rename(tmp, store_path)
+    tmp = store_path.rstrip("/") + ".compacting"
+    old = store_path.rstrip("/") + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    os.replace(store_path, old)
+    os.replace(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_batches

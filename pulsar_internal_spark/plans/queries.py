@@ -5593,7 +5593,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH li AS (
       SELECT l_orderkey,
              (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
-               [CAST((l_orderkey * 7 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+               [CAST((l_orderkey * 3 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
              l_shipdate,
              l_shipdate + INTERVAL 1 DAY
                * CAST(((l_orderkey + 3 * l_linenumber) % 30) - 10 AS INT) AS l_commitdate,
@@ -5640,7 +5640,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.element_at(
             modes,
-            F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), 7).cast("int") + 1,
+            F.pmod(F.col("l_orderkey") * 3 + F.col("l_linenumber"), 7).cast("int") + 1,
         ).alias("l_shipmode"),
         F.timestamp_add(
             "DAY",
@@ -5963,17 +5963,14 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side-by-side count exists to make the error measurable (and
     gives the oracle real values to check); a production pass would
     keep only the sketch."""
-    from ..operators.sketches import bucket_expr
+    from ..operators.sketches import bucket_expr, countmin_cells_from_counts
 
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(dedup_ops.tokenized("text")).alias("w"))
     exact = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     cand = exact.orderBy(F.desc("cnt"), "w").limit(10)
     bucket = bucket_expr(F.col("r"), F.col("w"))
-    keyed = exact.select(
-        "w", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
-    ).withColumn("bucket", bucket)
-    cells = keyed.groupBy("r", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
+    cells = countmin_cells_from_counts(exact, "w", "cnt", depth=4)
     cand_keyed = cand.select(
         "w", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
     ).withColumn("bucket", bucket)
@@ -6494,7 +6491,7 @@ def kmv_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # combines map-side) — NOT a count() OVER (PARTITION BY source),
     # which would pin every distinct token of a mega-source into one
     # window task. The rank window below is safe where the count window
-    # is not: its rk <= 64 filter makes Spark bound the shuffle with a
+    # is not: its rk <= 16 filter makes Spark bound the shuffle with a
     # map-side WindowGroupLimit of 16 rows per partition per source.
     nd = hashed.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     wrk = Window.partitionBy("source").orderBy("h", "source")

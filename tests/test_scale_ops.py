@@ -724,7 +724,7 @@ def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
     want = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
 
     # simulate a compaction that crashed after writing its staging dir
-    stale = f"{store}.compact-deadbeef"
+    stale = f"{store}.compacting"
     os.makedirs(stale, exist_ok=True)
     (open(os.path.join(stale, "_garbage"), "w")).write("partial")
 
@@ -734,3 +734,56 @@ def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
     sketches.compact_sketch_store(spark, store)
     got2 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
     assert got2 == want, "re-run compaction must serve identical cells"
+
+
+def test_sketch_empty_batch_persists_its_id(spark, tmp_path):
+    """An EMPTY batch must still claim its batch_id (the zero-cell
+    sentinel partition): auto-increment may never reissue the id, a
+    retry of a now-empty batch must replace its old partition (the
+    exactly-once contract), and serving must be unaffected by
+    sentinel cells."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import sketches
+
+    store = str(tmp_path / "cms_empty")
+    words = spark.createDataFrame([("a",), ("b",), ("a",)], ["w"])
+    empty = words.filter(F.lit(False))
+
+    assert sketches.append_sketch_batch(spark, words, store) == 0
+    assert sketches.append_sketch_batch(spark, empty, store) == 1
+    # the empty batch's partition exists -> the next auto id is 2, not 1
+    assert sketches.append_sketch_batch(spark, words, store) == 2
+
+    want = {
+        (r.r, r.bucket): r.cell
+        for r in sketches.countmin_cells(words.unionAll(words)).collect()
+    }
+    got = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+    assert got == want, "sentinel cells must not affect serving"
+
+    # retry batch 2 with now-empty content: its cells must be REPLACED
+    sketches.append_sketch_batch(spark, empty, store, batch_id=2)
+    got2 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+    want2 = {(r.r, r.bucket): r.cell for r in sketches.countmin_cells(words).collect()}
+    assert got2 == want2, "empty retry must replace the old partition"
+
+
+def test_estimate_counts_zero_fills_unseen_tokens(spark, tmp_path):
+    """A candidate token absent from the corpus must estimate 0 (via
+    the implicit zero cells), not vanish from the output or inherit a
+    collision-populated positive min."""
+    from pulsar_internal_spark.operators import sketches
+
+    store = str(tmp_path / "cms_unseen")
+    words = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)], ["w"])
+    sketches.append_sketch_batch(spark, words, store)
+    cand = spark.createDataFrame([("alpha",), ("never-seen-token",)], ["w"])
+    est = {
+        r.w: r.cms_estimate
+        for r in sketches.estimate_counts(
+            sketches.serve_sketch(spark, store), cand, "w"
+        ).collect()
+    }
+    assert est["alpha"] >= 2
+    assert est["never-seen-token"] == 0, est
