@@ -54,7 +54,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   training_shard_assignment countmin_heavy_hitters user_triangle_counts
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
-  corpus_curation_verdicts gapfill_hourly_locf
+  corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
 """
 
 from __future__ import annotations
@@ -6717,6 +6717,151 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.round(F.last("avg_v", ignorenulls=True).over(w), 6).alias("locf_avg"),
         F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@_register(
+    "gapfill_hourly_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             ROUND(AVG(value), 6) AS avg_v
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type, date_trunc('hour', ts)
+    ), rng AS (
+      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ), joined AS (
+      SELECT s.event_type, s.h, hy.avg_v
+      FROM spine s LEFT JOIN hourly hy
+        ON hy.event_type = s.event_type AND hy.h = s.h
+    ), ctx AS (
+      SELECT event_type, h, avg_v,
+             last_value(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    , micro AS (
+      SELECT event_type, h, avg_v, pv, nv,
+             CAST(ROUND(pv * 1000000.0) AS BIGINT) AS pvm,
+             CAST(ROUND(nv * 1000000.0) AS BIGINT) AS nvm,
+             CAST((epoch(h) - epoch(ph)) / 3600 AS BIGINT) AS k,
+             CAST((epoch(nh) - epoch(ph)) / 3600 AS BIGINT) AS n
+      FROM ctx
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           avg_v IS NULL AS is_gap,
+           CASE
+             WHEN avg_v IS NOT NULL THEN avg_v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               FLOOR(CAST(2 * (pvm * (n - k) + nvm * k) + n AS DOUBLE)
+                     / CAST(2 * n AS DOUBLE)) / 1000000.0
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END AS interp_avg
+    FROM micro
+    """,
+)
+def gapfill_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps — the `interpolate`
+    companion to gapfill_hourly_locf (TimescaleDB's other gapfill
+    mode): each synthesized hour gets the value on the straight line
+    between its nearest observed neighbors (falling back to
+    carry-forward/backward at the series edges). Shape identical to
+    the locf query — spine from one range row per series, equi join —
+    plus four IGNORE-NULLS edge-value windows, all at SPINE grain
+    (bounded by the hour horizon, never event volume). The
+    synthesized values are computed in EXACT integer micro-units
+    (values scaled 1e6, hour offsets as integers, half-up realized as
+    floor((2*out + n)/(2n)) in integer-exact double arithmetic) —
+    naive double interpolation can FMA-fuse differently across engines
+    (a last-ulp divergence observed at a round-6 boundary at sf0.01),
+    and re-rounding the doubles creates decimal ties whose tie-break
+    rule IS engine-specific; the integer form has neither hazard, so
+    synthesized rows agree bit-for-bit with the oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    rng = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("avg_v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    micro = ctx.select(
+        "event_type",
+        "h",
+        "avg_v",
+        "pv",
+        "nv",
+        F.round(F.col("pv") * 1000000.0).cast("long").alias("pvm"),
+        F.round(F.col("nv") * 1000000.0).cast("long").alias("nvm"),
+        ((F.unix_timestamp("h") - F.unix_timestamp("ph")) / 3600)
+        .cast("long")
+        .alias("k"),
+        ((F.unix_timestamp("nh") - F.unix_timestamp("ph")) / 3600)
+        .cast("long")
+        .alias("n"),
+    )
+    lin = (
+        F.floor(
+            (2 * (F.col("pvm") * (F.col("n") - F.col("k")) + F.col("nvm") * F.col("k"))
+             + F.col("n")).cast("double")
+            / (2 * F.col("n")).cast("double")
+        )
+        / 1000000.0
+    )
+    interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lin)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return micro.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("avg_v").isNull().alias("is_gap"),
+        interp.alias("interp_avg"),
     )
 
 
