@@ -64,6 +64,8 @@ HEADLINERS: list[tuple[str, str]] = [
     ("bpe_pair_merges", "tokenizer-induction merge round: map-side combined pair counts, TakeOrdered top-20"),
     ("kmv_distinct_estimates", "KMV distinct sketch: WindowGroupLimit-bounded rank, keyed-aggregate exact count"),
     ("corpus_curation_verdicts", "decision layer: doc-grain signal joins, zero windows, engine-exact thresholds"),
+    ("gapfill_hourly_locf", "time-series gapfill: spine exploded from range rows, carry-forward at spine grain"),
+    ("gapfill_hourly_interpolate", "linear gap interpolation in exact integer micro-units (FMA/tie-break immune)"),
 ]
 
 
