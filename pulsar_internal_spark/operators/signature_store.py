@@ -84,6 +84,7 @@ def append_signature_batch(
     batches — they define the hash family, so they are part of the
     store's identity (asserted against a stored _PARAMS marker row is
     overkill; the caller owns the config, as with any table schema)."""
+    ensure_no_orphan_generation(store_path)
     if batch_id is None:
         existing = _read_store(spark, store_path)
         if existing is None:
@@ -288,6 +289,46 @@ def candidates_for_batch_bucketed(
     return within.unionByName(across).distinct()
 
 
+def ensure_no_orphan_generation(store_path: str) -> None:
+    """Crash-window guard shared by every store writer: if a compaction
+    died between its two renames, the store path is missing but the
+    ONLY surviving generation sits at ``{store}.old``. Starting a fresh
+    store then would (a) silently lose all history and (b) let the next
+    compaction's entry sweep DELETE the orphaned generation. Refuse and
+    tell the operator how to recover instead."""
+    import os
+
+    old = store_path.rstrip("/") + ".old"
+    if not os.path.isdir(store_path) and os.path.isdir(old):
+        raise RuntimeError(
+            f"store {store_path} is missing but {old} exists — a compaction "
+            f"crashed mid-swap; recover with: mv {old} {store_path}"
+        )
+
+
+def swap_in_generation(store_path: str, write_tmp) -> None:
+    """Shared staged-swap for store compactions (this module and
+    operators/sketches.py — one copy so the crash posture cannot
+    drift): sweep fixed-name leftovers of prior crashed runs, have
+    ``write_tmp(tmp_dir)`` materialize the new generation, then swap
+    via two renames. The final cleanup is STRICT (a failed rmtree
+    surfaces rather than leaving a stale .old that a later sweep would
+    delete with data-loss potential). Orphan-generation guard runs
+    first, so a crashed swap's survivor is never swept."""
+    import os
+    import shutil
+
+    ensure_no_orphan_generation(store_path)
+    tmp = store_path.rstrip("/") + ".compacting"
+    old = store_path.rstrip("/") + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_tmp(tmp)
+    os.replace(store_path, old)
+    os.replace(tmp, store_path)
+    shutil.rmtree(old)
+
+
 def compact_store(spark: SparkSession, store_path: str) -> int:
     """Maintenance: fold every batch partition into a single base batch
     (id 0). Thousands of daily increments otherwise accumulate one
@@ -305,27 +346,21 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     any moment: old or new directory, never torn). The same contract
     as sketches.compact_sketch_store and the lpframes spool's
     single-committing-writer rule."""
-    import os
-    import shutil
-
     store = spark.read.parquet(store_path)
     n_batches = store.select("batch_id").distinct().count()
     if n_batches <= 1:
         return n_batches
-    tmp = store_path.rstrip("/") + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        store.select("id", "band_idx", "band_key")
-        .withColumn("batch_id", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(tmp)
-    )
-    old = store_path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(store_path, old)
-    os.replace(tmp, store_path)
-    shutil.rmtree(old)
+
+    def _write(tmp: str) -> None:
+        (
+            store.select("id", "band_idx", "band_key")
+            .withColumn("batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+
+    swap_in_generation(store_path, _write)
     return n_batches
 
 

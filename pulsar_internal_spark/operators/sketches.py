@@ -93,8 +93,9 @@ def append_sketch_batch(
     reprocessed content became empty still REPLACES its old partition
     (the replace-on-retry contract would silently not hold for a
     zero-row dynamic overwrite)."""
-    from .signature_store import _read_store
+    from .signature_store import _read_store, ensure_no_orphan_generation
 
+    ensure_no_orphan_generation(store_path)
     if batch_id is None:
         existing = _read_store(spark, store_path)
         batch_id = (
@@ -119,15 +120,25 @@ def append_sketch_batch(
 
 def serve_sketch(spark: SparkSession, store_path: str) -> DataFrame:
     """The merged sketch: cell-wise sum over every batch partition.
-    Reads with the explicit CELL_SCHEMA so writer drift fails loudly.
-    Zero-valued cells (only the empty-batch sentinel produces them)
-    are dropped after the merge — a zero cell and an absent cell are
-    the same sketch state (estimate_counts zero-fills on its left
-    join), so serving stays bit-identical to the one-shot sketch."""
+    The store layout is VALIDATED against CELL_SCHEMA's column set on
+    every read — an explicit check that raises, because schema-on-read
+    would do the opposite of failing loudly: a renamed/dropped column
+    silently becomes all-NULL, the sum goes NULL, and the sketch
+    serves empty. Zero-valued cells (only the empty-batch sentinel
+    produces them) are dropped after the merge — a zero cell and an
+    absent cell are the same sketch state (estimate_counts zero-fills
+    on its left join), so serving stays bit-identical to the one-shot
+    sketch."""
+    df = spark.read.parquet(store_path)
+    expected = {f.split()[0] for f in CELL_SCHEMA.split(", ")}
+    missing = expected - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"sketch store {store_path} is missing columns {sorted(missing)} "
+            f"(expected layout: {CELL_SCHEMA})"
+        )
     return (
-        spark.read.schema(CELL_SCHEMA)
-        .parquet(store_path)
-        .groupBy("r", "bucket")
+        df.groupBy("r", "bucket")
         .agg(F.sum("cell").cast("long").alias("cell"))
         .filter(F.col("cell") > 0)
     )
@@ -158,45 +169,53 @@ def estimate_counts(
 
 
 def compact_sketch_store(spark: SparkSession, store_path: str) -> int:
-    """Fold every batch partition into one base batch (id 0):
-    additively lossless (the merged cells are what serve_sketch
-    already computes), bounds the store at d*w rows however many
-    batches ever landed. Returns the number of batches folded;
-    early-outs (no rewrite, no swap window) when the store already has
-    at most one batch. Staged through FIXED-NAME sibling dirs that are
-    swept on entry — a crashed run's leftovers self-heal on the next
-    run instead of accumulating — then swapped in, mirroring
-    signature_store.compact_store. If a crash lands between the two
-    renames, store_path is briefly absent but the full previous
-    generation survives at {store}.old: recover by renaming it back
-    (never append batch 0 over a missing store without checking).
+    """Fold HISTORY into one base batch (id 0) while leaving the NEWEST
+    batch partition untouched: additively lossless (folded cells are
+    what serve_sketch computes over the folded ids), bounds the store
+    at 2 partitions however many batches ever landed. The newest batch
+    survives verbatim because it is the only REPLAYABLE epoch — a
+    streaming sink that died before committing its checkpoint retries
+    its last batch id after restart, and the dynamic-overwrite retry
+    must replace that batch's own cells, not stack on top of a base
+    that already folded them in (double-counting every estimate).
+    Folding to 0 while max_id's partition persists also keeps
+    auto-increment monotone. Early-outs when the store has <= 2
+    batches (nothing to fold). An all-sentinel history still writes
+    the zero cell so the folded partition is never a bare _SUCCESS
+    dir (which would brick schema inference for the next auto
+    append). Returns the number of batches folded into the base.
+    Staging/swap and the crashed-swap recovery guard are shared with
+    signature_store (swap_in_generation — one copy of the crash
+    posture).
 
     MAINTENANCE WINDOW CONTRACT (same as signature_store.compact_store):
     run from the single maintainer, not concurrently with appends — an
     append that lands between the merge read and the swap would vanish
     with the old generation. Readers are safe at any time (they see the
     old or the new directory, never a torn one)."""
-    import os
-    import shutil
+    from .signature_store import swap_in_generation
 
-    n_batches = (
-        spark.read.schema(CELL_SCHEMA)
-        .parquet(store_path)
-        .select("batch_id")
-        .distinct()
-        .count()
+    store = spark.read.parquet(store_path)
+    ids = sorted(r.batch_id for r in store.select("batch_id").distinct().collect())
+    if len(ids) <= 2:
+        return 0
+    max_id = ids[-1]
+    hist = store.filter(F.col("batch_id") != max_id)
+    zero = spark.createDataFrame([(0, 0, 0)], "r INT, bucket BIGINT, cell BIGINT")
+    folded = (
+        hist.select("r", "bucket", "cell")
+        .unionByName(zero)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+        .withColumn("batch_id", F.lit(0).cast("int"))
     )
-    if n_batches <= 1:
-        return n_batches
-    merged = serve_sketch(spark, store_path).withColumn(
-        "batch_id", F.lit(0).cast("int")
+    newest = store.filter(F.col("batch_id") == max_id).select(
+        "r", "bucket", "cell", "batch_id"
     )
-    tmp = store_path.rstrip("/") + ".compacting"
-    old = store_path.rstrip("/") + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    os.replace(store_path, old)
-    os.replace(tmp, store_path)
-    shutil.rmtree(old, ignore_errors=True)
-    return n_batches
+    out = folded.unionByName(newest)
+
+    def _write(tmp: str) -> None:
+        out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+
+    swap_in_generation(store_path, _write)
+    return len(ids) - 1

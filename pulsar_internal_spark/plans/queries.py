@@ -6642,9 +6642,7 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "gapfill_hourly_locf",
-    """
+_GAPFILL_SPINE_CTE = """
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -6661,6 +6659,41 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spine s LEFT JOIN hourly hy
         ON hy.event_type = s.event_type AND hy.h = s.h
     )
+"""
+
+
+def _gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the gapfill family (the `joined` CTE above,
+    expressed once for both engines so the locf and interpolate
+    variants can never desynchronize on spine semantics): hourly
+    (count, rounded avg) aggregate for the click/error series, each
+    series' hour spine exploded from its own min/max range row, left
+    joined so synthesized hours carry NULL measures."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    rng = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return spine.join(hourly, ["event_type", "h"], "left")
+
+
+@_register(
+    "gapfill_hourly_locf",
+    _GAPFILL_SPINE_CTE + """
     SELECT event_type,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
            CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
@@ -6686,26 +6719,7 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a billion raw events still windows over only its hours. The join
     is an equi join on (series, hour); AQE handles the spine/bucket
     size mismatch."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "error"))
-    )
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_v"),
-    )
-    rng = hourly.groupBy("event_type").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    spine = rng.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    joined = spine.join(hourly, ["event_type", "h"], "left")
+    joined = _gapfill_spine(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
@@ -6722,22 +6736,8 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "gapfill_hourly_interpolate",
-    """
-    WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             ROUND(AVG(value), 6) AS avg_v
-      FROM events WHERE event_type IN ('click', 'error')
-      GROUP BY event_type, date_trunc('hour', ts)
-    ), rng AS (
-      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY event_type
-    ), spine AS (
-      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
-      FROM rng
-    ), joined AS (
-      SELECT s.event_type, s.h, hy.avg_v
-      FROM spine s LEFT JOIN hourly hy
-        ON hy.event_type = s.event_type AND hy.h = s.h
-    ), ctx AS (
+    _GAPFILL_SPINE_CTE + """
+    , ctx AS (
       SELECT event_type, h, avg_v,
              last_value(avg_v IGNORE NULLS) OVER (
                PARTITION BY event_type ORDER BY h
@@ -6791,23 +6791,7 @@ def gapfill_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-rounding the doubles creates decimal ties whose tie-break
     rule IS engine-specific; the integer form has neither hazard, so
     synthesized rows agree bit-for-bit with the oracle."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "error"))
-    )
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
-    rng = hourly.groupBy("event_type").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    spine = rng.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    joined = spine.join(hourly, ["event_type", "h"], "left")
+    joined = _gapfill_spine(spark, sf_dir).drop("n")
     back = (
         Window.partitionBy("event_type")
         .orderBy("h")

@@ -554,12 +554,15 @@ def test_sketch_store_merge_idempotent_compact(spark, sf_dir, tmp_path):
     store = str(tmp_path / "cms_store")
 
     b0 = sketches.append_sketch_batch(
-        spark, toks.filter(F.col("doc_id") % 2 == 0).select("w"), store
+        spark, toks.filter(F.col("doc_id") % 3 == 0).select("w"), store
     )
     b1 = sketches.append_sketch_batch(
-        spark, toks.filter(F.col("doc_id") % 2 == 1).select("w"), store
+        spark, toks.filter(F.col("doc_id") % 3 == 1).select("w"), store
     )
-    assert (b0, b1) == (0, 1)
+    b2 = sketches.append_sketch_batch(
+        spark, toks.filter(F.col("doc_id") % 3 == 2).select("w"), store
+    )
+    assert (b0, b1, b2) == (0, 1, 2)
 
     def cells_of(df):
         return {(r.r, r.bucket): r.cell for r in df.collect()}
@@ -570,14 +573,23 @@ def test_sketch_store_merge_idempotent_compact(spark, sf_dir, tmp_path):
 
     # retried batch (same id) must replace its partition, not add to it
     sketches.append_sketch_batch(
-        spark, toks.filter(F.col("doc_id") % 2 == 1).select("w"), store, batch_id=1
+        spark, toks.filter(F.col("doc_id") % 3 == 1).select("w"), store, batch_id=1
     )
     assert cells_of(sketches.serve_sketch(spark, store)) == oneshot
 
-    sketches.compact_sketch_store(spark, store)
+    # compaction folds HISTORY (batches 0,1) into base 0 and leaves the
+    # newest (replayable) batch 2 untouched -> exactly two partitions
+    assert sketches.compact_sketch_store(spark, store) == 2
     assert cells_of(sketches.serve_sketch(spark, store)) == oneshot
-    parts = [d for d in os.listdir(store) if d.startswith("batch_id=")]
-    assert parts == ["batch_id=0"], parts
+    parts = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    assert parts == ["batch_id=0", "batch_id=2"], parts
+
+    # the replayable epoch's retry must still REPLACE, not stack on the
+    # folded base (the double-count hazard compaction must not create)
+    sketches.append_sketch_batch(
+        spark, toks.filter(F.col("doc_id") % 3 == 2).select("w"), store, batch_id=2
+    )
+    assert cells_of(sketches.serve_sketch(spark, store)) == oneshot
 
     exact = {
         r.w: r.c
@@ -702,11 +714,18 @@ def test_scrub_is_identity_without_duplicates(spark, tmp_path):
 
 
 def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
-    """Crash posture: a compaction that died after staging (leaving a
-    *.compact-* temp dir) must not corrupt the store — a later serve
-    reads only the real store path, and a re-run compaction completes
-    and still serves the exact merged cells."""
+    """Crash posture: a compaction that died after staging (leaving its
+    fixed-name .compacting temp dir) must not corrupt the store — a
+    later serve reads only the real store path, and a re-run
+    compaction SWEEPS the stale dir, completes the fold (3 batches so
+    the early-out cannot bypass the staging path), and still serves
+    the exact merged cells. A crashed mid-swap run (store missing,
+    .old surviving) must make appends and compactions REFUSE rather
+    than silently start a fresh store whose next sweep would delete
+    the only surviving generation."""
     import os
+
+    import pytest as _pytest
 
     from pyspark.sql import functions as F
 
@@ -716,11 +735,14 @@ def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
 
     toks = (
         load_table(spark, sf_dir, "documents")
-        .limit(50)
-        .select(F.explode(tokenized("text")).alias("w"))
+        .limit(60)
+        .select("doc_id", F.explode(tokenized("text")).alias("w"))
     )
     store = str(tmp_path / "cms_crash")
-    sketches.append_sketch_batch(spark, toks, store)
+    for m in (0, 1, 2):
+        sketches.append_sketch_batch(
+            spark, toks.filter(F.col("doc_id") % 3 == m).select("w"), store
+        )
     want = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
 
     # simulate a compaction that crashed after writing its staging dir
@@ -731,9 +753,19 @@ def test_sketch_compact_survives_stale_tmp_dir(spark, sf_dir, tmp_path):
     got = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
     assert got == want, "stale staging dir must not affect serving"
 
-    sketches.compact_sketch_store(spark, store)
+    assert sketches.compact_sketch_store(spark, store) == 2
+    assert not os.path.exists(stale), "re-run must sweep the stale staging dir"
     got2 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
     assert got2 == want, "re-run compaction must serve identical cells"
+
+    # crashed MID-SWAP: store missing, .old is the only generation —
+    # appends must refuse instead of starting a fresh store
+    os.rename(store, f"{store}.old")
+    with _pytest.raises(RuntimeError, match="crashed mid-swap"):
+        sketches.append_sketch_batch(spark, toks.select("w"), store)
+    os.rename(f"{store}.old", store)  # operator recovery
+    got3 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
+    assert got3 == want, "recovered generation must serve identically"
 
 
 def test_sketch_empty_batch_persists_its_id(spark, tmp_path):
