@@ -55,6 +55,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
+  rolling_7day_customer_revenue
 """
 
 from __future__ import annotations
@@ -6846,6 +6847,50 @@ def gapfill_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("avg_v").isNull().alias("is_gap"),
         interp.alias("interp_avg"),
+    )
+
+
+@_register(
+    "rolling_7day_customer_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last7,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS rev_last7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day per-customer revenue — the RANGE(interval) frame
+    the suite's ROWS-frame windows don't exercise: for every order,
+    the count and revenue of that customer's orders whose date falls
+    in the trailing 7-day interval, regardless of how many rows that
+    is (a ROWS frame can't express this over sparse dates). Spark has
+    no interval rangeBetween, so the order key is epoch SECONDS and
+    the frame is [-7*86400, 0] — exactly the oracle's
+    INTERVAL 7 DAYS window over day-grain timestamps. Revenue sums in
+    DECIMAL(18,2) (the q10/q15 money rule): the frame SET is identical
+    in both engines, but double summation ORDER within it is not, and
+    exact decimal arithmetic makes the sum order-free. Scale shape:
+    one shuffle on the customer key; each window partition is one
+    customer's orders — bounded fan-in, no spine, no self-join (the
+    naive form is a range self-join per order)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last7"),
+        F.sum(dec).over(w).cast("double").alias("rev_last7"),
     )
 
 
