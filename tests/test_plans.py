@@ -396,3 +396,24 @@ def test_bpe_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_pair_merges")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_gapfill_spine_is_explode_not_cartesian(spark, sf_dir):
+    """The hour spine must come from exploding each series' single
+    range row — never a calendar cross join — and the carry-forward
+    runs at spine grain (exactly one Window for locf)."""
+    plan = _plan(spark, sf_dir, "gapfill_hourly_locf")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_rolling_revenue_uses_range_frame(spark, sf_dir):
+    """The 7-day rolling window must plan as a RANGE frame over the
+    epoch-seconds key inside one customer-partitioned Window — never a
+    self-join over the date interval."""
+    plan = _plan(spark, sf_dir, "rolling_7day_customer_revenue")
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert "Join" not in plan, plan  # no range self-join anywhere
