@@ -15,8 +15,8 @@ Reference citations in each docstring point at the behavior being
 re-expressed (see SURVEY.md §2 for the full mapping table).
 
 DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
-driver's 50-row sample can rotate; all queries below pass the local
-137-oracle differential suite every run — this block only tracks which
+driver's 50-row sample can rotate; all queries below pass the FULL
+local oracle-differential suite every run (current size: see README) — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). r03 sampled the
 same 50 keys as r02, so the never-driver-checked set below only GROWS
 with each round's additions (r01+r02+r03 union covers the other 50):

@@ -66,6 +66,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("corpus_curation_verdicts", "decision layer: doc-grain signal joins, zero windows, engine-exact thresholds"),
     ("gapfill_hourly_locf", "time-series gapfill: spine exploded from range rows, carry-forward at spine grain"),
     ("gapfill_hourly_interpolate", "linear gap interpolation in exact integer micro-units (FMA/tie-break immune)"),
+    ("rolling_7day_customer_revenue", "RANGE-interval rolling frame, DECIMAL money sums, no range self-join"),
 ]
 
 
