@@ -38,6 +38,10 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     partition's cumulative row-count offset (a #partitions-sized driver
     exchange, not a data collect). Requires ``order_cols`` to be a total
     order for a deterministic result — same contract as the window form.
+
+    The index column is LongType: cumulative offsets exceed int32 past
+    2,147,483,647 rows — exactly the corpus sizes this operator targets —
+    so the addition itself runs in 64-bit (int32 would wrap silently).
     """
     from pyspark.sql.window import Window
 
@@ -67,14 +71,23 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     # instead: size is #partitions rows, the join is a broadcast hash on
     # _pid, and the expression tree stays O(1).
     if len(offsets) <= 64:
+        # Offsets as LONG literals and a LONG-side addition: past 2^31 rows
+        # an int32 add would silently wrap BEFORE any outer cast could
+        # widen it — the exact regime this operator exists for.
         offset_expr = F.element_at(
             F.create_map(
-                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+                *[
+                    lit
+                    for pid in sorted(offsets)
+                    for lit in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+                ]
             ),
             F.col("_pid"),
-        ) if offsets else F.lit(0)
+        ) if offsets else F.lit(0).cast("long")
         return (
-            local.withColumn(idx_name, (F.col("_local") + offset_expr).cast("int"))
+            local.withColumn(
+                idx_name, (F.col("_local").cast("long") + offset_expr).cast("long")
+            )
             .drop("_pid", "_local")
         )
     odf = df.sparkSession.createDataFrame(
@@ -83,7 +96,9 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     )
     return (
         local.join(F.broadcast(odf), "_pid")
-        .withColumn(idx_name, (F.col("_local") + F.col("_offset")).cast("int"))
+        .withColumn(
+            idx_name, (F.col("_local").cast("long") + F.col("_offset")).cast("long")
+        )
         .drop("_pid", "_local", "_offset")
     )
 
