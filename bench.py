@@ -43,6 +43,15 @@ def main() -> None:
     except ValueError:
         sf_num = sf
 
+    # Machine-parsable contract: the JSON result must be the ONLY line on
+    # stdout. The py4j-launched JVM inherits this process's fd 1 and writes
+    # startup noise ("WARNING: Using incubator modules", Ivy resolution,
+    # log4j banner) there, so dup the real stdout away for the result line
+    # and point fd 1 at stderr BEFORE the JVM spawns.
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     spark = get_spark(app_name="pulsar_internal_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -102,17 +111,23 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "query_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_num,
+        }
     )
+    # one clean line on the real stdout + a disk artifact for offline diffing
+    real_stdout.write(line + "\n")
+    real_stdout.flush()
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -289,15 +289,43 @@ def candidates_for_batch_bucketed(
     return within.unionByName(across).distinct()
 
 
+def require_local_store_path(store_path: str, op: str) -> None:
+    """The store maintenance helpers (orphan guard, staged swap, batch
+    expiry) implement their crash posture with LOCAL-filesystem renames
+    and directory probes. On a remote store URI (hdfs://, s3a://, ...)
+    those os-level calls would silently see "no such directory" — the
+    orphan guard would no-op and the swap would build generations on
+    the driver's local disk while the real store sat untouched. Fail
+    loudly instead: remote stores need these paths routed through the
+    Hadoop FileSystem API (and object stores need a non-rename commit
+    protocol) before the guarantees hold."""
+    head = store_path.split("://", 1)
+    if len(head) == 2 and head[0] not in ("file",):
+        raise NotImplementedError(
+            f"{op} requires a local filesystem store path (its crash "
+            f"posture is built on os.rename/isdir); got remote URI "
+            f"{store_path!r} — route through the Hadoop FileSystem API "
+            "before using remote storage"
+        )
+
+
+def _local_path(store_path: str) -> str:
+    """Strip an explicit file:// scheme for os-level calls."""
+    return store_path[7:] if store_path.startswith("file://") else store_path
+
+
 def ensure_no_orphan_generation(store_path: str) -> None:
     """Crash-window guard shared by every store writer: if a compaction
     died between its two renames, the store path is missing but the
     ONLY surviving generation sits at ``{store}.old``. Starting a fresh
     store then would (a) silently lose all history and (b) let the next
     compaction's entry sweep DELETE the orphaned generation. Refuse and
-    tell the operator how to recover instead."""
+    tell the operator how to recover instead. Local-fs only (asserted):
+    see require_local_store_path."""
     import os
 
+    require_local_store_path(store_path, "ensure_no_orphan_generation")
+    store_path = _local_path(store_path)
     old = store_path.rstrip("/") + ".old"
     if not os.path.isdir(store_path) and os.path.isdir(old):
         raise RuntimeError(
@@ -314,10 +342,23 @@ def swap_in_generation(store_path: str, write_tmp) -> None:
     via two renames. The final cleanup is STRICT (a failed rmtree
     surfaces rather than leaving a stale .old that a later sweep would
     delete with data-loss potential). Orphan-generation guard runs
-    first, so a crashed swap's survivor is never swept."""
+    first, so a crashed swap's survivor is never swept.
+
+    Reader visibility during the swap: between the two renames the
+    store path briefly DOES NOT EXIST (POSIX rename can atomically
+    replace a file but not exchange two directories), so a concurrent
+    reader may transiently fail with PATH_NOT_FOUND — and a
+    _read_store-style reader would momentarily see "first batch"
+    (None). That is why compaction runs inside the single-maintainer
+    window (see compact_store): no append/auto-increment caller may
+    run concurrently, and serving readers should retry on
+    PATH_NOT_FOUND. Data is never torn — each generation is complete —
+    but existence is not continuous. Local-fs only (asserted)."""
     import os
     import shutil
 
+    require_local_store_path(store_path, "swap_in_generation")
+    store_path = _local_path(store_path)
     ensure_no_orphan_generation(store_path)
     tmp = store_path.rstrip("/") + ".compacting"
     old = store_path.rstrip("/") + ".old"
@@ -342,9 +383,12 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
 
     MAINTENANCE WINDOW CONTRACT: run from the single maintainer, not
     concurrently with appends — an append landing between the read and
-    the swap would vanish with the old generation (readers are safe at
-    any moment: old or new directory, never torn). The same contract
-    as sketches.compact_sketch_store and the lpframes spool's
+    the swap would vanish with the old generation. Readers always see
+    a COMPLETE generation (old or new, never torn data), but the store
+    path is briefly absent between the swap's two renames, so a
+    concurrent reader may transiently hit PATH_NOT_FOUND and should
+    retry (see swap_in_generation). The same contract as
+    sketches.compact_sketch_store and the lpframes spool's
     single-committing-writer rule."""
     store = spark.read.parquet(store_path)
     n_batches = store.select("batch_id").distinct().count()
@@ -370,10 +414,12 @@ def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
     directory-level delete, the same O(#partitions) metadata operation
     as rollup.expire_partitions. New batches then stop matching against
     the expired era; pairs already emitted are unaffected. Returns the
-    removed batch ids."""
+    removed batch ids. Local-fs only (asserted)."""
     import os
     import shutil
 
+    require_local_store_path(store_path, "expire_batches")
+    store_path = _local_path(store_path)
     removed = []
     for d in sorted(os.listdir(store_path)):
         if not d.startswith("batch_id="):

@@ -191,8 +191,10 @@ def compact_sketch_store(spark: SparkSession, store_path: str) -> int:
     MAINTENANCE WINDOW CONTRACT (same as signature_store.compact_store):
     run from the single maintainer, not concurrently with appends — an
     append that lands between the merge read and the swap would vanish
-    with the old generation. Readers are safe at any time (they see the
-    old or the new directory, never a torn one)."""
+    with the old generation. Readers see a complete generation (old or
+    new, never torn data), but the store path is briefly absent between
+    the swap's two renames — a concurrent serve_sketch may transiently
+    hit PATH_NOT_FOUND and should retry (see swap_in_generation)."""
     from .signature_store import swap_in_generation
 
     store = spark.read.parquet(store_path)

@@ -18,8 +18,19 @@ DRIVER-SAMPLE ROTATION AUDIT (names are stable across rounds so the
 driver's 50-row sample can rotate; all queries below pass the FULL
 local oracle-differential suite every run (current size: see README) — this block only tracks which
 have ALSO appeared in a driver CORRECTNESS_r* file). r03 sampled the
-same 50 keys as r02, so the never-driver-checked set below only GROWS
-with each round's additions (r01+r02+r03 union covers the other 50):
+same 50 keys as r02; r04 ROTATED (new driver-green rows:
+incremental_minhash_dedup, minhash_band_candidates,
+fuzzy_doc_match_blocked, near_dup_clusters, dedup_keep_best — removed
+from the list below), so accumulated driver coverage only grows:
+
+KNOWN LATENT FLAKE (accepted, not yet observed): dsir_importance_weights
+and token_entropy_scores ROUND a double SUM of logs to 4dp; the
+accumulation order is partition- and engine-dependent, so a per-doc sum
+landing within ~1 ulp of a 0.5e-4 boundary could flip the rounded digit
+between engines (the hazard gapfill_hourly_interpolate eliminates via
+integer micro-units; no sort-free exact form exists for a float log-sum).
+If either ever hash-mismatches in a driver round, that is the cause —
+the fix is a tolerance compare on weight/entropy, not a plan change.
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   containment_candidates cube_event_stats derive_bytes_nation
@@ -38,7 +49,7 @@ with each round's additions (r01+r02+r03 union covers the other 50):
   q14_promo_revenue_ratio q15_top_supplier q16_supplier_part_counts
   q17_small_quantity_revenue q18_large_volume_customers
   q19_disjunctive_pushdown q20_part_share_suppliers
-  dedup_keep_best q21_sole_late_supplier q22_idle_rich_customers rag_chunking
+  q21_sole_late_supplier q22_idle_rich_customers rag_chunking
   random_alnum_keys random_payloads
   registry_scan repetition_quality rsb1_envelope_nation
   scalar_subquery_orders scd2_user_state_history
@@ -6719,7 +6730,16 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the time horizon, not the event volume — a series with
     a billion raw events still windows over only its hours. The join
     is an equi join on (series, hour); AQE handles the spine/bucket
-    size mismatch."""
+    size mismatch.
+
+    ``is_gap`` semantics (INTENTIONALLY different from the interpolate
+    sibling): here a gap is "the bucket had NO EVENTS" (n IS NULL) —
+    locf carries state forward, so event presence is the signal; a
+    bucket whose events all carry NULL values is NOT a gap (something
+    happened, there is just no new value to carry). The interpolate
+    query flags "no OBSERVED VALUE" (avg_v IS NULL) instead, because
+    interpolation estimates the value curve and an all-NULL-value
+    bucket is exactly a point it must synthesize."""
     joined = _gapfill_spine(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
@@ -6791,7 +6811,14 @@ def gapfill_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a last-ulp divergence observed at a round-6 boundary at sf0.01),
     and re-rounding the doubles creates decimal ties whose tie-break
     rule IS engine-specific; the integer form has neither hazard, so
-    synthesized rows agree bit-for-bit with the oracle."""
+    synthesized rows agree bit-for-bit with the oracle.
+
+    ``is_gap`` here means "no OBSERVED VALUE in the bucket" (avg_v IS
+    NULL) — deliberately different from the locf sibling's "no events"
+    (n IS NULL): a bucket with events whose values are all NULL has no
+    point on the value curve, so interpolation must synthesize it,
+    while locf treats it as a non-gap (state persists through it).
+    See gapfill_hourly_locf's docstring for the full contrast."""
     joined = _gapfill_spine(spark, sf_dir).drop("n")
     back = (
         Window.partitionBy("event_type")

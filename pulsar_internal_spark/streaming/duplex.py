@@ -139,15 +139,35 @@ class FrameSocketClient:
         self._rx.join(timeout=10)
 
 
-def sink_to_socket(client: FrameSocketClient):
+def sink_to_socket(client: FrameSocketClient, max_rows_per_batch: int = 100_000):
     """foreachBatch sink: frame each micro-batch's rows out the client
     socket — the streaming form of Send. Rows need ``payload_bin``
     (binary, preferred) or ``payload`` (utf-8 text). Batch-local order
     is the collected order; cross-batch order is the trigger order —
-    matching the reference's per-event Send sequencing."""
+    matching the reference's per-event Send sequencing.
+
+    **Driver-throughput bound (by design):** there is ONE ordered socket
+    connection, so every batch is collected to the driver and written
+    sequentially — throughput is capped by driver memory and the single
+    socket's bandwidth, exactly like the reference's one-connection Send
+    (websocket.hpp:256-265). This is a control/egress channel, not a data
+    sink; bulk egress belongs in a distributed writer (parquet/lpframes
+    spool). ``max_rows_per_batch`` makes the bound explicit: a batch
+    whose row count exceeds it fails fast (mirroring the lpframes
+    oversized-frame policy) instead of silently OOMing the driver."""
 
     def sink(batch_df, batch_id: int) -> None:
         cols = [c for c in ("payload_bin", "payload") if c in batch_df.columns]
+        # count() is distributed and cheap relative to a runaway collect;
+        # fail loudly BEFORE pulling the batch to the driver
+        n = batch_df.count()
+        if n > max_rows_per_batch:
+            raise ValueError(
+                f"batch {batch_id} has {n} rows > max_rows_per_batch="
+                f"{max_rows_per_batch}; sink_to_socket is a single-connection "
+                "driver-side egress channel — route bulk data to a "
+                "distributed sink instead"
+            )
         for r in batch_df.select(*cols).collect():
             # per-ROW fallback (a mixed stream may carry payload_bin for
             # binary rows and null there for text rows — same contract

@@ -1142,6 +1142,27 @@ def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
         assert r.id_a in ids and r.id_b in ids
 
 
+def test_store_maintenance_rejects_remote_uris(tmp_path):
+    """The crash-posture helpers are built on os.rename/isdir; a remote
+    store URI must fail LOUDLY (the os-level probes would silently
+    no-op on hdfs://s3a://, evaporating the orphan guard), while
+    file:// and plain local paths pass through."""
+    import pytest
+
+    from pulsar_internal_spark.operators import signature_store as S
+
+    for bad in ("hdfs://nn/warehouse/store", "s3a://bucket/store"):
+        with pytest.raises(NotImplementedError, match="local filesystem"):
+            S.ensure_no_orphan_generation(bad)
+        with pytest.raises(NotImplementedError, match="local filesystem"):
+            S.swap_in_generation(bad, lambda tmp: None)
+        with pytest.raises(NotImplementedError, match="local filesystem"):
+            S.expire_batches(bad, keep_from_batch=1)
+    # local forms pass the guard (no store -> orphan check is a no-op)
+    S.ensure_no_orphan_generation(str(tmp_path / "s"))
+    S.ensure_no_orphan_generation("file://" + str(tmp_path / "s"))
+
+
 @settings(
     max_examples=10,
     deadline=None,

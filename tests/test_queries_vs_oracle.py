@@ -119,12 +119,19 @@ def test_bench_contract(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    # the contract is ONE line on stdout, parseable as-is: the driver runs
+    # json.loads on the whole stream, so any JVM/log noise breaks parsing
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln]
+    assert len(lines) == 1, f"stdout must be exactly the JSON line, got: {lines!r}"
+    d = json.loads(lines[0])
     assert d["metric"] == "query_suite_wall_seconds"
     assert d["unit"] == "sec" and d["value"] > 0
     assert set(d["queries"]) == set(QUERIES)
     assert d["sf"] == 0.001
+    # the disk artifact mirrors the stdout line
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_local.json")) as f:
+        assert json.load(f) == d
 
 
 def test_random_alnum_shape(spark, sf_dir):

@@ -874,6 +874,33 @@ def test_duplex_sink_sends_streaming_batches(spark, tmp_path):
     assert sorted(got) == [f"msg-{i}".encode() for i in range(5)]
 
 
+def test_duplex_sink_rejects_oversized_batch(spark):
+    """The single-connection sink collects every batch to the driver, so
+    it must fail fast — BEFORE the collect — when a batch exceeds the
+    explicit row bound, mirroring the lpframes oversized-frame policy."""
+    import pytest
+
+    from pulsar_internal_spark.streaming.duplex import sink_to_socket
+
+    sent = []
+
+    class _StubClient:
+        def send(self, payload):
+            sent.append(payload)
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 50).select(F.col("id").cast("string").alias("payload"))
+    sink = sink_to_socket(_StubClient(), max_rows_per_batch=10)
+    with pytest.raises(ValueError, match="max_rows_per_batch"):
+        sink(big, 0)
+    assert sent == []  # nothing was pulled to the driver or written
+    # under the bound, the same sink sends every row
+    small = big.limit(3)
+    sink(small, 1)
+    assert len(sent) == 3
+
+
 def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     """Continuous near-dup dedup: docs arriving as streamed files must
     yield, across all micro-batches, exactly the one-shot LSH candidate
