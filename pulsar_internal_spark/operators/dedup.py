@@ -315,6 +315,138 @@ def winnow(kh, w: int = 5):
     )
 
 
+def dup_kgram_occurrences(
+    toks: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "w",
+) -> DataFrame:
+    """Occurrences of CROSS-DOCUMENT duplicated k-grams — the anchor
+    layer of exact substring-span dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): a
+    token span duplicated across documents is, equivalently, a maximal
+    run of k-gram positions whose hashes each occur in >= 2 distinct
+    documents. Returns one row per such occurrence:
+    (id_col, pos [1-based k-gram start], kh, owner_doc [min doc id
+    containing the k-gram — the occurrence every scrub policy keeps]).
+
+    Scale shape — the reason this beats pairwise span matching: there
+    is NO pair join anywhere. One narrow (doc, pos, kh) explode (corpus
+    token count rows), ONE aggregate on kh (count-distinct docs + min
+    doc partial-aggregate map-side; a viral boilerplate k-gram is one
+    hot GROUP, never a hot JOIN bucket fanning out quadratically), and
+    one equi join of occurrences back to the duplicated-hash set. Span
+    assembly downstream is per-document windows (bounded by doc
+    length) — so the whole pipeline is linear in corpus size at any
+    duplication rate. Suffix arrays (the Lee et al. implementation)
+    find the same >= k-token cross-doc spans; the k-gram-cover form is
+    the shuffle-friendly equivalent for a cluster."""
+    wcol = F.col(tokens_col)
+    kg = toks.filter(F.size(wcol) >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+                lambda i: F.sha2(F.concat_ws(" ", F.slice(wcol, i, k)), 256),
+            )
+        ).alias("_p0", "kh"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
+    dup = (
+        kg.groupBy("kh")
+        .agg(
+            F.countDistinct(id_col).alias("_ndocs"),
+            F.min(id_col).alias("owner_doc"),
+        )
+        .filter(F.col("_ndocs") >= 2)
+        .drop("_ndocs")
+    )
+    return kg.join(dup, "kh").select(id_col, "pos", "kh", "owner_doc")
+
+
+def dup_span_intervals(
+    occurrences: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge consecutive duplicated k-gram positions into maximal token
+    intervals (gaps-and-islands): positions p, p+1, ... covering a
+    contiguous duplicated region collapse to one
+    (id_col, span_start, span_end) row with span_end = max(pos)+k-1.
+    The window partitions per DOCUMENT (bounded by doc length, never
+    corpus size); islands keyed by pos - row_number are the standard
+    O(1)-state formulation."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        occurrences.select(id_col, "pos")
+        .distinct()
+        .withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .drop("_isl")
+    )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full substring-scrub composition over a (id, text) frame: drop
+    every token covered by a cross-doc duplicated k-gram whose owner
+    (min doc id) is another document — first occurrence keeps its copy
+    (Lee et al. 2022 keep-one policy) — and reassemble surviving
+    tokens in order. Returns (id_col, n_tokens, n_removed, clean_text);
+    docs scrubbed to nothing emit '' rather than vanishing. See
+    dup_kgram_occurrences for why this is linear at any duplication
+    rate (no pair join; covered positions are an 8x explode of only
+    the non-owned duplicated occurrences)."""
+    toks = docs.select(id_col, tokenized(text_col).alias("w"))
+    occ = dup_kgram_occurrences(toks, k=k, id_col=id_col)
+    cov = (
+        occ.filter(F.col("owner_doc") != F.col(id_col))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(id_col, F.posexplode("w").alias("_tp0", "tok")).select(
+        id_col, (F.col("_tp0") + 1).alias("tp"), "tok"
+    )
+    kept = tokpos.join(cov, [id_col, "tp"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_tokens = F.size("w").cast("long")
+    return (
+        toks.select(id_col, n_tokens.alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def hamming_banded_pairs(
     hashes: DataFrame,
     hash_col: str = "ahash",

@@ -66,7 +66,7 @@ the fix is a tolerance compare on weight/entropy, not a plan change.
   token_entropy_scores histogram_value_quantiles rag_retrieve_pack
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
-  rolling_7day_customer_revenue
+  rolling_7day_customer_revenue substring_dup_spans substring_scrub
 """
 
 from __future__ import annotations
@@ -6919,6 +6919,144 @@ def rolling_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).over(w).cast("long").alias("n_last7"),
         F.sum(dec).over(w).cast("double").alias("rev_last7"),
     )
+
+
+@_register(
+    "substring_dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, w, CAST(unnest(range(1, len(w) - 6)) AS INT) AS pos
+      FROM toks WHERE len(w) >= 8
+    ), kg AS (
+      SELECT doc_id, pos,
+             sha256(array_to_string(w[pos:pos+7], ' ')) AS kh
+      FROM fan
+    ), dup AS (
+      SELECT kh FROM kg GROUP BY kh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT k.doc_id, k.pos FROM kg k JOIN dup USING (kh)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM m
+    ), sp AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT sp.doc_id, span_start, span_end,
+           CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+           sha256(array_to_string(
+             t.w[CAST(span_start AS INT):CAST(span_end AS INT)], ' '))
+             AS span_hash
+    FROM sp JOIN toks t USING (doc_id)
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, FIND side (Lee et al. 2022 'ExactSubstr'
+    tier): every maximal token span >= 8 tokens that appears in >= 2
+    distinct documents, as (doc_id, span_start, span_end, span_len,
+    span_hash) — the dedup tier between whole-doc hashing (misses
+    partial copies) and segment hashing (misses spans that straddle
+    fixed segment boundaries). A duplicated span is recovered as a
+    maximal RUN of 8-gram positions whose hashes occur in >= 2 docs:
+    every >= 8-token cross-doc copy covers its positions with
+    duplicated 8-grams, and gaps-and-islands merges the run back into
+    one interval. Scale shape (operators/dedup.py
+    dup_kgram_occurrences): NO pair join anywhere — one narrow
+    (doc, pos, hash) explode, one count-distinct aggregate on the hash
+    (viral boilerplate is a hot GROUP, never a quadratic join bucket),
+    one equi join back, then per-DOC windows bounded by doc length.
+    Lee et al.'s suffix array finds the same spans single-node; this
+    is the shuffle-friendly equivalent."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    occ = dedup_ops.dup_kgram_occurrences(toks, k=8)
+    spans = dedup_ops.dup_span_intervals(occ, k=8)
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        span_len.cast("long").alias("span_len"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "w", F.col("span_start").cast("int"), span_len.cast("int")
+                ),
+            ),
+            256,
+        ).alias("span_hash"),
+    )
+
+
+@_register(
+    "substring_scrub",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, w, CAST(unnest(range(1, len(w) - 6)) AS INT) AS pos
+      FROM toks WHERE len(w) >= 8
+    ), kg AS (
+      SELECT doc_id, pos,
+             sha256(array_to_string(w[pos:pos+7], ' ')) AS kh
+      FROM fan
+    ), own AS (
+      SELECT kh, MIN(doc_id) AS owner_doc
+      FROM kg GROUP BY kh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, tp FROM (
+        SELECT k.doc_id, CAST(k.pos + unnest(range(8)) AS INT) AS tp
+        FROM kg k JOIN own o USING (kh)
+        WHERE o.owner_doc <> k.doc_id
+      )
+    ), tokpos AS (
+      SELECT doc_id, CAST(i AS INT) AS tp, w[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+    ), kept AS (
+      SELECT t.doc_id, t.tp, t.tok
+      FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tp = t.tp
+      WHERE c.tp IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tp) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens,
+           CAST(len(d.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM toks d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup, SCRUB side: rewrite every document
+    with cross-doc duplicated >= 8-token spans removed, keeping the
+    FIRST occurrence (the k-gram's min doc_id owns it and keeps its
+    copy — Lee et al. 2022 remove all but one occurrence). A token is
+    dropped iff some duplicated 8-gram that covers it belongs to a
+    lower doc elsewhere; covered positions come from exploding each
+    non-owned duplicated 8-gram occurrence to its 8 token slots
+    (disjoint-span structure is NOT required — overlaps dedup via
+    DISTINCT), then tokens survive a LEFT ANTI equi join on
+    (doc, position) and reassemble in order inside a per-doc aggregate
+    (the dedup_scrub_segments idiom: array_sort over collect_list,
+    bounded by doc length). Docs scrubbed to nothing emit '' rather
+    than vanishing; docs shorter than 8 tokens pass through whole.
+    Scale shape: same no-pair-join anchor layer as
+    substring_dup_spans, plus one 8x explode of ONLY the non-owned
+    duplicated occurrences and two equi joins — linear in corpus size
+    at any duplication rate."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return dedup_ops.scrub_duplicated_spans(docs, k=8)
 
 
 _register_golden()

@@ -1142,6 +1142,66 @@ def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
         assert r.id_a in ids and r.id_b in ids
 
 
+def test_substring_span_dedup_finds_planted_span_and_nothing_else(spark):
+    """A 60-token span planted in two docs (arriving as two separate
+    batches) must surface as EXACTLY one maximal interval per doc at
+    the planted coordinates — no fragments, no extra spans from the
+    unique filler — and the scrub must keep the first occurrence
+    (owner doc) whole while removing exactly the 60 planted tokens
+    from the other."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    planted = " ".join(f"span{i}" for i in range(60))
+    doc_a = (
+        " ".join(f"a{i}" for i in range(40))
+        + " " + planted + " "
+        + " ".join(f"z{i}" for i in range(30))
+    )
+    doc_b = (
+        " ".join(f"b{i}" for i in range(25))
+        + " " + planted + " "
+        + " ".join(f"y{i}" for i in range(35))
+    )
+    doc_c = " ".join(f"c{i}" for i in range(80))  # no duplication
+    batch1 = spark.createDataFrame([(1, doc_a), (3, doc_c)], ["doc_id", "text"])
+    batch2 = spark.createDataFrame([(2, doc_b)], ["doc_id", "text"])
+    docs = batch1.unionByName(batch2)
+
+    toks = docs.select("doc_id", D.tokenized("text").alias("w"))
+    occ = D.dup_kgram_occurrences(toks, k=8)
+    spans = D.dup_span_intervals(occ, k=8)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    # doc 1: filler 1..40, planted 41..100; doc 2: filler 1..25, planted 26..85
+    assert got == {(1, 41, 100), (2, 26, 85)}, got
+
+    scrubbed = {r.doc_id: r for r in D.scrub_duplicated_spans(docs, k=8).collect()}
+    assert set(scrubbed) == {1, 2, 3}
+    assert scrubbed[1].n_removed == 0 and scrubbed[3].n_removed == 0
+    assert scrubbed[2].n_removed == 60
+    assert "span0" in scrubbed[1].clean_text  # owner keeps its copy
+    assert "span" not in scrubbed[2].clean_text
+    # doc 2's survivors are its unique filler, in original order
+    expect_b = " ".join(f"b{i}" for i in range(25)) + " " + " ".join(
+        f"y{i}" for i in range(35)
+    )
+    assert scrubbed[2].clean_text == expect_b
+
+
+def test_substring_scrub_edge_docs(spark):
+    """Short docs (< k tokens) pass through whole; a doc that is one
+    big duplicated span scrubs to '' but still appears."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    dup = " ".join(f"d{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, dup), (3, dup)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in D.scrub_duplicated_spans(docs, k=8).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == "tiny doc here"
+    assert out[2].n_removed == 0  # owner (min doc_id) keeps its copy
+    assert out[3].n_removed == 12 and out[3].clean_text == ""
+
+
 def test_store_maintenance_rejects_remote_uris(tmp_path):
     """The crash-posture helpers are built on os.rename/isdir; a remote
     store URI must fail LOUDLY (the os-level probes would silently

@@ -316,6 +316,22 @@ def test_dsir_builds_both_lms_in_one_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_substring_span_dedup_is_pair_join_free(spark, sf_dir):
+    """The exact-substring span finder must be the no-pair-join plan:
+    cross-doc duplication is decided by an AGGREGATE on the k-gram hash
+    (hot boilerplate k-grams are hot groups with map-side partials,
+    never a join bucket fanning out quadratically), islands run in
+    per-document windows, and nothing funnels or drops to Python."""
+    for name in ("substring_dup_spans", "substring_scrub"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # duplication is decided by a partial-aggregated groupBy on kh
+        assert "HashAggregate" in plan, (name, plan)
+
+
 def test_shard_assignment_never_funnels(spark, sf_dir):
     """training_shard_assignment must get its global positions from the
     scalable reindex (range partition + per-partition numbering +
