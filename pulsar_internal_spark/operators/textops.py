@@ -82,8 +82,93 @@ def token_count(text_col: str = "text"):
 
 def bpe_ish_token_count(text_col: str = "text"):
     """BPE-ish subword proxy: count of word/number/punctuation units
-    (regex `\\w+|[^\\w\\s]`), the standard pre-tokenizer shape."""
+    (regex `\\w+|[^\\w\\s]`), the standard pre-tokenizer shape. This is
+    an APPROXIMATION (pre-tokenizer unit count, no merges); for counts
+    under an actually-learned merge list see bpe_learn_merges /
+    bpe_apply_merge and the bpe_encode_tokens query, whose
+    n_tokens_bpe is the real post-merge symbol count."""
     return F.regexp_count(F.col(text_col), F.lit(r"\w+|[^\w\s]"))
+
+
+def bpe_apply_merge(tokens, a: str, b: str):
+    """Apply ONE BPE merge (a, b) -> "a b" to a token-array column with
+    greedy LEFT-TO-RIGHT non-overlapping semantics (Sennrich et al.
+    2016): scan the array once; whenever the last emitted symbol is
+    exactly ``a`` and the next token is exactly ``b``, fuse them. A
+    fused symbol can immediately participate as the LEFT side of the
+    next comparison but never re-consumes its own right half — which is
+    precisely greedy BPE (for the self-pair (x, x) over "x x x x" this
+    yields [xx, xx], never [x, xx, x]).
+
+    One JVM-side aggregate fold over the array — no shuffle, no UDF,
+    O(doc length) per row. The accumulator-array concat makes a fold
+    step O(prefix) — fine at document scale (arrays are doc-length,
+    not corpus-length)."""
+    merged = F.lit(a + " " + b)
+
+    def step(acc, t):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(t)))
+
+    return F.aggregate(tokens, F.array().cast("array<string>"), step)
+
+
+def bpe_learn_merges(toks, n_merges: int, tokens_col: str = "w"):
+    """Learn ``n_merges`` BPE merge rounds over a token-array frame
+    (Sennrich et al. 2016, at the suite's word granularity — see
+    bpe_pair_merges for the single-round aggregate): each round counts
+    adjacent symbol pairs over the CURRENT segmentation with one
+    partial-aggregated groupBy, takes the argmax (ties broken by
+    (a, b) ascending — deterministic and oracle-reproducible), applies
+    it everywhere via bpe_apply_merge, and re-materializes. Returns
+    (merge list, final re-segmented DataFrame).
+
+    Scale shape: per round, ONE corpus-scan aggregate (hot
+    function-word pairs combine map-side) + ONE narrow rewrite; the
+    driver receives exactly one row per round. The per-round
+    localCheckpoint stops fold-of-fold lineage growth (same idiom as
+    graph CC); on a cluster with elastic executors prefer reliable
+    checkpoint(dir) or a parquet round-trip for the re-segmentation."""
+    merges: list[tuple[str, str]] = []
+    cur = toks
+    wc = F.col(tokens_col)
+    for _ in range(n_merges):
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size(wc) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(wc) - 1),
+                        lambda i: F.struct(
+                            F.element_at(wc, i).alias("a"),
+                            F.element_at(wc, i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = cur.withColumn(
+            tokens_col, bpe_apply_merge(wc, a, b)
+        ).localCheckpoint()
+    return merges, cur
 
 
 def quality_features(text_col: str = "text"):

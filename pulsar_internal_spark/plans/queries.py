@@ -67,6 +67,7 @@ the fix is a tolerance compare on weight/entropy, not a plan change.
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
   rolling_7day_customer_revenue substring_dup_spans substring_scrub
+  bpe_encode_tokens
 """
 
 from __future__ import annotations
@@ -6452,6 +6453,113 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = 3) -> str:
+    r"""Generate the BPE learn+encode oracle: ``n_merges`` unrolled
+    rounds, each (a) argmax adjacent pair over the current segmentation
+    (ties by (a, b) ascending — the same rule bpe_learn_merges uses),
+    (b) greedy left-to-right non-overlapping application expressed
+    relationally: match positions -> gaps-and-islands -> keep odd ranks
+    within each run (a run of consecutive match positions only occurs
+    for self-pairs (x, x), where greedy takes the 1st, 3rd, ... —
+    provably identical to the Spark fold), (c) rebuild the
+    segmentation at (doc, pos, tok) grain with re-densified positions."""
+    cte = [
+        r"""s0 AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+                  FROM documents))
+    )"""
+    ]
+    for r in range(n_merges):
+        cte.append(
+            f"""p{r} AS (
+      SELECT a, b FROM (
+        SELECT s.tok AS a, s2.tok AS b, COUNT(*) AS n
+        FROM s{r} s JOIN s{r} s2 ON s2.doc_id = s.doc_id AND s2.pos = s.pos + 1
+        GROUP BY s.tok, s2.tok)
+      ORDER BY n DESC, a, b LIMIT 1
+    ), m{r} AS (
+      SELECT s.doc_id, s.pos
+      FROM s{r} s JOIN s{r} s2 ON s2.doc_id = s.doc_id AND s2.pos = s.pos + 1
+      JOIN p{r} p ON s.tok = p.a AND s2.tok = p.b
+    ), mi{r} AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM m{r}
+    ), sel{r} AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY pos) AS rr
+        FROM mi{r})
+      WHERE rr % 2 = 1
+    ), s{r + 1} AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY opos) AS INT) AS pos,
+             tok
+      FROM (
+        SELECT s.doc_id, s.pos AS opos,
+               CASE WHEN selp.pos IS NOT NULL THEN s.tok || ' ' || s2.tok
+                    ELSE s.tok END AS tok
+        FROM s{r} s
+        LEFT JOIN s{r} s2 ON s2.doc_id = s.doc_id AND s2.pos = s.pos + 1
+        LEFT JOIN sel{r} selp ON selp.doc_id = s.doc_id AND selp.pos = s.pos
+        LEFT JOIN sel{r} seld ON seld.doc_id = s.doc_id AND seld.pos = s.pos - 1
+        WHERE seld.pos IS NULL)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+    , agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_bpe,
+             COALESCE(string_agg(CASE WHEN pos <= 5 THEN tok END, '|' ORDER BY pos), '')
+               AS head_tokens
+      FROM s{n_merges} GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens_ws,
+           a.n_tokens_bpe, a.head_tokens
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS w
+          FROM documents) t
+    JOIN agg a USING (doc_id)
+    """
+    )
+
+
+@_register("bpe_encode_tokens", _bpe_oracle_sql())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: learn 3 merge rounds on the corpus (the iterated
+    form of bpe_pair_merges — per round one pair-count aggregate, one
+    argmax, one greedy left-to-right application via a JVM fold, see
+    textops.bpe_learn_merges / bpe_apply_merge) and re-tokenize every
+    document under the learned merges. Emits the whitespace token
+    count, the REAL post-merge symbol count (the learned-BPE
+    replacement for the bpe_ish_token_count regex approximation), and
+    the first 5 encoded symbols — so the oracle checks the actual
+    segmentation, not just counts. The oracle SQL is GENERATED with
+    the same number of unrolled rounds and the same tie-break, with
+    greedy application expressed relationally (islands + odd-rank);
+    equivalence of the two greedy forms is property-tested against a
+    pure-Python BPE in tests/test_operators.py. Scale shape: learning
+    is n_merges corpus aggregates (hot pairs combine map-side) with a
+    1-row driver exchange each; encoding is a narrow per-doc fold."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", dedup_ops.tokenized("text").alias("w")
+    ).withColumn("n_tokens_ws", F.size("w").cast("long"))
+    _, enc = textops.bpe_learn_merges(toks, n_merges=3)
+    return enc.select(
+        "doc_id",
+        "n_tokens_ws",
+        F.size("w").cast("long").alias("n_tokens_bpe"),
+        F.array_join(F.slice("w", 1, 5), "|").alias("head_tokens"),
     )
 
 

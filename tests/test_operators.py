@@ -1162,6 +1162,68 @@ def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
         assert r.id_a in ids and r.id_b in ids
 
 
+def _py_bpe_apply(toks, a, b):
+    """Reference greedy left-to-right BPE merge application."""
+    out = []
+    for t in toks:
+        if out and out[-1] == a and t == b:
+            out[-1] = a + " " + b
+        else:
+            out.append(t)
+    return out
+
+
+def _py_bpe_learn(corpus, n_merges):
+    """Reference BPE learning: per round, argmax adjacent pair with
+    (count desc, (a, b) asc) tie-break, apply everywhere."""
+    from collections import Counter
+
+    cur = [list(d) for d in corpus]
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter(
+            (d[i], d[i + 1]) for d in cur for i in range(len(d) - 1)
+        )
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, v in counts.items() if v == top)
+        merges.append(best)
+        cur = [_py_bpe_apply(d, *best) for d in cur]
+    return merges, cur
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_learn_apply_matches_pure_python(spark, corpus, n_merges):
+    """Property: Spark's fold-based greedy merge + driver-loop learning
+    == an independent pure-Python BPE on ANY small corpus, including
+    self-pair chains (x x x x) where greedy semantics bite. This is the
+    round-trip gate behind bpe_encode_tokens' oracle (whose relational
+    islands+odd-rank application must equal the same reference)."""
+    from pulsar_internal_spark.operators import textops as T
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id INT, w ARRAY<STRING>"
+    )
+    got_merges, enc = T.bpe_learn_merges(df, n_merges)
+    exp_merges, exp_cur = _py_bpe_learn(corpus, n_merges)
+    assert got_merges == exp_merges
+    got = {r.doc_id: r.w for r in enc.collect()}
+    assert got == {i: d for i, d in enumerate(exp_cur)}
+
+
 def test_substring_span_dedup_finds_planted_span_and_nothing_else(spark):
     """A 60-token span planted in two docs (arriving as two separate
     batches) must surface as EXACTLY one maximal interval per doc at
