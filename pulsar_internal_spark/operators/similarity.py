@@ -466,14 +466,20 @@ def build_ivf_index(
     cell ONCE, and write
 
       {path}/centroids/  — (cell, centroid array<double>) — tiny
-      {path}/cells/      — (vec_id, embedding, norm) partitioned by cell
+      {path}/cells/      — (vec_id, embedding, norm) partitioned by
+                           (cell, batch_id); the build is batch_id=0
 
     The build pays the assignment scan once; every subsequent probe
     reads ONLY its nprobe cell directories (dynamic partition pruning,
     plan-tested) — the serving shape that amortizes at 100 TB, where
     re-deriving cells per query batch (ivf_topk) would rescan the
     corpus. Norms are precomputed into the index so probes never touch
-    raw vectors outside the scored cells."""
+    raw vectors outside the scored cells. The second-level batch_id
+    partition exists for the SAME exactly-once contract the signature
+    and sketch stores carry: an explicit-batch-id append dynamically
+    overwrites only its own (cell, batch_id) leaves, so a replayed
+    streaming batch is idempotent (see ivf_index_append /
+    streaming_ivf_append); probes ignore the level entirely."""
     import os
 
     from pyspark.ml.clustering import KMeans
@@ -507,9 +513,13 @@ def build_ivf_index(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
         )
     ).select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("norm"), "cell"
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("norm"),
+        "cell",
+        F.lit(0).cast("int").alias("batch_id"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    assigned.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(
         os.path.join(path, "cells")
     )
 
@@ -585,13 +595,14 @@ def ivf_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_id: int | None = None,
+) -> int:
     """Append a vector batch to a persisted IVF index WITHOUT
     retraining or rewriting history: assign each new vector to its
     nearest EXISTING centroid (broadcast distance argmin — the exact
     ranking expression the probes use, so assignment and probing can
-    never disagree on a cell boundary) and append parquet files into
-    the matching cell partition directories. The coarse quantizer is
+    never disagree on a cell boundary) and land the rows under the
+    batch's (cell, batch_id) partitions. The coarse quantizer is
     FROZEN — the standard IVF ingestion trade: cells drift as the
     vector distribution shifts, which is monitored (cell-size skew)
     and fixed by an offline rebuild, never by blocking ingest. At
@@ -599,7 +610,14 @@ def ivf_index_append(
     one broadcast join + one partitioned append, while probes keep
     reading nprobe cell directories; appended files become visible
     per cell listing, so a concurrent probe sees the old or the new
-    file set, never a torn cell."""
+    file set, never a torn cell.
+
+    An EXPLICIT ``batch_id`` writes with dynamic partition overwrite —
+    a replayed streaming batch replaces exactly its own
+    (cell, batch_id) leaves instead of double-appending vectors: the
+    same exactly-once contract as append_signature_batch and the
+    sketch store. ``batch_id=None`` appends under the next sequential
+    id. Returns the batch_id used."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
@@ -631,6 +649,69 @@ def ivf_index_append(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", "norm", "cell")
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
-    )
+    cells_path = os.path.join(path, "cells")
+    if batch_id is None:
+        prev = (
+            spark.read.parquet(cells_path)
+            .agg(F.max("batch_id"))
+            .collect()[0][0]
+        )
+        bid = 0 if prev is None else int(prev) + 1
+    else:
+        bid = int(batch_id)
+    assigned = assigned.withColumn("batch_id", F.lit(bid).cast("int"))
+    if batch_id is None:
+        assigned.write.mode("append").partitionBy("cell", "batch_id").parquet(
+            cells_path
+        )
+    else:
+        (
+            assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch_id")
+            .parquet(cells_path)
+        )
+    return bid
+
+
+def streaming_ivf_append(
+    vec_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    num_centroids: int = 16,
+    trigger: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """CONTINUOUS IVF ingestion — the streaming twin of
+    streaming_minhash_dedup / streaming_sketch, completing the
+    exactly-once contract across all three incremental stores: the
+    FIRST micro-batch trains the coarse quantizer and materializes the
+    index (build is a full overwrite, so a replayed first batch is
+    idempotent); every later micro-batch assigns against the FROZEN
+    centroids and lands under its streaming batch id with dynamic
+    partition overwrite (a crash-replayed batch replaces its own
+    (cell, batch_id) leaves, never double-appending). Probes
+    (ivf_index_topk) read the same index mid-stream with unchanged
+    semantics. Returns the StreamingQuery."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.isdir(os.path.join(path, "centroids")):
+            build_ivf_index(
+                batch_df, path, num_centroids=num_centroids,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            ivf_index_append(
+                spark, batch_df, path,
+                id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+            )
+
+    writer = vec_stream.writeStream.queryName("ivf_append").option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -972,6 +972,75 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert after1 == after2, "explicit-batch-id append must be idempotent"
 
 
+def test_streaming_ivf_append_matches_batch(spark, tmp_path):
+    """Continuous IVF ingestion: embedding batches arriving as streamed
+    files (first batch trains the quantizer, later batches append
+    against the frozen centroids under their streaming batch id) must
+    serve EXACTLY the same top-k as the one-shot build+append over the
+    same split — the third incremental store's streaming twin,
+    completing the exactly-once contract minhash and sketch already
+    carry — and an explicit-batch-id replay must be idempotent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    vecs = [(int(i), [float(x) for x in rng.normal(size=dim)]) for i in range(60)]
+    half_a, half_b = vecs[:30], vecs[30:]
+
+    inbox = tmp_path / "ivf_inbox"
+    inbox.mkdir()
+    for name, chunk in (("0.csv", half_a), ("1.csv", half_b)):
+        (inbox / name).write_text(
+            "\n".join(f"{i}\t{','.join(str(x) for x in v)}" for i, v in chunk)
+        )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("vec_id"),
+            F.transform(
+                F.split(F.split("value", "\t").getItem(1), ","),
+                lambda x: x.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    streamed = str(tmp_path / "ivf_streamed")
+    q = sim.streaming_ivf_append(
+        stream, streamed, str(tmp_path / "ivf_ckpt"),
+        num_centroids=4, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    batch = str(tmp_path / "ivf_batch")
+    df_a = spark.createDataFrame(half_a, "vec_id long, embedding array<float>")
+    df_b = spark.createDataFrame(half_b, "vec_id long, embedding array<float>")
+    sim.build_ivf_index(df_a, batch, num_centroids=4)
+    bid = sim.ivf_index_append(spark, df_b, batch)
+    assert bid == 1
+
+    queries = df_a.limit(5)
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in sim.ivf_index_topk(spark, streamed, queries, k=3, nprobe=2).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in sim.ivf_index_topk(spark, batch, queries, k=3, nprobe=2).collect()}
+    assert got == want and got
+
+    # exactly-once: replaying an explicit batch id must not grow the index
+    import os
+
+    cells = os.path.join(streamed, "cells")
+    n1 = spark.read.parquet(cells).count()
+    sim.ivf_index_append(spark, df_b, streamed, batch_id=1)
+    sim.ivf_index_append(spark, df_b, streamed, batch_id=1)
+    n2 = spark.read.parquet(cells).count()
+    assert n1 == n2, "explicit-batch-id IVF append must be idempotent"
+
+
 def test_duplex_client_resumes_epoch_after_restart(tmp_path):
     """A restarted client must publish spool files that sort AFTER every
     file from its previous life — otherwise the streaming reader's name
