@@ -67,6 +67,13 @@ HEADLINERS: list[tuple[str, str]] = [
     ("gapfill_hourly_locf", "time-series gapfill: spine exploded from range rows, carry-forward at spine grain"),
     ("gapfill_hourly_interpolate", "linear gap interpolation in exact integer micro-units (FMA/tie-break immune)"),
     ("rolling_7day_customer_revenue", "RANGE-interval rolling frame, DECIMAL money sums, no range self-join"),
+    ("tfidf_top_terms", "TF-IDF: doc-frequency agg joined back on the term, top-k per doc via bounded window"),
+    ("containment_candidates", "Broder containment: winnowed fingerprint equi-join with drop_hot_keys cap, doc-grain size join"),
+    ("near_dup_clusters", "connected components: min-label pointer jumping, one join + one agg per round"),
+    ("lsh_bucket_cosine_topk", "banded OR-amplified sign-LSH: staged projections, broadcast query side, distinct-before-rank"),
+    ("substring_dup_spans", "exact substring spans: no pair join — kgram-hash agg decides duplication, per-doc islands window"),
+    ("substring_scrub", "substring scrub: covered-position explode of non-owned occurrences, anti join, in-aggregate reassembly"),
+    ("bpe_encode_tokens", "BPE encode under 3 learned merges: per-round map-side pair counts, narrow per-doc fold rewrite"),
 ]
 
 
