@@ -96,18 +96,21 @@ def _plane_weights(p: int, dim: int) -> list[float]:
     ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _plane_matrix(num_planes: int, dim: int):
-    """All plane weights as ONE 2-D array literal. Built from nested
-    F.array(F.lit(...)) nodes, which Catalyst constant-folds into a
-    single Literal — so codegen sees one constant, not num_planes*dim
-    expression nodes (the per-plane inlined form cost ~2.5x wall-clock
-    on the near-dup suite at 12 planes)."""
-    return F.array(
-        *[
-            F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
-            for p in range(num_planes)
-        ]
-    )
+    """All plane weights as ONE 2-D array literal, MEMOIZED per
+    (planes, dim). Building the literal costs num_planes*dim F.lit
+    py4j round-trips (PySpark expands a list lit into element lits) —
+    measured ~2.7 s of pure Python-side PLAN BUILD per query call at
+    64x64, dwarfing the 0.7 s execution. Column objects are unresolved
+    expressions, safely reusable across DataFrames and sessions in one
+    process, so the cache pays the construction once per process.
+    Catalyst constant-folds the tree into a single Literal either way;
+    execution is identical."""
+    return F.lit([_plane_weights(p, dim) for p in range(num_planes)])
 
 
 def _projections(vec_col, weights_2d):
@@ -334,6 +337,17 @@ def _band_structs(projs_col, planes_per_band: int, num_bands: int):
     ]
 
 
+@functools.lru_cache(maxsize=16)
+def _band_struct_array(planes_per_band: int, num_bands: int):
+    """Memoized exploded-band expression over the staged ``_projs``
+    column — same plan-build-cost rationale as _plane_matrix (the
+    per-band slice/transform lambdas cost ~0.3 s of py4j round-trips
+    per call otherwise)."""
+    return F.explode(
+        F.array(*_band_structs(F.col("_projs"), planes_per_band, num_bands))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -379,9 +393,7 @@ def lsh_bucketed_topk(
             idn,
             vecn,
             normn,
-            F.explode(
-                F.array(*_band_structs(F.col("_projs"), planes_per_band, num_bands))
-            ).alias("_b"),
+            _band_struct_array(planes_per_band, num_bands).alias("_b"),
         ).select(
             idn, vecn, normn,
             F.col("_b.band_idx").alias("band_idx"),
