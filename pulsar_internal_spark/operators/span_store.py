@@ -1,0 +1,267 @@
+"""Incremental exact-substring dedup: new batches vs a persisted k-gram store.
+
+The batch operators (dedup.dup_kgram_occurrences / dup_span_intervals /
+scrub_duplicated_spans) recompute the corpus; at 100 TB the pipeline
+instead signs each ingest batch ONCE, keeps a persisted table of the
+distinct k-gram hashes seen so far (with the doc that owns each), and
+finds the arriving batch's duplicated spans by joining the batch's
+k-grams against the store — the same incremental shape as
+signature_store.py (MinHash) and sketches.py (count-min), completing the
+family for the exact-substring tier.
+
+Store layout: parquet at ``store_path`` with columns
+(kh, owner_doc, batch_id), hive-partitioned by ``batch_id`` — one row per
+k-gram hash FIRST SEEN in that batch (appends anti-join history, so the
+store is the distinct k-gram set, not the occurrence stream). History
+scans are partition-pruned (batch_id < N); a crashed append rolls back by
+deleting one partition; an explicit batch_id append uses dynamic
+partition overwrite, so streaming replays are idempotent.
+
+Ownership contract: FIRST ARRIVAL WINS. A k-gram's owner is the minimum
+doc id within the EARLIEST batch that contained it (history never loses
+ownership to a later batch). An occurrence in an arriving doc is
+"covered" iff its k-gram has an owner other than that doc; covered
+positions merge into maximal spans exactly as in the batch operator.
+
+Equivalence invariant (property-tested): when batches arrive in an order
+consistent with doc-id order, the union over batches of
+``spans_for_batch`` equals the batch pipeline's NON-OWNED duplicated
+spans over the full corpus — i.e. exactly the spans substring_scrub
+removes (the owner's own copy is never emitted, matching keep-first
+scrub semantics; the symmetric both-sides listing is the batch
+substring_dup_spans query's job).
+
+Scale posture: per increment, one narrow k-gram explode of the NEW batch,
+one partial-aggregated groupBy for the batch-local owner, one equi join
+against the partition-pruned store (a viral boilerplate k-gram is ONE
+store row — the join fan-out is the new batch's occurrence count, never
+history size), and per-doc islands windows bounded by doc length. No
+pair join anywhere, same as the batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dup_span_intervals, tokenized
+from .signature_store import _read_store
+
+SPAN_STORE_SCHEMA = "kh STRING, owner_doc BIGINT, batch_id INT"
+
+
+def _kgram_occurrences(docs: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, kh) for every k-gram position in ``docs`` — the same
+    signing expression the batch operator uses (dedup.py), so batch and
+    incremental paths can never disagree on a hash."""
+    toks = docs.select(id_col, tokenized(text_col).alias("w"))
+    wcol = F.col("w")
+    return (
+        toks.filter(F.size(wcol) >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+                    lambda i: F.sha2(F.concat_ws(" ", F.slice(wcol, i, k)), 256),
+                )
+            ).alias("_p0", "kh"),
+        )
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
+    )
+
+
+def append_kgram_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    batch_id: int | None = None,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Sign ``new_docs`` and register the batch's FIRST-SEEN k-grams in
+    the store under ``batch_id`` (next sequential when None). Returns
+    the batch_id used. An explicit batch_id writes with dynamic
+    partition overwrite — the replay-idempotence contract shared with
+    append_signature_batch and ivf_index_append. Call
+    :func:`spans_for_batch` afterwards (or use
+    :func:`incremental_substring_spans`) for the batch's duplicated
+    spans."""
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col)
+    return _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
+
+
+def _append_kg(
+    spark: SparkSession,
+    kg: DataFrame,
+    store_path: str,
+    *,
+    batch_id: int | None,
+    id_col: str,
+) -> int:
+    store = _read_store(spark, store_path)
+    if batch_id is None:
+        if store is None:
+            bid = 0
+        else:
+            prev = store.agg(F.max("batch_id")).collect()[0][0]
+            bid = 0 if prev is None else int(prev) + 1
+    else:
+        bid = int(batch_id)
+
+    firsts = kg.groupBy("kh").agg(F.min(id_col).alias("owner_doc"))
+    if store is not None:
+        hist_khs = store.filter(F.col("batch_id") < bid).select("kh")
+        firsts = firsts.join(hist_khs, "kh", "left_anti")
+    out = firsts.withColumn("batch_id", F.lit(bid).cast("int"))
+    if batch_id is None:
+        out.write.mode("append").partitionBy("batch_id").parquet(store_path)
+    else:
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
+    return bid
+
+
+def spans_for_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    batch_id: int,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans introduced by ``batch_id``'s documents:
+    positions whose k-gram is owned elsewhere (in history, or by a
+    lower doc id within this batch) merged into intervals. Returns
+    (id_col, span_start, span_end). Requires the batch to be appended
+    first (the store carries the ownership the join reads); emits only
+    NON-OWNED spans — the owner's copy is what keep-first scrub
+    preserves, so it is never listed."""
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col)
+    return _spans_kg(spark, kg, store_path, batch_id, k=k, id_col=id_col)
+
+
+def _spans_kg(
+    spark: SparkSession,
+    kg: DataFrame,
+    store_path: str,
+    batch_id: int,
+    *,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    store = spark.read.parquet(store_path)
+    # the store is first-seen-DISTINCT by construction (appends anti-join
+    # history), so each kh has exactly one row — owner lookup is a plain
+    # partition-pruned scan, no per-batch re-aggregation of history
+    owners = store.filter(F.col("batch_id") <= batch_id).select(
+        "kh", "owner_doc"
+    )
+    # covered: the k-gram's store owner is another doc. Within-batch
+    # duplication is already captured because the append registered the
+    # batch's own first-seen k-grams under this batch's min doc id.
+    covered = (
+        kg.join(owners, "kh")
+        .filter(F.col("owner_doc") != F.col(id_col))
+        .select(id_col, "pos", "kh", "owner_doc")
+    )
+    return dup_span_intervals(covered, k=k, id_col=id_col)
+
+
+def incremental_substring_spans(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    **params,
+) -> DataFrame:
+    """One ingest step: register the batch's k-grams, return its
+    duplicated spans (vs history and within the batch). The batch is
+    SIGNED ONCE — the occurrence frame is localCheckpointed and feeds
+    both the store append and the span join (signing is the dominant
+    per-batch cost: one sha2 per token)."""
+    k = params.get("k", 8)
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col).localCheckpoint()
+    bid = _append_kg(
+        spark, kg, store_path, batch_id=params.get("batch_id"), id_col=id_col
+    )
+    return _spans_kg(spark, kg, store_path, bid, k=k, id_col=id_col)
+
+
+def compact_span_store(spark: SparkSession, store_path: str) -> int:
+    """Fold every batch partition into base batch 0, keeping each
+    k-gram's EARLIEST registration (min batch, then that batch's
+    owner) — semantics-preserving because future batches only read
+    "does this kh exist, and who owns it", and first-arrival ownership
+    survives the fold. Store rows are first-seen-distinct so the fold
+    is mostly a relayout; shares the staged-swap crash posture with
+    the other stores (swap_in_generation). Returns batches folded."""
+    from .signature_store import swap_in_generation
+
+    store = spark.read.parquet(store_path)
+    n_batches = store.select("batch_id").distinct().count()
+    if n_batches <= 1:
+        return n_batches
+
+    folded = (
+        store.groupBy("kh")
+        .agg(F.min(F.struct("batch_id", "owner_doc")).alias("_o"))
+        .select("kh", F.col("_o.owner_doc").alias("owner_doc"))
+        .withColumn("batch_id", F.lit(0).cast("int"))
+    )
+
+    def _write(tmp: str) -> None:
+        folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+
+    swap_in_generation(store_path, _write)
+    return n_batches
+
+
+def streaming_substring_dedup(
+    docs_stream: DataFrame,
+    store_path: str,
+    spans_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **params,
+):
+    """CONTINUOUS exact-substring dedup — the streaming twin, same
+    exactly-once contract as streaming_minhash_dedup /
+    streaming_sketch / streaming_ivf_append: each micro-batch's
+    k-grams are idempotently registered under the STREAMING batch id
+    (dynamic partition overwrite), and the batch's duplicated spans
+    land in ``spans_path`` partitioned by batch_id (also
+    replay-overwritten). Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        k = params.get("k", 8)
+        id_col = params.get("id_col", "doc_id")
+        text_col = params.get("text_col", "text")
+        kg = _kgram_occurrences(batch_df, k, id_col, text_col).localCheckpoint()
+        _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
+        spans = _spans_kg(
+            spark, kg, store_path, batch_id, k=k, id_col=id_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            spans.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(spans_path)
+        )
+
+    writer = docs_stream.writeStream.queryName("substring_dedup").option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -67,7 +67,7 @@ the fix is a tolerance compare on weight/entropy, not a plan change.
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
   rolling_7day_customer_revenue substring_dup_spans substring_scrub
-  bpe_encode_tokens
+  bpe_encode_tokens incremental_substring_spans
 """
 
 from __future__ import annotations
@@ -7183,6 +7183,85 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any duplication rate."""
     docs = spread(_t(spark, sf_dir, "documents"))
     return dedup_ops.scrub_duplicated_spans(docs, k=8)
+
+
+@_register(
+    "incremental_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, w, CAST(unnest(range(1, len(w) - 6)) AS INT) AS pos
+      FROM toks WHERE len(w) >= 8
+    ), kg AS (
+      SELECT doc_id, pos,
+             sha256(array_to_string(w[pos:pos+7], ' ')) AS kh
+      FROM fan
+    ), own AS (
+      SELECT kh, MIN(doc_id) AS owner_doc FROM kg GROUP BY kh
+    ), m AS (
+      SELECT k.doc_id, k.pos
+      FROM kg k JOIN own o USING (kh) WHERE o.owner_doc <> k.doc_id
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def incremental_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup (operators/span_store.py): the
+    corpus arrives as two contiguous doc-id-range batches; each
+    batch's k-grams are registered in a persisted first-seen store and
+    its duplicated spans come from joining the batch against the store
+    — history is never re-signed. The oracle is the FULL-corpus
+    NON-OWNED span set (spans in every doc that is not the k-gram's
+    min-doc owner — exactly what keep-first scrub removes): with
+    arrival order consistent with doc order, first-arrival ownership
+    equals global min-doc ownership, so the union of per-batch spans
+    must equal the one-shot result — the store's equivalence
+    invariant. This is the 100 TB shape: a daily ingest joins the
+    distinct-k-gram store (one row per hash, however viral) instead of
+    recomputing corpus-wide duplication."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import span_store
+
+    docs = _t(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(), f"pulsar_spanstore_demo_{os.getpid()}"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = mx // 2
+    batches = [
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut),
+    ]
+    parts = [
+        span_store.incremental_substring_spans(spark, b, store)
+        for b in batches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_len"),
+    )
 
 
 _register_golden()

@@ -1284,6 +1284,85 @@ def test_substring_scrub_edge_docs(spark):
     assert out[3].n_removed == 12 and out[3].clean_text == ""
 
 
+def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
+    """Incremental substring-span dedup equivalence: for batches arriving
+    in doc-id order, the union of per-batch spans equals the one-shot
+    NON-OWNED span set (what keep-first scrub removes); compaction
+    preserves history semantics for future batches; explicit-batch-id
+    appends are idempotent."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import span_store as SS
+    from pulsar_internal_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # one-shot non-owned spans: occurrences whose kgram owner differs
+    occ = D.dup_kgram_occurrences(
+        docs.select("doc_id", D.tokenized("text").alias("w")), k=8
+    )
+    non_owned = occ.filter(F.col("owner_doc") != F.col("doc_id"))
+    want = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in D.dup_span_intervals(non_owned, k=8).collect()
+    }
+
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [mx // 3, (2 * mx) // 3]
+    batches = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    store = str(tmp_path / "span_store")
+    got = set()
+    for b in batches:
+        got |= {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SS.incremental_substring_spans(spark, b, store).collect()
+        }
+    assert got == want, f"missing={want - got} extra={got - want}"
+
+    # compaction folds to one base partition and changes nothing for a
+    # future batch (ownership is first-arrival and survives the fold)
+    import os
+
+    folded = SS.compact_span_store(spark, store)
+    assert folded == 3
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=0"]
+    replay = batches[2]
+    spans_after = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in SS.incremental_substring_spans(spark, replay, store).collect()
+    }
+    # replaying batch 2's docs post-compaction: every kgram now exists in
+    # history owned by its original owner, so the spans are exactly batch
+    # 2's non-owned spans PLUS full-doc spans where the doc re-matches
+    # itself... ownership is first-arrival: the original owners kept
+    # their kgrams, so docs that OWNED kgrams now see them owned by
+    # themselves — identical span set to the original batch-2 pass.
+    batch2_original = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in got
+        if r[0] > cuts[1]
+    }
+    assert spans_after == batch2_original
+
+    # explicit-batch-id idempotence: re-appending the same id twice
+    # leaves the store row count unchanged
+    import duckdb
+
+    n1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    SS.append_kgram_batch(spark, replay, store, batch_id=9)
+    a1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    SS.append_kgram_batch(spark, replay, store, batch_id=9)
+    a2 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    assert a1 == a2 >= n1
+
+
 def test_store_maintenance_rejects_remote_uris(tmp_path):
     """The crash-posture helpers are built on os.rename/isdir; a remote
     store URI must fail LOUDLY (the os-level probes would silently

@@ -972,6 +972,68 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert after1 == after2, "explicit-batch-id append must be idempotent"
 
 
+def test_streaming_substring_dedup_matches_batch(spark, tmp_path):
+    """Continuous exact-substring dedup: docs streaming in doc-id order
+    must yield, across micro-batches, exactly the one-shot NON-OWNED
+    duplicated-span set (the spans keep-first scrub removes) — the
+    fourth incremental store's streaming twin, same exactly-once
+    contract (k-grams registered under the streaming batch id with
+    dynamic partition overwrite)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import span_store as SS
+
+    planted = " ".join(f"shared{i}" for i in range(20))
+    rows = []
+    for i in range(8):
+        filler = " ".join(f"u{i}x{j}" for j in range(15))
+        text = filler + " " + planted if i % 2 else planted + " " + filler
+        rows.append((i, text))
+
+    inbox = tmp_path / "span_inbox"
+    inbox.mkdir()
+    for half in (0, 1):
+        chunk = rows[half * 4 : (half + 1) * 4]
+        (inbox / f"{half}.csv").write_text(
+            "\n".join(f"{i}\t{t}" for i, t in chunk)
+        )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    store = str(tmp_path / "span_store")
+    spans = str(tmp_path / "span_out")
+    q = SS.streaming_substring_dedup(
+        stream, store, spans, str(tmp_path / "span_ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(spans)
+        .select("doc_id", "span_start", "span_end")
+        .collect()
+    }
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    occ = D.dup_kgram_occurrences(
+        docs.select("doc_id", D.tokenized("text").alias("w")), k=8
+    )
+    want = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in D.dup_span_intervals(
+            occ.filter(F.col("owner_doc") != F.col("doc_id")), k=8
+        ).collect()
+    }
+    assert got == want and got, f"missing={want - got} extra={got - want}"
+
+
 def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     """Continuous IVF ingestion: embedding batches arriving as streamed
     files (first batch trains the quantizer, later batches append
