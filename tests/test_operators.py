@@ -1344,11 +1344,7 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     # itself... ownership is first-arrival: the original owners kept
     # their kgrams, so docs that OWNED kgrams now see them owned by
     # themselves — identical span set to the original batch-2 pass.
-    batch2_original = {
-        (r.doc_id, r.span_start, r.span_end)
-        for r in got
-        if r[0] > cuts[1]
-    }
+    batch2_original = {(d, s, e) for (d, s, e) in got if d > cuts[1]}
     assert spans_after == batch2_original
 
     # explicit-batch-id idempotence: re-appending the same id twice
