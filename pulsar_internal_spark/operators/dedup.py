@@ -320,6 +320,7 @@ def dup_kgram_occurrences(
     k: int = 8,
     id_col: str = "doc_id",
     tokens_col: str = "w",
+    stage: bool = True,
 ) -> DataFrame:
     """Occurrences of CROSS-DOCUMENT duplicated k-grams — the anchor
     layer of exact substring-span dedup (Lee et al. 2022,
@@ -340,7 +341,14 @@ def dup_kgram_occurrences(
     length) — so the whole pipeline is linear in corpus size at any
     duplication rate. Suffix arrays (the Lee et al. implementation)
     find the same >= k-token cross-doc spans; the k-gram-cover form is
-    the shuffle-friendly equivalent for a cluster."""
+    the shuffle-friendly equivalent for a cluster.
+
+    The signed k-gram frame feeds TWO lineages (the ownership aggregate
+    and the occurrence join); ``stage=True`` localCheckpoints it so the
+    sha2-per-token signing runs ONCE per plan, matching the incremental
+    twin (span_store._kgram_occurrences is checkpointed at append time).
+    On a cluster with elastic executors prefer reliable
+    checkpoint(dir); pass stage=False when the caller stages."""
     wcol = F.col(tokens_col)
     kg = toks.filter(F.size(wcol) >= k).select(
         id_col,
@@ -351,6 +359,8 @@ def dup_kgram_occurrences(
             )
         ).alias("_p0", "kh"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
+    if stage:
+        kg = kg.localCheckpoint()
     dup = (
         kg.groupBy("kh")
         .agg(
@@ -462,6 +472,7 @@ def hamming_banded_pairs(
     band_bits: int = 4,
     max_hamming: int = 2,
     max_df: int = 100_000,
+    stage: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs under Hamming distance over an integer
     fingerprint column (SimHash/pHash family), banded so the join is an
@@ -473,20 +484,32 @@ def hamming_banded_pairs(
     ``max_df`` caps degenerate fingerprint buckets via drop_hot_keys
     (a mono-color mega-cluster would otherwise go quadratic); at the
     default it is a pure scale guard that never fires on healthy data.
-    Returns (id_a, id_b, hamming), id_a < id_b, distinct."""
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    ``hashes`` feeds THREE lineages (drop_hot_keys' count plus both
+    self-join sides); when it is expensive upstream — the perceptual
+    queries decode real BMP/WAV/AVI bytes via mapInPandas to produce
+    it — an un-staged plan re-runs that decode 3-4x. ``stage=True``
+    localCheckpoints the narrow (id, hash) projection so the decode
+    runs ONCE and only the cheap band explode replays per consumer
+    (cluster: reliable checkpoint(dir)). Pass stage=False for cheap
+    inputs or caller-staged frames."""
     assert bits % band_bits == 0
     bands = bits // band_bits
     assert max_hamming < bands, "banding recall is only exact below #bands"
     mask = (1 << band_bits) - 1
-    banded = hashes.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
+    narrow = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    if stage:
+        narrow = narrow.localCheckpoint()
+    banded = narrow.select(
+        "id",
+        "h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col(hash_col), b * band_bits)
+                        F.shiftright(F.col("h"), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
