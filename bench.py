@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the full query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE JSON line under 1900 chars: {"metric": ..., "value": N, "unit":
+"sec", "n_queries": N, "mean": ..., "median": ..., "queries":
+{<slowest that fit>}, "queries_truncated": bool, "sf": ...}. The FULL
+per-query map is written to BENCH_local.json (same totals).
 
 Timing = full plan execution into the `noop` sink (forces evaluation of
 every column, no driver collect, no disk write). One warmup query first
@@ -111,15 +113,38 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "query_suite_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_num,
-        }
-    )
+    full = {
+        "metric": "query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    # The driver records only a 2000-char tail of stdout, so the full
+    # per-query map (~6 KB at 150+ queries) is unparseable there: the
+    # stdout line carries summary stats plus as many of the SLOWEST
+    # queries as fit a 1900-char budget; the complete map lands in
+    # BENCH_local.json for offline diffing.
+    summary = {
+        "metric": "query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "mean": round(total / max(len(timings), 1), 3),
+        "median": round(statistics.median(timings.values()), 3),
+        "queries": {},
+        "queries_truncated": True,
+        "sf": sf_num,
+    }
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        summary["queries"][name] = sec
+        if len(json.dumps(summary)) >= 1850:
+            del summary["queries"][name]
+            break
+    else:
+        summary["queries_truncated"] = False
+    line = json.dumps(summary)
+    assert len(line) < 1900, len(line)
     # one clean line on the real stdout + a disk artifact for offline diffing
     real_stdout.write(line + "\n")
     real_stdout.flush()
@@ -127,7 +152,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
     with open(artifact, "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
 
 
 if __name__ == "__main__":
