@@ -102,17 +102,14 @@ def expire_partitions(path: str, keep_from_bucket: str) -> list[str]:
     format is zero-padded big-endian). Directory-level deletes — no file
     rewrite, no table scan; the hive layout makes TTL an O(#partitions)
     metadata operation, which is the point of partitioning by time.
-    Returns the removed partition names."""
-    import shutil
+    Routed through store_fs so the sweep hits the store's own
+    filesystem (hdfs://, file://, or plain local). Returns the removed
+    partition names."""
+    from .store_fs import expire_prefixed_partitions
 
-    removed = []
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("bucket_hour="):
-            continue
-        if d.split("=", 1)[1] < keep_from_bucket:
-            shutil.rmtree(os.path.join(path, d))
-            removed.append(d)
-    return removed
+    return expire_prefixed_partitions(
+        path, "bucket_hour=", lambda v: v < keep_from_bucket
+    )
 
 
 def serve_rollup(

@@ -289,48 +289,24 @@ def candidates_for_batch_bucketed(
     return within.unionByName(across).distinct()
 
 
-def require_local_store_path(store_path: str, op: str) -> None:
-    """The store maintenance helpers (orphan guard, staged swap, batch
-    expiry) implement their crash posture with LOCAL-filesystem renames
-    and directory probes. On a remote store URI (hdfs://, s3a://, ...)
-    those os-level calls would silently see "no such directory" — the
-    orphan guard would no-op and the swap would build generations on
-    the driver's local disk while the real store sat untouched. Fail
-    loudly instead: remote stores need these paths routed through the
-    Hadoop FileSystem API (and object stores need a non-rename commit
-    protocol) before the guarantees hold."""
-    head = store_path.split("://", 1)
-    if len(head) == 2 and head[0] not in ("file",):
-        raise NotImplementedError(
-            f"{op} requires a local filesystem store path (its crash "
-            f"posture is built on os.rename/isdir); got remote URI "
-            f"{store_path!r} — route through the Hadoop FileSystem API "
-            "before using remote storage"
-        )
-
-
-def _local_path(store_path: str) -> str:
-    """Strip an explicit file:// scheme for os-level calls."""
-    return store_path[7:] if store_path.startswith("file://") else store_path
-
-
 def ensure_no_orphan_generation(store_path: str) -> None:
     """Crash-window guard shared by every store writer: if a compaction
     died between its two renames, the store path is missing but the
     ONLY surviving generation sits at ``{store}.old``. Starting a fresh
     store then would (a) silently lose all history and (b) let the next
     compaction's entry sweep DELETE the orphaned generation. Refuse and
-    tell the operator how to recover instead. Local-fs only (asserted):
-    see require_local_store_path."""
-    import os
+    tell the operator how to recover instead. Probes run on the STORE'S
+    OWN filesystem (store_fs: Hadoop FileSystem API for URI paths,
+    os-level for plain local paths) — an os probe against hdfs:// would
+    silently answer "absent" and evaporate this guard."""
+    from . import store_fs
 
-    require_local_store_path(store_path, "ensure_no_orphan_generation")
-    store_path = _local_path(store_path)
-    old = store_path.rstrip("/") + ".old"
-    if not os.path.isdir(store_path) and os.path.isdir(old):
+    base = store_path.rstrip("/")
+    old = base + ".old"
+    if not store_fs.is_dir(base) and store_fs.is_dir(old):
         raise RuntimeError(
-            f"store {store_path} is missing but {old} exists — a compaction "
-            f"crashed mid-swap; recover with: mv {old} {store_path}"
+            f"store {base} is missing but {old} exists — a compaction "
+            f"crashed mid-swap; recover by renaming {old} back to {base}"
         )
 
 
@@ -353,21 +329,25 @@ def swap_in_generation(store_path: str, write_tmp) -> None:
     window (see compact_store): no append/auto-increment caller may
     run concurrently, and serving readers should retry on
     PATH_NOT_FOUND. Data is never torn — each generation is complete —
-    but existence is not continuous. Local-fs only (asserted)."""
-    import os
-    import shutil
+    but existence is not continuous.
 
-    require_local_store_path(store_path, "swap_in_generation")
-    store_path = _local_path(store_path)
+    All filesystem ops route through store_fs, so the swap works on
+    plain local paths, file://, and hdfs:// alike (HDFS rename is
+    atomic, same crash windows as local). On s3a:// rename is
+    copy+delete — see store_fs's module docstring for the honest
+    degradation; prefer a manifest-committing table layer there."""
+    from . import store_fs
+
     ensure_no_orphan_generation(store_path)
-    tmp = store_path.rstrip("/") + ".compacting"
-    old = store_path.rstrip("/") + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    base = store_path.rstrip("/")
+    tmp = base + ".compacting"
+    old = base + ".old"
+    store_fs.delete_dir(tmp, ignore_missing=True)
+    store_fs.delete_dir(old, ignore_missing=True)
     write_tmp(tmp)
-    os.replace(store_path, old)
-    os.replace(tmp, store_path)
-    shutil.rmtree(old)
+    store_fs.rename(base, old)
+    store_fs.rename(tmp, base)
+    store_fs.delete_dir(old)
 
 
 def compact_store(spark: SparkSession, store_path: str) -> int:
@@ -414,18 +394,10 @@ def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
     directory-level delete, the same O(#partitions) metadata operation
     as rollup.expire_partitions. New batches then stop matching against
     the expired era; pairs already emitted are unaffected. Returns the
-    removed batch ids. Local-fs only (asserted)."""
-    import os
-    import shutil
+    removed batch ids. Runs on the store's own filesystem (store_fs)."""
+    from . import store_fs
 
-    require_local_store_path(store_path, "expire_batches")
-    store_path = _local_path(store_path)
-    removed = []
-    for d in sorted(os.listdir(store_path)):
-        if not d.startswith("batch_id="):
-            continue
-        bid = int(d.split("=", 1)[1])
-        if bid < keep_from_batch:
-            shutil.rmtree(os.path.join(store_path, d))
-            removed.append(bid)
-    return removed
+    removed = store_fs.expire_prefixed_partitions(
+        store_path, "batch_id=", lambda v: int(v) < keep_from_batch
+    )
+    return [int(d.split("=", 1)[1]) for d in removed]

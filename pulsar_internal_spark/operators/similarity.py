@@ -705,12 +705,19 @@ def streaming_ivf_append(
     partition overwrite (a crash-replayed batch replaces its own
     (cell, batch_id) leaves, never double-appending). Probes
     (ivf_index_topk) read the same index mid-stream with unchanged
-    semantics. Returns the StreamingQuery."""
-    import os
+    semantics. Returns the StreamingQuery.
+
+    The build-vs-append probe runs on the INDEX'S OWN filesystem
+    (store_fs) — an os.path.isdir against an hdfs://s3a:// index path
+    is always False, which would silently retrain the quantizer and
+    full-overwrite the index on EVERY micro-batch, discarding all
+    previously ingested cells."""
+    from .store_fs import is_dir as _store_is_dir
+    from .store_fs import join as _store_join
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not os.path.isdir(os.path.join(path, "centroids")):
+        if not _store_is_dir(_store_join(path, "centroids")):
             build_ivf_index(
                 batch_df, path, num_centroids=num_centroids,
                 id_col=id_col, vec_col=vec_col,

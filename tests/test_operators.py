@@ -1359,25 +1359,59 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     assert a1 == a2 >= n1
 
 
-def test_store_maintenance_rejects_remote_uris(tmp_path):
-    """The crash-posture helpers are built on os.rename/isdir; a remote
-    store URI must fail LOUDLY (the os-level probes would silently
-    no-op on hdfs://s3a://, evaporating the orphan guard), while
-    file:// and plain local paths pass through."""
+def test_store_maintenance_routes_uris_via_hadoop_fs(spark, tmp_path):
+    """Store maintenance (probe/rename/delete/list) routes URI paths
+    through the Hadoop FileSystem API of the active session (store_fs),
+    replacing the pre-round-6 loud-refusal guard. Exercised on file://
+    — the Hadoop LOCAL filesystem client, the same API surface hdfs://
+    takes, no cluster needed — across the full store lifecycle: append,
+    compaction swap, expiry, orphan-guard detection. The os fast-path
+    (plain paths) and the Hadoop route must agree on what they see."""
+    import os
+
     import pytest
 
     from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import store_fs
 
-    for bad in ("hdfs://nn/warehouse/store", "s3a://bucket/store"):
-        with pytest.raises(NotImplementedError, match="local filesystem"):
-            S.ensure_no_orphan_generation(bad)
-        with pytest.raises(NotImplementedError, match="local filesystem"):
-            S.swap_in_generation(bad, lambda tmp: None)
-        with pytest.raises(NotImplementedError, match="local filesystem"):
-            S.expire_batches(bad, keep_from_batch=1)
-    # local forms pass the guard (no store -> orphan check is a no-op)
-    S.ensure_no_orphan_generation(str(tmp_path / "s"))
-    S.ensure_no_orphan_generation("file://" + str(tmp_path / "s"))
+    local = str(tmp_path / "store")
+    uri = "file://" + local
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i} tok{i + 1} tok{i + 2} alpha beta gamma delta")
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    b0 = S.append_signature_batch(spark, docs.filter("doc_id < 4"), uri)
+    b1 = S.append_signature_batch(spark, docs.filter("doc_id >= 4"), uri)
+    assert (b0, b1) == (0, 1)
+    # both routes see the same store
+    assert store_fs.is_dir(uri) and os.path.isdir(local)
+    assert store_fs.list_subdirs(uri) == store_fs.list_subdirs(local)
+    rows_before = spark.read.parquet(uri).count()
+
+    # compaction = staged swap: Hadoop-FS delete sweeps + two renames
+    assert S.compact_store(spark, uri) == 2
+    assert store_fs.list_subdirs(uri) == ["batch_id=0"]
+    assert not os.path.isdir(local + ".old") and not os.path.isdir(
+        local + ".compacting"
+    )
+    assert spark.read.parquet(uri).count() == rows_before
+
+    # expiry: partition delete on the store's own filesystem
+    S.append_signature_batch(spark, docs.filter("doc_id >= 4"), uri)
+    assert S.expire_batches(uri, keep_from_batch=1) == [0]
+    assert store_fs.list_subdirs(uri) == ["batch_id=1"]
+
+    # orphan guard fires through the Hadoop probe too
+    os.rename(local, local + ".old")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        S.ensure_no_orphan_generation(uri)
+    # and a clean missing store stays a no-op on both routes
+    S.ensure_no_orphan_generation(str(tmp_path / "fresh"))
+    S.ensure_no_orphan_generation("file://" + str(tmp_path / "fresh"))
 
 
 @settings(

@@ -1102,6 +1102,21 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     n2 = spark.read.parquet(cells).count()
     assert n1 == n2, "explicit-batch-id IVF append must be idempotent"
 
+    # URI index path: the build-vs-append probe must run on the index's
+    # own filesystem (store_fs). With the old os.path.isdir probe a
+    # file://-prefixed path was always "absent", so EVERY micro-batch
+    # retrained the quantizer and full-overwrote the index — the second
+    # batch would silently discard the first. Both batches must survive.
+    uri_index = "file://" + str(tmp_path / "ivf_uri")
+    q2 = sim.streaming_ivf_append(
+        stream, uri_index, str(tmp_path / "ivf_uri_ckpt"),
+        num_centroids=4, trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    got_uri = spark.read.parquet(uri_index + "/cells")
+    assert got_uri.select("vec_id").distinct().count() == 60
+    assert {r.batch_id for r in got_uri.select("batch_id").distinct().collect()} == {0, 1}
+
 
 def test_duplex_client_resumes_epoch_after_restart(tmp_path):
     """A restarted client must publish spool files that sort AFTER every
