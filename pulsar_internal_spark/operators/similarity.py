@@ -99,18 +99,37 @@ def _plane_weights(p: int, dim: int) -> list[float]:
 import functools
 
 
+def _context_key() -> str | None:
+    """Cache key component tying memoized Column expressions to the
+    LIVE SparkContext: a Column wraps a py4j handle into the context's
+    JVM, so a cached one outliving a stop()/recreate cycle would fail
+    opaquely on next use. Nothing in this repo bounces sessions
+    in-process, but a long-lived driver might — keying on the context's
+    applicationId (unique per context lifetime, unlike id() which can
+    be reused after GC) makes a recreated context rebuild its literals
+    instead."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else None
+
+
 @functools.lru_cache(maxsize=16)
+def _plane_matrix_for(ctx_key, num_planes: int, dim: int):
+    return F.lit([_plane_weights(p, dim) for p in range(num_planes)])
+
+
 def _plane_matrix(num_planes: int, dim: int):
     """All plane weights as ONE 2-D array literal, MEMOIZED per
-    (planes, dim). Building the literal costs num_planes*dim F.lit
-    py4j round-trips (PySpark expands a list lit into element lits) —
-    measured ~2.7 s of pure Python-side PLAN BUILD per query call at
-    64x64, dwarfing the 0.7 s execution. Column objects are unresolved
-    expressions, safely reusable across DataFrames and sessions in one
-    process, so the cache pays the construction once per process.
-    Catalyst constant-folds the tree into a single Literal either way;
-    execution is identical."""
-    return F.lit([_plane_weights(p, dim) for p in range(num_planes)])
+    (context, planes, dim). Building the literal costs num_planes*dim
+    F.lit py4j round-trips (PySpark expands a list lit into element
+    lits) — measured ~2.7 s of pure Python-side PLAN BUILD per query
+    call at 64x64, dwarfing the 0.7 s execution. Column objects are
+    unresolved expressions, safely reusable across DataFrames within
+    one SparkContext, so the cache pays the construction once per
+    context (see _context_key). Catalyst constant-folds the tree into
+    a single Literal either way; execution is identical."""
+    return _plane_matrix_for(_context_key(), num_planes, dim)
 
 
 def _projections(vec_col, weights_2d):
@@ -338,14 +357,18 @@ def _band_structs(projs_col, planes_per_band: int, num_bands: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _band_struct_array(planes_per_band: int, num_bands: int):
-    """Memoized exploded-band expression over the staged ``_projs``
-    column — same plan-build-cost rationale as _plane_matrix (the
-    per-band slice/transform lambdas cost ~0.3 s of py4j round-trips
-    per call otherwise)."""
+def _band_struct_array_for(ctx_key, planes_per_band: int, num_bands: int):
     return F.explode(
         F.array(*_band_structs(F.col("_projs"), planes_per_band, num_bands))
     )
+
+
+def _band_struct_array(planes_per_band: int, num_bands: int):
+    """Memoized exploded-band expression over the staged ``_projs``
+    column — same plan-build-cost and context-keying rationale as
+    _plane_matrix (the per-band slice/transform lambdas cost ~0.3 s of
+    py4j round-trips per call otherwise)."""
+    return _band_struct_array_for(_context_key(), planes_per_band, num_bands)
 
 
 def lsh_bucketed_topk(

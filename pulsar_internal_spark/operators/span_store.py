@@ -252,6 +252,15 @@ def streaming_substring_dedup(
         spans = _spans_kg(
             spark, kg, store_path, batch_id, k=k, id_col=id_col
         ).withColumn("batch_id", F.lit(batch_id))
+        # a zero-span batch would write a partitioned dir with NO data
+        # files (partition dirs derive from rows), leaving a sink that
+        # spark.read.parquet rejects with "unable to infer schema"
+        # until a non-empty batch lands. Skip the write instead — the
+        # sink path simply not existing yet is the clear signal — and
+        # point consumers at read_span_sink, which returns a TYPED
+        # empty frame for a not-yet-created sink.
+        if spans.isEmpty():
+            return
         (
             spans.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -265,3 +274,20 @@ def streaming_substring_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def read_span_sink(
+    spark: SparkSession, spans_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Read the streaming span sink with a declared schema. Until the
+    first NON-EMPTY micro-batch lands, the sink path does not exist
+    (zero-span batches skip their write — see streaming_substring_dedup),
+    so a bare spark.read.parquet would fail; consumers get a typed
+    empty frame instead and their downstream plans stay valid."""
+    from .signature_store import _read_store
+
+    schema = (
+        f"{id_col} BIGINT, span_start BIGINT, span_end BIGINT, batch_id INT"
+    )
+    got = _read_store(spark, spans_path)
+    return got if got is not None else spark.createDataFrame([], schema)

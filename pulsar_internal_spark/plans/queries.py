@@ -21,16 +21,19 @@ have ALSO appeared in a driver CORRECTNESS_r* file). r03 sampled the
 same 50 keys as r02; r04 ROTATED (new driver-green rows:
 incremental_minhash_dedup, minhash_band_candidates,
 fuzzy_doc_match_blocked, near_dup_clusters, dedup_keep_best — removed
-from the list below), so accumulated driver coverage only grows:
+from the list below); r05 sampled the SAME 50 keys as r04 (no
+rotation), so the r4/r5 additions still have local-harness coverage
+only. Accumulated driver coverage only grows:
 
-KNOWN LATENT FLAKE (accepted, not yet observed): dsir_importance_weights
-and token_entropy_scores ROUND a double SUM of logs to 4dp; the
-accumulation order is partition- and engine-dependent, so a per-doc sum
-landing within ~1 ulp of a 0.5e-4 boundary could flip the rounded digit
-between engines (the hazard gapfill_hourly_interpolate eliminates via
-integer micro-units; no sort-free exact form exists for a float log-sum).
-If either ever hash-mismatches in a driver round, that is the cause —
-the fix is a tolerance compare on weight/entropy, not a plan change.
+FLOAT-SUM TOLERANCE (round 6, replaces the r4/r5 "known latent flake"
+note): dsir_importance_weights.log_importance and
+token_entropy_scores.{entropy_bits,type_token_ratio} are double
+log-sums whose accumulation order is partition- and engine-dependent;
+the local harness compares those columns NUMERICALLY within 2e-4 (one
+last-digit flip at 4dp — see tests/oracle_harness.py FLOAT_TOL) with
+every other column exact. The driver's hash compare remains exact;
+its residual boundary risk is ulp-scale and now documented where the
+tolerance is enforced rather than merely accepted.
   aes_crypt_roundtrip approx_distinct_users benchmark_contamination
   blake2_lookalike_nation calling_script_lineage context_packing
   containment_candidates cube_event_stats derive_bytes_nation
@@ -104,6 +107,31 @@ def _register(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+_DEMO_STORE_BASE: str | None = None
+
+
+def _demo_store_dir(tag: str) -> str:
+    """Fresh scratch dir for a persisted-store demo query, unique per
+    INVOCATION. A pid-keyed path (pre-round-6) raced: two harnesses in
+    one process, or a collect of a previously returned lazy DataFrame
+    after a later invocation's rmtree, would collide on the same store.
+    A uuid per call means every returned DataFrame keeps reading its
+    own store; all of them live under ONE per-process base dir removed
+    at interpreter exit, so repeated bench runs do not accumulate
+    tempdirs beyond process lifetime."""
+    global _DEMO_STORE_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if _DEMO_STORE_BASE is None:
+        _DEMO_STORE_BASE = tempfile.mkdtemp(prefix="pulsar_demo_stores_")
+        atexit.register(shutil.rmtree, _DEMO_STORE_BASE, ignore_errors=True)
+    return os.path.join(_DEMO_STORE_BASE, f"{tag}_{uuid.uuid4().hex[:12]}")
 
 
 # =========================================================================
@@ -1732,19 +1760,10 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bands; the split is arbitrary). This is the 100 TB shape — a
     daily batch joins the store's buckets instead of recomputing the
     corpus-wide self-join."""
-    import os
-    import shutil
-    import tempfile
-
     from ..operators import signature_store as sig_store
 
     docs = _t(spark, sf_dir, "documents")
-    # one deterministic scratch dir per process, wiped per invocation —
-    # repeated bench runs must not accumulate tempdirs
-    store = os.path.join(
-        tempfile.gettempdir(), f"pulsar_sigstore_demo_{os.getpid()}"
-    )
-    shutil.rmtree(store, ignore_errors=True)
+    store = _demo_store_dir("sigstore")
     c0 = sig_store.incremental_minhash_dedup(
         spark, docs.filter(F.col("doc_id") % 2 == 0), store
     )
@@ -7230,17 +7249,10 @@ def incremental_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame
     invariant. This is the 100 TB shape: a daily ingest joins the
     distinct-k-gram store (one row per hash, however viral) instead of
     recomputing corpus-wide duplication."""
-    import os
-    import shutil
-    import tempfile
-
     from ..operators import span_store
 
     docs = _t(spark, sf_dir, "documents")
-    store = os.path.join(
-        tempfile.gettempdir(), f"pulsar_spanstore_demo_{os.getpid()}"
-    )
-    shutil.rmtree(store, ignore_errors=True)
+    store = _demo_store_dir("spanstore")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     cut = mx // 2
     batches = [

@@ -51,10 +51,60 @@ def normalize_df(pdf):
     return cols, rows
 
 
-def compare(spark_df, oracle_pdf) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+# Per-query float-tolerance columns: transcendental aggregates (double
+# log-sums) whose accumulation order is partition- and engine-dependent,
+# so exact string equality after ROUND(.., 4) has a latent boundary
+# flake (a sum landing within ~1 ulp of a 0.5e-4 rounding boundary can
+# flip the last digit between engines). These columns are compared
+# NUMERICALLY within the stated absolute tolerance, keyed by the
+# query's exact-compared key columns; everything else in the row stays
+# exact. 2e-4 = one last-digit flip at 4dp, the only divergence the
+# hazard can produce.
+FLOAT_TOL: dict[str, dict[str, float]] = {
+    "dsir_importance_weights": {"log_importance": 2e-4},
+    "token_entropy_scores": {"entropy_bits": 2e-4, "type_token_ratio": 2e-4},
+}
+
+
+def compare(spark_df, oracle_pdf, float_tol: dict[str, float] | None = None) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match). With
+    ``float_tol`` (column -> absolute tolerance), those columns compare
+    numerically after aligning rows on the remaining (exact) columns —
+    which must form a unique key."""
     problems: list[str] = []
     spark_pdf = spark_df.toPandas()
+    if float_tol:
+        if len(spark_pdf) != len(oracle_pdf):
+            return [
+                f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+            ]
+        sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+        if sc != oc:
+            return [f"columns: spark={sc} oracle={oc}"]
+        keys = [c for c in sc if c not in float_tol]
+
+        def _aligned(pdf):
+            rows = {}
+            for row in pdf[sc].itertuples(index=False):
+                d = dict(zip(sc, row))
+                rows[tuple(_norm_cell(d[k]) for k in keys)] = d
+            return rows
+
+        s_rows, o_rows = _aligned(spark_pdf), _aligned(oracle_pdf)
+        if set(s_rows) != set(o_rows):
+            for k in list(set(s_rows) ^ set(o_rows))[:5]:
+                problems.append(f"key mismatch: {k}")
+            return problems
+        for k, srow in s_rows.items():
+            for col, tol in float_tol.items():
+                a, b = float(srow[col]), float(o_rows[k][col])
+                if not (abs(a - b) <= tol or (math.isnan(a) and math.isnan(b))):
+                    problems.append(
+                        f"{col} off by {abs(a - b):.2e} (> {tol}) at key {k}"
+                    )
+                    if len(problems) >= 5:
+                        return problems
+        return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     sc, sr = normalize_df(spark_pdf)

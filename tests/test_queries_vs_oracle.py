@@ -9,14 +9,14 @@ import pytest
 
 from pulsar_internal_spark.plans.queries import ORACLES, QUERIES
 
-from .oracle_harness import compare, run_oracle
+from .oracle_harness import FLOAT_TOL, compare, run_oracle
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     opdf = run_oracle(ORACLES[name], sf_dir)
-    problems = compare(sdf, opdf)
+    problems = compare(sdf, opdf, float_tol=FLOAT_TOL.get(name))
     assert not problems, f"{name}: " + "; ".join(problems)
 
 

@@ -1034,6 +1034,73 @@ def test_streaming_substring_dedup_matches_batch(spark, tmp_path):
     assert got == want and got, f"missing={want - got} extra={got - want}"
 
 
+def test_streaming_substring_zero_span_batch_skips_write(spark, tmp_path):
+    """A first micro-batch with NO duplicated spans must not leave an
+    unreadable sink (a partitioned write with zero rows creates a dir
+    with no data/schema files, so spark.read.parquet fails with
+    'unable to infer schema' until a non-empty batch lands). The write
+    is skipped instead, read_span_sink serves a TYPED empty frame
+    before the sink exists, and a later duplicating batch creates the
+    sink normally."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import span_store as SS
+
+    # batch 0: four docs with fully unique token streams (zero spans);
+    # batch 1: four docs each embedding doc 0's filler -> spans vs history
+    uniq = {
+        i: " ".join(f"b0u{i}t{j}" for j in range(20)) for i in range(4)
+    }
+    rows0 = [(i, uniq[i]) for i in range(4)]
+    rows1 = [
+        (i, " ".join(f"b1u{i}t{j}" for j in range(12)) + " " + uniq[0])
+        for i in range(4, 8)
+    ]
+    inbox = tmp_path / "zspan_inbox"
+    inbox.mkdir()
+    (inbox / "0.csv").write_text("\n".join(f"{i}\t{t}" for i, t in rows0))
+
+    spans = str(tmp_path / "zspan_out")
+    # before anything lands the sink does not exist: typed empty frame
+    pre = SS.read_span_sink(spark, spans)
+    assert pre.count() == 0
+    assert [f.name for f in pre.schema.fields] == [
+        "doc_id", "span_start", "span_end", "batch_id",
+    ]
+
+    store = str(tmp_path / "zspan_store")
+    ckpt = str(tmp_path / "zspan_ckpt")
+    stream_df = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    q = SS.streaming_substring_dedup(
+        stream_df, store, spans, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    import os
+
+    assert not os.path.exists(spans), "zero-span batch must skip the write"
+    assert SS.read_span_sink(spark, spans).count() == 0
+
+    # the duplicating batch then creates the sink with real spans
+    (inbox / "1.csv").write_text("\n".join(f"{i}\t{t}" for i, t in rows1))
+    q = SS.streaming_substring_dedup(
+        stream_df, store, spans, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    got = SS.read_span_sink(spark, spans)
+    assert got.count() > 0
+    assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == {
+        4, 5, 6, 7,
+    }
+
+
 def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     """Continuous IVF ingestion: embedding batches arriving as streamed
     files (first batch trains the quantizer, later batches append
