@@ -73,18 +73,27 @@ HEADLINERS: list[tuple[str, str]] = [
     ("lsh_bucket_cosine_topk", "banded OR-amplified sign-LSH: staged projections, broadcast query side, distinct-before-rank"),
     ("substring_dup_spans", "exact substring spans: no pair join — kgram-hash agg decides duplication, per-doc islands window"),
     ("substring_scrub", "substring scrub: covered-position explode of non-owned occurrences, anti join, in-aggregate reassembly"),
-    ("bpe_encode_tokens", "BPE encode under 3 learned merges: per-round map-side pair counts, narrow per-doc fold rewrite"),
+    ("bpe_encode_tokens", "BPE encode under 6 learned merges: per-round map-side pair counts, narrow per-doc fold rewrite"),
+    ("incremental_substring_spans", "incremental substring store: batch signed once (checkpointed), history joined one row per distinct k-gram"),
 ]
 
 
 def main() -> None:
+    import subprocess
+
     spark = get_spark(app_name="gen_explain")
     spark.sparkContext.setLogLevel("ERROR")
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip() or "unknown"
     out = [
         "# EXPLAIN — headline query plans (sf0.01, final AQE plans)",
         "",
-        "Regenerate with `python tools/gen_explain.py` after plan-affecting",
-        "changes.",
+        f"Generated at commit `{head}` — if plans changed since, regenerate",
+        "with `python tools/gen_explain.py` (staleness is self-evident by",
+        "diffing that commit).",
         "",
     ]
     for name, blurb in HEADLINERS:
