@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.tables import spread
+from ..staging import stage as stage_frame
 
 
 def normalized_text(col: str = "text"):
@@ -344,7 +345,7 @@ def dup_kgram_occurrences(
     the shuffle-friendly equivalent for a cluster.
 
     The signed k-gram frame feeds TWO lineages (the ownership aggregate
-    and the occurrence join); ``stage=True`` localCheckpoints it so the
+    and the occurrence join); ``stage=True`` stages it (staging.stage) so the
     sha2-per-token signing runs ONCE per plan, matching the incremental
     twin (span_store._kgram_occurrences is checkpointed at append time).
     On a cluster with elastic executors prefer reliable
@@ -360,7 +361,7 @@ def dup_kgram_occurrences(
         ).alias("_p0", "kh"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
     if stage:
-        kg = kg.localCheckpoint()
+        kg = kg.transform(stage_frame)
     dup = (
         kg.groupBy("kh")
         .agg(
@@ -419,11 +420,11 @@ def scrub_duplicated_spans(
 
     The token frame feeds THREE lineages (k-gram signing, the
     position-grain token explode, and the final per-doc size join);
-    localCheckpoint materializes the tokenize once instead of
+    staging.stage materializes the tokenize once instead of
     re-splitting the corpus per consumer — measured ~25% wall-clock at
-    sf0.1 (the reindex/graph-CC idiom; on a cluster with elastic
-    executors prefer reliable checkpoint(dir))."""
-    toks = docs.select(id_col, tokenized(text_col).alias("w")).localCheckpoint()
+    sf0.1 (the reindex/graph-CC idiom; set spark.pulsar.stage.mode=
+    reliable on clusters with elastic executors)."""
+    toks = docs.select(id_col, tokenized(text_col).alias("w")).transform(stage_frame)
     occ = dup_kgram_occurrences(toks, k=k, id_col=id_col)
     cov = (
         occ.filter(F.col("owner_doc") != F.col(id_col))
@@ -490,9 +491,9 @@ def hamming_banded_pairs(
     self-join sides); when it is expensive upstream — the perceptual
     queries decode real BMP/WAV/AVI bytes via mapInPandas to produce
     it — an un-staged plan re-runs that decode 3-4x. ``stage=True``
-    localCheckpoints the narrow (id, hash) projection so the decode
+    stages (staging.stage) the narrow (id, hash) projection so the decode
     runs ONCE and only the cheap band explode replays per consumer
-    (cluster: reliable checkpoint(dir)). Pass stage=False for cheap
+    (spark.pulsar.stage.mode=reliable on clusters). Pass stage=False for cheap
     inputs or caller-staged frames."""
     assert bits % band_bits == 0
     bands = bits // band_bits
@@ -500,7 +501,7 @@ def hamming_banded_pairs(
     mask = (1 << band_bits) - 1
     narrow = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
     if stage:
-        narrow = narrow.localCheckpoint()
+        narrow = narrow.transform(stage_frame)
     banded = narrow.select(
         "id",
         "h",

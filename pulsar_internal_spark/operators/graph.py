@@ -13,9 +13,9 @@ min-label propagation plus pointer jumping:
 
 Propagation alone needs O(diameter) rounds; the hop step contracts
 label chains so convergence is O(log n) rounds. Each round
-localCheckpoints (lineage would otherwise compound across rounds — the
+stages via staging.stage (lineage would otherwise compound per round — the
 same discipline as operators/tree.descendants); on a cluster swap for
-reliable checkpoint(dir).
+spark.pulsar.stage.mode=reliable (staging.stage).
 
 Convergence is detected with a monotone checksum: labels only ever
 decrease, so sum(label) strictly decreases on any change — one scan
@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..staging import stage
 
 
 def connected_components(
@@ -52,10 +54,10 @@ def connected_components(
     )
     if not edges_canonical:
         sym = sym.distinct()
-    sym = sym.localCheckpoint()
+    sym = sym.transform(stage)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
+    ).transform(stage)
 
     prev_sum = None
     converged = False
@@ -79,7 +81,7 @@ def connected_components(
         hopped = prop.join(parent, prop["label"] == parent["p_id"], "left").select(
             "id", F.coalesce("p_label", "label").alias("label")
         )
-        labels = hopped.localCheckpoint()
+        labels = hopped.transform(stage)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -121,13 +123,13 @@ def pagerank(
     the destination — the same budget as a components round. N and the
     per-node degree are carried as broadcast/join columns (no driver
     scalar); fixed iteration count keeps the plan finite and
-    deterministic, and each round localCheckpoints so lineage doesn't
+    deterministic, and each round stages (staging.stage) so lineage doesn't
     compound."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(stage)
     )
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -151,6 +153,6 @@ def pagerank(
                     (1.0 - damping) / F.col("n") + damping * F.col("in_rank")
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(stage)
         )
     return ranks.select("id", F.col("rank").alias("pagerank"))

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import dup_span_intervals, tokenized
+from ..staging import stage
 from .signature_store import _read_store
 
 SPAN_STORE_SCHEMA = "kh STRING, owner_doc BIGINT, batch_id INT"
@@ -184,13 +185,13 @@ def incremental_substring_spans(
 ) -> DataFrame:
     """One ingest step: register the batch's k-grams, return its
     duplicated spans (vs history and within the batch). The batch is
-    SIGNED ONCE — the occurrence frame is localCheckpointed and feeds
+    SIGNED ONCE — the occurrence frame is staged (staging.stage) and feeds
     both the store append and the span join (signing is the dominant
     per-batch cost: one sha2 per token)."""
     k = params.get("k", 8)
     id_col = params.get("id_col", "doc_id")
     text_col = params.get("text_col", "text")
-    kg = _kgram_occurrences(new_docs, k, id_col, text_col).localCheckpoint()
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col).transform(stage)
     bid = _append_kg(
         spark, kg, store_path, batch_id=params.get("batch_id"), id_col=id_col
     )
@@ -247,7 +248,7 @@ def streaming_substring_dedup(
         k = params.get("k", 8)
         id_col = params.get("id_col", "doc_id")
         text_col = params.get("text_col", "text")
-        kg = _kgram_occurrences(batch_df, k, id_col, text_col).localCheckpoint()
+        kg = _kgram_occurrences(batch_df, k, id_col, text_col).transform(stage)
         _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
         spans = _spans_kg(
             spark, kg, store_path, batch_id, k=k, id_col=id_col

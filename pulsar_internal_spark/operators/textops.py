@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text
+from ..staging import stage
 
 # tiny per-language stopword marker sets for the n-gram/keyword heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -133,7 +134,7 @@ def bpe_learn_merges(toks, n_merges: int, tokens_col: str = "w"):
     Scale shape: per round, ONE corpus-scan aggregate (hot
     function-word pairs combine map-side) + ONE narrow rewrite; the
     driver receives exactly one row per round. The per-round
-    localCheckpoint stops fold-of-fold lineage growth (same idiom as
+    staging.stage stops fold-of-fold lineage growth (same idiom as
     graph CC); on a cluster with elastic executors prefer reliable
     checkpoint(dir) or a parquet round-trip for the re-segmentation."""
     merges: list[tuple[str, str]] = []
@@ -167,7 +168,7 @@ def bpe_learn_merges(toks, n_merges: int, tokens_col: str = "w"):
         merges.append((a, b))
         cur = cur.withColumn(
             tokens_col, bpe_apply_merge(wc, a, b)
-        ).localCheckpoint()
+        ).transform(stage)
     return merges, cur
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..staging import stage
+
 
 def orphans(nodes: DataFrame, parents: DataFrame, node_fk: str, parent_key: str) -> DataFrame:
     """Rows of ``nodes`` whose FK has no match in ``parents`` —
@@ -45,13 +47,13 @@ def reindex(df: DataFrame, order_cols: list[str], idx_name: str = "idx") -> Data
     """
     from pyspark.sql.window import Window
 
-    # localCheckpoint: the counts job below and the final materialization
+    # staging.stage: the counts job below and the final materialization
     # would otherwise each re-derive the full upstream plan (plus the
     # range sampling pass) — materialize the ranged input once.
     ranged = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(stage)
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = ranged.withColumn("_local", F.row_number().over(w))
@@ -118,13 +120,13 @@ def descendants(
     The frontier is broadcast each round (small relative to edges);
     the loop stops early when a round adds no rows.
     """
-    # Each round's frontier is materialized with an eager localCheckpoint:
+    # Each round's frontier is materialized with an eager staging.stage:
     # without it, round k's plan re-derives rounds 1..k-1 (the union/join
     # lineage compounds), and the final materialization re-runs the whole
     # loop again. With it, every edge-scan + join runs exactly once. On a
-    # cluster prefer reliable checkpoint(dir) if executors may be lost.
+    # cluster set spark.pulsar.stage.mode=reliable if executors may be lost.
     frontier = (
-        roots.select(F.col(root_col).alias("id")).distinct().localCheckpoint()
+        roots.select(F.col(root_col).alias("id")).distinct().transform(stage)
     )
     parts = [frontier.withColumn("depth", F.lit(0))]
     seen_ids = frontier
@@ -138,7 +140,7 @@ def descendants(
             .select(F.col(child_col).alias("id"))
             .distinct()
             .join(seen_ids, "id", "left_anti")
-            .localCheckpoint()
+            .transform(stage)
         )
         if nxt.isEmpty():
             break

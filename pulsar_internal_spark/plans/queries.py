@@ -87,6 +87,7 @@ from ..operators import similarity as sim_ops
 from ..operators import textops
 from ..operators import tree as tree_ops
 from ..shipping import ensure_shipped
+from ..staging import stage
 from ..sources.tables import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -6077,9 +6078,9 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge list feeds FOUR lineages below (degree table, the rank
     # join, both wedge sides, the closing-edge probe) — without a
     # materialization the events self-join would re-execute once per
-    # consumer. Same localCheckpoint idiom as tree.reindex/graph CC;
-    # on a cluster swap for reliable checkpoint(dir).
-    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events")).localCheckpoint()
+    # consumer. Same staging.stage idiom as tree.reindex/graph CC;
+    # on a cluster set spark.pulsar.stage.mode=reliable.
+    edges = _minute_cooccurrence_edges(_t(spark, sf_dir, "events")).transform(stage)
     deg = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
@@ -6097,7 +6098,7 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
-    ).localCheckpoint()
+    ).transform(stage)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -1,0 +1,58 @@
+"""Multi-consumer frame staging — one switch for the whole repo.
+
+Several operators materialize an expensive intermediate frame exactly
+once because it feeds multiple plan lineages (decoded fingerprints,
+signed k-grams, iterative frontiers): re-deriving it per consumer
+multiplies the dominant cost, and iterative operators additionally
+need the lineage CUT (fold-of-fold plans compound across rounds).
+
+``stage(df)`` is the single idiom every such site uses, governed by a
+runtime conf so the SAME code is correct on a laptop and a cluster:
+
+- ``spark.pulsar.stage.mode=local`` (default): ``localCheckpoint()``
+  — blocks cached on the executors, no distributed filesystem needed.
+  Right for local[*] and for clusters with stable executors; NOT safe
+  under executor loss/dynamic deallocation (a lost block kills the
+  job, since lineage was truncated).
+- ``spark.pulsar.stage.mode=reliable``: ``checkpoint()`` to the
+  context's checkpoint directory (``spark.pulsar.stage.dir`` is used
+  to set it on first staging if unset) — survives executor loss, at
+  the cost of a write+read through the checkpoint filesystem
+  (hdfs://, s3a://, ... — anything the Hadoop FileSystem API serves).
+
+Both are EAGER: the frame is computed at stage() time, which callers
+rely on for side-effect ordering (e.g. span/signature stores append
+the staged batch before deriving its candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MODE_CONF = "spark.pulsar.stage.mode"
+DIR_CONF = "spark.pulsar.stage.dir"
+
+
+def stage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once for multi-consumer / iterative reuse.
+    See module docstring for the mode switch."""
+    spark = df.sparkSession
+    mode = spark.conf.get(MODE_CONF, "local")
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode != "reliable":
+        raise ValueError(
+            f"{MODE_CONF} must be 'local' or 'reliable', got {mode!r}"
+        )
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        d = spark.conf.get(DIR_CONF, None)
+        if d is None:
+            raise ValueError(
+                f"reliable staging needs {DIR_CONF} (or a prior "
+                "SparkContext.setCheckpointDir) to place checkpoints"
+            )
+        # setCheckpointDir creates a fresh random subdir per call —
+        # set it once per context, not per stage()
+        sc.setCheckpointDir(d)
+    return df.checkpoint()

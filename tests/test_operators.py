@@ -1378,6 +1378,52 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     assert a1 == a2 >= n1
 
 
+def test_reliable_staging_mode(spark, tmp_path):
+    """staging.stage honors spark.pulsar.stage.mode: 'reliable' routes
+    through RDD checkpoint() into spark.pulsar.stage.dir (surviving
+    executor loss on a cluster — the conf the docstrings point at),
+    produces identical results to the default localCheckpoint path,
+    and fails loudly on a bad mode or a missing dir."""
+    import os
+
+    import pytest
+
+    from pulsar_internal_spark import staging
+    from pulsar_internal_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["src", "dst"]
+    )
+    local_cc = {
+        (r.id, r.cluster_id)
+        for r in G.connected_components(edges).collect()
+    }
+    ckdir = str(tmp_path / "stage_ck")
+    try:
+        spark.conf.set(staging.MODE_CONF, "reliable")
+        spark.conf.set(staging.DIR_CONF, ckdir)
+        reliable_cc = {
+            (r.id, r.cluster_id)
+            for r in G.connected_components(edges).collect()
+        }
+        assert reliable_cc == local_cc
+        # checkpoints actually landed in the configured dir
+        found = [
+            f
+            for root, _, files in os.walk(ckdir)
+            for f in files
+            if f.startswith("part-")
+        ]
+        assert found, "reliable staging must write checkpoint files"
+
+        spark.conf.set(staging.MODE_CONF, "bogus")
+        with pytest.raises(ValueError, match="stage.mode"):
+            staging.stage(edges)
+    finally:
+        spark.conf.set(staging.MODE_CONF, "local")
+        spark.conf.unset(staging.DIR_CONF)
+
+
 def test_store_maintenance_routes_uris_via_hadoop_fs(spark, tmp_path):
     """Store maintenance (probe/rename/delete/list) routes URI paths
     through the Hadoop FileSystem API of the active session (store_fs),
