@@ -709,6 +709,69 @@ def ivf_index_append(
     return bid
 
 
+def compact_ivf_cells(spark, path: str) -> int:
+    """Maintenance: fold every (cell, batch_id) second-level partition
+    of a persisted IVF index into base batch 0 — completing the shared
+    store-maintenance contract (signature_store.compact_store,
+    sketches.compact_sketch_store, span_store.compact_span_store).
+    Thousands of daily appends otherwise accumulate one leaf directory
+    per (cell, batch): listing cost on every probe's pruned scan, and
+    small files. Semantics-preserving by construction: probes ignore
+    the batch level entirely (ivf_index_topk reads (vec_id, embedding,
+    norm, cell) only), and the fold changes no row — pure relayout.
+    Staged safely via swap_in_generation on the cells directory (the
+    centroids dir is untouched — the quantizer is not maintenance
+    state). Same single-maintainer window contract as the other
+    stores. Returns the number of batches folded."""
+    import os
+
+    from .signature_store import swap_in_generation
+
+    cells_path = os.path.join(path, "cells")
+    cells = spark.read.parquet(cells_path)
+    n_batches = cells.select("batch_id").distinct().count()
+    if n_batches <= 1:
+        return n_batches
+
+    folded = cells.select(
+        "vec_id", "embedding", "norm", "cell"
+    ).withColumn("batch_id", F.lit(0).cast("int"))
+
+    def _write(tmp: str) -> None:
+        folded.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(
+            tmp
+        )
+
+    swap_in_generation(cells_path, _write)
+    return n_batches
+
+
+def expire_ivf_batches(path: str, keep_from_batch: int) -> list[str]:
+    """Retention: drop index vectors ingested in batches strictly below
+    ``keep_from_batch`` (embeddings aged out of the serving horizon) —
+    directory-level deletes of the batch_id leaves under every cell,
+    the same O(#partitions) metadata sweep as
+    signature_store.expire_batches, routed through store_fs so it
+    works on the index's own filesystem. Unlike the dedup stores,
+    expiry here CHANGES probe results (the expired vectors stop being
+    served) — that is the point of a TTL on an ANN index. Returns the
+    removed partition paths (cell-relative)."""
+    from . import store_fs
+
+    cells_path = store_fs.join(path, "cells")
+    removed = []
+    for cell_dir in store_fs.list_subdirs(cells_path):
+        if not cell_dir.startswith("cell="):
+            continue
+        got = store_fs.expire_prefixed_partitions(
+            store_fs.join(cells_path, cell_dir),
+            "batch_id=",
+            lambda v: int(v) < keep_from_batch,
+        )
+        removed.extend(f"{cell_dir}/{d}" for d in got)
+    return removed
+
+
 def streaming_ivf_append(
     vec_stream: DataFrame,
     path: str,

@@ -1378,6 +1378,68 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     assert a1 == a2 >= n1
 
 
+def test_ivf_store_compaction_and_expiry(spark, tmp_path):
+    """IVF index maintenance completes the four-store contract:
+    compaction folds every (cell, batch_id) leaf into batch 0 and must
+    change NO probe result (probes ignore the batch level); expiry
+    drops a batch horizon's vectors and probes stop serving exactly
+    those — over a file:// URI so the sweep exercises the Hadoop
+    FileSystem route like the other stores."""
+    import os
+
+    import numpy as np
+
+    from pulsar_internal_spark.operators import similarity as sim
+    from pulsar_internal_spark.operators import store_fs
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    vecs = [(int(i), [float(x) for x in rng.normal(size=dim)]) for i in range(60)]
+    df_a = spark.createDataFrame(vecs[:30], "vec_id long, embedding array<float>")
+    df_b = spark.createDataFrame(vecs[30:], "vec_id long, embedding array<float>")
+
+    local = str(tmp_path / "ivf_maint")
+    idx = "file://" + local
+    sim.build_ivf_index(df_a, idx, num_centroids=4)
+    assert sim.ivf_index_append(spark, df_b, idx) == 1
+
+    queries = df_a.limit(5)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_index_topk(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+
+    assert sim.compact_ivf_cells(spark, idx) == 2
+    # every cell now holds exactly the base batch leaf
+    cells_local = os.path.join(local, "cells")
+    for cell_dir in sorted(os.listdir(cells_local)):
+        if cell_dir.startswith("cell="):
+            subs = [
+                d
+                for d in os.listdir(os.path.join(cells_local, cell_dir))
+                if d.startswith("batch_id=")
+            ]
+            assert subs == ["batch_id=0"], (cell_dir, subs)
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_index_topk(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+    assert after == before and after
+
+    # expiry on a freshly appended batch: those vectors stop being served
+    sim.ivf_index_append(spark, df_b, idx, batch_id=7)
+    removed = sim.expire_ivf_batches(idx, keep_from_batch=7)
+    assert removed and all("batch_id=0" in r for r in removed)
+    served = {
+        r.vec_id
+        for r in spark.read.parquet(store_fs.join(idx, "cells"))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert served == {v[0] for v in vecs[30:]}, "only batch 7 must survive"
+
+
 def test_reliable_staging_mode(spark, tmp_path):
     """staging.stage honors spark.pulsar.stage.mode: 'reliable' routes
     through RDD checkpoint() into spark.pulsar.stage.dir (surviving
