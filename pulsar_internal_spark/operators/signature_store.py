@@ -289,6 +289,39 @@ def candidates_for_batch_bucketed(
     return within.unionByName(across).distinct()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def maintenance_lease(store_path: str):
+    """Advisory single-maintainer lease over a store: an atomic
+    create-exclusive marker at ``{store}.lease`` held for the duration
+    of a maintenance operation. A second maintainer (e.g. two cron'd
+    compactions overlapping) fails LOUDLY instead of interleaving
+    renames with the first one's swap. A maintainer that crashes
+    mid-window leaves the marker behind — deliberately: the recovery
+    message routes the operator through the orphan-generation check
+    before releasing, because an expired-TTL auto-steal could put two
+    live maintainers in the window, which is the exact failure the
+    lease exists to prevent. Atomic on local and HDFS; best-effort on
+    S3 (see store_fs.create_exclusive)."""
+    from . import store_fs
+
+    lease = store_path.rstrip("/") + ".lease"
+    if not store_fs.create_exclusive(lease):
+        raise RuntimeError(
+            f"maintenance lease {lease} is already held — another "
+            "maintainer is active, or a previous one crashed mid-window. "
+            "Verify no maintenance job is running and the store passes "
+            "ensure_no_orphan_generation, then delete the marker to "
+            "recover."
+        )
+    try:
+        yield
+    finally:
+        store_fs.delete_file(lease)
+
+
 def ensure_no_orphan_generation(store_path: str) -> None:
     """Crash-window guard shared by every store writer: if a compaction
     died between its two renames, the store path is missing but the
@@ -335,19 +368,27 @@ def swap_in_generation(store_path: str, write_tmp) -> None:
     plain local paths, file://, and hdfs:// alike (HDFS rename is
     atomic, same crash windows as local). On s3a:// rename is
     copy+delete — see store_fs's module docstring for the honest
-    degradation; prefer a manifest-committing table layer there."""
+    degradation; prefer a manifest-committing table layer there.
+
+    The single-MAINTAINER half of the window contract is ENFORCED, not
+    just documented: the swap runs under maintenance_lease, so a second
+    concurrent compaction fails loudly instead of racing the renames
+    (maintainer-vs-APPEND exclusion remains the operator's scheduling
+    responsibility — appends are not leased by design; see
+    compact_store)."""
     from . import store_fs
 
-    ensure_no_orphan_generation(store_path)
     base = store_path.rstrip("/")
-    tmp = base + ".compacting"
-    old = base + ".old"
-    store_fs.delete_dir(tmp, ignore_missing=True)
-    store_fs.delete_dir(old, ignore_missing=True)
-    write_tmp(tmp)
-    store_fs.rename(base, old)
-    store_fs.rename(tmp, base)
-    store_fs.delete_dir(old)
+    with maintenance_lease(base):
+        ensure_no_orphan_generation(base)
+        tmp = base + ".compacting"
+        old = base + ".old"
+        store_fs.delete_dir(tmp, ignore_missing=True)
+        store_fs.delete_dir(old, ignore_missing=True)
+        write_tmp(tmp)
+        store_fs.rename(base, old)
+        store_fs.rename(tmp, base)
+        store_fs.delete_dir(old)
 
 
 def compact_store(spark: SparkSession, store_path: str) -> int:

@@ -124,6 +124,43 @@ def list_subdirs(path: str) -> list[str]:
     )
 
 
+def create_exclusive(path: str) -> bool:
+    """Atomically create an empty marker file; False if it already
+    exists. The primitive under maintenance leases: atomic on local
+    filesystems (O_CREAT|O_EXCL) and HDFS (namenode-serialized
+    createNewFile); on S3 the create is NOT exclusive-atomic — a lease
+    there is advisory-best-effort, consistent with store_fs's stated
+    S3 degradation."""
+    if has_scheme(path):
+        fs, mk = _hadoop(path)
+        return bool(fs.createNewFile(mk(path)))
+    import os
+
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    os.close(fd)
+    return True
+
+
+def delete_file(path: str) -> None:
+    """Remove a marker file; a missing file is fine (idempotent
+    release)."""
+    if has_scheme(path):
+        fs, mk = _hadoop(path)
+        p = mk(path)
+        if fs.exists(p):
+            fs.delete(p, False)
+        return
+    import os
+
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
 def join(path: str, *parts: str) -> str:
     """Path join that keeps URI schemes intact (os.path.join is fine
     for both shapes on posix, but be explicit about the contract)."""

@@ -1378,6 +1378,46 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     assert a1 == a2 >= n1
 
 
+def test_maintenance_lease_blocks_concurrent_maintainers(spark, tmp_path):
+    """The single-maintainer window is enforced, not just documented:
+    a held (or crash-stale) lease marker makes a second compaction fail
+    loudly with recovery guidance; a successful compaction releases it.
+    Exercised on both the os fast-path and the file:// Hadoop route
+    (atomic createNewFile)."""
+    import os
+
+    import pytest
+
+    from pulsar_internal_spark.operators import signature_store as S
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "lease_store")
+    S.append_signature_batch(spark, docs.filter("doc_id < 4"), store)
+    S.append_signature_batch(spark, docs.filter("doc_id >= 4"), store)
+
+    # crash-stale lease: compaction refuses with recovery guidance
+    lease = store + ".lease"
+    open(lease, "w").close()
+    with pytest.raises(RuntimeError, match="lease .* already held"):
+        S.compact_store(spark, store)
+    os.remove(lease)
+
+    assert S.compact_store(spark, store) == 2
+    assert not os.path.exists(lease), "lease must be released on success"
+
+    # live maintainer holding the lease (file:// Hadoop route) blocks a
+    # second compaction; release re-admits it
+    S.append_signature_batch(spark, docs.filter("doc_id >= 4"), store)
+    uri = "file://" + store
+    with S.maintenance_lease(uri):
+        with pytest.raises(RuntimeError, match="lease .* already held"):
+            S.compact_store(spark, uri)
+    assert S.compact_store(spark, uri) == 2
+
+
 def test_ivf_store_compaction_and_expiry(spark, tmp_path):
     """IVF index maintenance completes the four-store contract:
     compaction folds every (cell, batch_id) leaf into batch 0 and must
