@@ -70,7 +70,7 @@ tolerance is enforced rather than merely accepted.
   minhash_accuracy_pairs bpe_pair_merges kmv_distinct_estimates
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
   rolling_7day_customer_revenue substring_dup_spans substring_scrub
-  bpe_encode_tokens incremental_substring_spans
+  bpe_encode_tokens incremental_substring_spans semantic_dedup_keepers
 """
 
 from __future__ import annotations
@@ -2078,12 +2078,15 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
-def _lsh_pairs_oracle_sql(
-    planes_per_band: int = 6, num_bands: int = 2, dim: int = 64
+def _lsh_verified_pairs_cte(
+    planes_per_band: int = 6, num_bands: int = 2, dim: int = 64,
+    threshold: float = 0.35,
 ) -> str:
-    """Oracle for the banded sign-LSH near-dup blocking: regenerated
-    with the SAME plane constants the operator bakes in
-    (sim_ops._plane_weights), band b = planes [b*ppb, (b+1)*ppb)."""
+    """CTE bodies (banded/cand/vpairs) for banded sign-LSH blocking +
+    exact-cosine verification, regenerated with the SAME plane
+    constants the operator bakes in (sim_ops._plane_weights, band b =
+    planes [b*ppb, (b+1)*ppb)). Shared by embedding_near_dup (emits
+    the pairs) and semantic_dedup_keepers (clusters them)."""
 
     def wlit(w):
         return "[" + ", ".join(str(x) for x in w) + "]"
@@ -2100,21 +2103,31 @@ def _lsh_pairs_oracle_sql(
             f"SELECT vec_id, {b} AS band_idx, {sig} AS band_key FROM embeddings"
         )
     banded = " UNION ALL ".join(band_rows)
-    return f"""
-    WITH banded AS ({banded}),
+    return f"""banded AS ({banded}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.vec_id < b.vec_id
+    ),
+    vpairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {threshold}
+    )"""
+
+
+def _lsh_pairs_oracle_sql(
+    planes_per_band: int = 6, num_bands: int = 2, dim: int = 64
+) -> str:
+    return (
+        "WITH "
+        + _lsh_verified_pairs_cte(planes_per_band, num_bands, dim)
+        + "\n    SELECT id_a, id_b, cos_sim FROM vpairs"
     )
-    SELECT c.id_a, c.id_b,
-           ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.id_a
-    JOIN embeddings eb ON eb.vec_id = c.id_b
-    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
-    """
 
 
 @_register("embedding_near_dup", _lsh_pairs_oracle_sql())
@@ -2155,6 +2168,68 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jb.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= 0.35
+    )
+
+
+@_register(
+    "semantic_dedup_keepers",
+    "WITH RECURSIVE "
+    + _lsh_verified_pairs_cte()
+    + r""",
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM vpairs
+      UNION SELECT id_b, id_a FROM vpairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+           e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, e.vec_id))
+                AS BIGINT) AS n_members
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup over embeddings (SemDeDup, Abbas et al. 2023,
+    made deterministic): bucket vectors by banded sign-LSH, verify
+    candidates with exact cosine (>= 0.35), connect the verified pair
+    graph, and keep ONE representative per semantic cluster (min
+    vec_id — the deterministic stand-in for SemDeDup's
+    farthest-from-centroid pick). Emits a verdict row for EVERY vector
+    — (vec_id, cluster_id, keep, n_members), singletons keep
+    themselves — so the pruned corpus is `WHERE keep`. This is the
+    embedding-space twin of near_dup_clusters/dedup_keep_best:
+    paraphrases and re-encodings that share no k-gram still collide in
+    embedding space. Every stage is the scalable form (sum-of-buckets
+    pair join, candidates-only cosine, O(log n) pointer-jumping CC,
+    broadcast components join back to the corpus) — at 100 TB nothing
+    here is corpus-quadratic."""
+    from ..operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
+    # no broadcast hint: the clustered-vector set is corpus-fraction
+    # sized at high duplication rates — let AQE pick the strategy
+    labeled = emb.select("vec_id").join(
+        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
     )
 
 
