@@ -75,6 +75,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("substring_scrub", "substring scrub: covered-position explode of non-owned occurrences, anti join, in-aggregate reassembly"),
     ("bpe_encode_tokens", "BPE encode under 6 learned merges: per-round map-side pair counts, narrow per-doc fold rewrite"),
     ("incremental_substring_spans", "incremental substring store: batch signed once (checkpointed), history joined one row per distinct k-gram"),
+    ("semantic_dedup_keepers", "SemDeDup: LSH-bucketed cosine pairs -> pointer-jumping components -> keep-one verdict, no corpus-quadratic stage"),
 ]
 
 
