@@ -2196,7 +2196,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup over embeddings (SemDeDup, Abbas et al. 2023,
-    made deterministic): bucket vectors by banded sign-LSH, verify
+    made deterministic; SURVEY.md §7 Phase 4, round-6 surface): bucket
+    vectors by banded sign-LSH, verify
     candidates with exact cosine (>= 0.35), connect the verified pair
     graph, and keep ONE representative per semantic cluster (min
     vec_id — the deterministic stand-in for SemDeDup's
