@@ -84,6 +84,31 @@ def append_signature_batch(
     batches — they define the hash family, so they are part of the
     store's identity (asserted against a stored _PARAMS marker row is
     overkill; the caller owns the config, as with any table schema)."""
+    return append_banded_batch(
+        spark,
+        banded_signatures(
+            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        ),
+        store_path,
+        batch_id=batch_id,
+    )
+
+
+def append_banded_batch(
+    spark: SparkSession,
+    banded: DataFrame,
+    store_path: str,
+    *,
+    batch_id: int | None = None,
+) -> int:
+    """Store-append for ANY pre-banded (id, band_idx, band_key) frame —
+    the layer under append_signature_batch, exposed because the store's
+    algebra (per-batch candidates, compaction, expiry, streaming
+    exactly-once) is agnostic to WHICH banding produced the keys:
+    MinHash bands over text shingles and sign-LSH bands over embeddings
+    (similarity.embedding_banded_signatures) share one store
+    implementation. The banding function is part of the store's
+    identity, like the signature parameters above."""
     ensure_no_orphan_generation(store_path)
     if batch_id is None:
         existing = _read_store(spark, store_path)
@@ -94,9 +119,7 @@ def append_signature_batch(
             bid = 0 if prev is None else int(prev) + 1
     else:
         bid = int(batch_id)
-    out = banded_signatures(
-        new_docs, id_col, text_col, num_hashes, band_size, shingle_n
-    ).withColumn("batch_id", F.lit(bid))
+    out = banded.withColumn("batch_id", F.lit(bid))
     if batch_id is None:
         out.write.mode("append").partitionBy("batch_id").parquet(store_path)
     else:
@@ -179,12 +202,46 @@ def streaming_minhash_dedup(
     engine's batch id, so a replayed batch after a crash replaces its
     own partitions — exactly-once output on top of at-least-once
     foreachBatch, the same idempotence contract run_fifo_sink
-    documents. Returns the StreamingQuery."""
+    documents. Returns the StreamingQuery.
+
+    Thin wrapper over streaming_banded_dedup with the MinHash banding
+    closed over ``sig_params`` — the store machinery is shared with
+    the semantic (sign-LSH over embeddings) stream."""
+    id_col = sig_params.pop("id_col", "doc_id")
+    text_col = sig_params.pop("text_col", "text")
+
+    def bander(batch_df: DataFrame) -> DataFrame:
+        return banded_signatures(batch_df, id_col, text_col, **sig_params)
+
+    return streaming_banded_dedup(
+        docs_stream, bander, store_path, candidates_path, checkpoint_dir,
+        trigger=trigger, query_name="minhash_dedup",
+    )
+
+
+def streaming_banded_dedup(
+    stream: DataFrame,
+    bander,
+    store_path: str,
+    candidates_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str = "banded_dedup",
+):
+    """streaming_minhash_dedup generalized over the banding function:
+    ``bander(batch_df) -> (id, band_idx, band_key)`` turns each
+    micro-batch into store rows (e.g.
+    similarity.embedding_banded_signatures for CONTINUOUS SEMANTIC
+    dedup over an embedding stream), idempotently appended under the
+    streaming batch id; candidates (within-batch plus vs-all-history)
+    land in ``candidates_path`` partitioned by batch_id with the same
+    exactly-once dynamic-overwrite contract. Returns the
+    StreamingQuery."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        append_signature_batch(
-            spark, batch_df, store_path, batch_id=batch_id, **sig_params
+        append_banded_batch(
+            spark, bander(batch_df), store_path, batch_id=batch_id
         )
         cands = candidates_for_batch(spark, store_path, batch_id).withColumn(
             "batch_id", F.lit(batch_id)
@@ -196,7 +253,7 @@ def streaming_minhash_dedup(
             .parquet(candidates_path)
         )
 
-    writer = docs_stream.writeStream.queryName("minhash_dedup").option(
+    writer = stream.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_dir
     ).foreachBatch(process)
     if trigger:

@@ -161,7 +161,7 @@ def hyperplane_signature(vec_col, num_planes: int = 16, dim: int = 64):
     )
 
 
-def lsh_blocked_pairs(
+def embedding_banded_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -169,21 +169,20 @@ def lsh_blocked_pairs(
     num_bands: int = 2,
     dim: int = 64,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded sign-LSH — the production
-    blocking key (no ground-truth columns anywhere in the plan).
+    """(id, band_idx, band_key) banded sign-LSH signatures over an
+    embedding column — the vector-space counterpart of
+    dedup.banded_signatures (MinHash over shingles) in EXACTLY the
+    store schema: band b's key is the sign bit-string of planes
+    [b*planes_per_band, (b+1)*planes_per_band). Feeds the one-shot
+    self-join (lsh_blocked_pairs) AND the shared incremental store
+    (signature_store.append_banded_batch) — so semantic near-dup gets
+    per-batch ingestion, streaming exactly-once, compaction and
+    retention from the same tested machinery as MinHash dedup.
 
-    OR-amplification: band b's signature uses planes
-    [b*planes_per_band, (b+1)*planes_per_band); two vectors are
-    candidates if ANY band signature matches. Each row explodes to
-    num_bands (band_idx, band_key) rows and the self-join is a hash
-    equi-join on that pair — sum-of-buckets quadratic, never
-    corpus-quadratic; viral buckets fall to AQE skew splitting.
-    Returns (id_a, id_b) with id_a < id_b, distinct.
-    """
-    # Stage all projections once (single folded weight-matrix literal,
-    # see _plane_matrix), then slice per band — the signature pipeline
-    # is evaluated once per row, and Spark's exchange reuse computes it
-    # once for BOTH sides of the self-join.
+    All projections staged once (single folded weight-matrix literal,
+    see _plane_matrix), then sliced per band — the signature pipeline
+    is evaluated once per row, and Spark's exchange reuse computes it
+    once for both sides of a self-join."""
     projs = _projections(
         F.col("_v"), _plane_matrix(num_bands * planes_per_band, dim)
     )
@@ -205,9 +204,37 @@ def lsh_blocked_pairs(
         )
         for b in range(num_bands)
     ]
-    banded = (
+    return (
         staged.select("id", F.explode(F.array(*bands)).alias("_b"))
-        .select("id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key"))
+        .select(
+            "id",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_key").alias("band_key"),
+        )
+    )
+
+
+def lsh_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 6,
+    num_bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded sign-LSH — the production
+    blocking key (no ground-truth columns anywhere in the plan).
+
+    OR-amplification: band b's signature uses planes
+    [b*planes_per_band, (b+1)*planes_per_band); two vectors are
+    candidates if ANY band signature matches. Each row explodes to
+    num_bands (band_idx, band_key) rows and the self-join is a hash
+    equi-join on that pair — sum-of-buckets quadratic, never
+    corpus-quadratic; viral buckets fall to AQE skew splitting.
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    banded = embedding_banded_signatures(
+        df, id_col, vec_col, planes_per_band, num_bands, dim
     )
     a, b2 = banded.alias("a"), banded.alias("b")
     return (

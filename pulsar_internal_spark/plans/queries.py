@@ -71,6 +71,7 @@ tolerance is enforced rather than merely accepted.
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
   rolling_7day_customer_revenue substring_dup_spans substring_scrub
   bpe_encode_tokens incremental_substring_spans semantic_dedup_keepers
+  incremental_semantic_pairs
 """
 
 from __future__ import annotations
@@ -2231,6 +2232,64 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+    )
+
+
+@_register(
+    "incremental_semantic_pairs",
+    "WITH " + _lsh_verified_pairs_cte() + "\n    SELECT id_a, id_b, cos_sim FROM vpairs",
+)
+def incremental_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic near-dup (SURVEY.md §7 Phase 4, round 6):
+    embeddings arrive as two ingest batches (vec_id parity); each
+    batch's sign-LSH bands (sim_ops.embedding_banded_signatures — the
+    vector-space twin of MinHash banding) are appended to the SAME
+    persisted signature store MinHash dedup uses
+    (signature_store.append_banded_batch: the store's algebra is
+    banding-agnostic), and the batch's candidates come from joining it
+    against history — never history-vs-history. Candidates are then
+    cosine-verified (>= 0.35) against the corpus. The oracle is the
+    one-shot banded LSH + verify (the embedding_near_dup vpairs CTE):
+    the union of per-batch candidate sets must equal the full
+    self-join's — the store's batch-equivalence invariant, now
+    exercised for a second hash family. At 100 TB this is semantic
+    dedup's ingestion shape: a daily embedding batch joins persisted
+    buckets instead of recomputing the corpus pair join, with the
+    store's compaction/retention/streaming machinery unchanged."""
+    from ..operators import signature_store as sig_store
+
+    emb = _t(spark, sf_dir, "embeddings")
+    store = _demo_store_dir("semstore")
+    parts = []
+    for pred in (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1):
+        banded = sim_ops.embedding_banded_signatures(emb.filter(pred))
+        bid = sig_store.append_banded_batch(spark, banded, store)
+        parts.append(sig_store.candidates_for_batch(spark, store, bid))
+    cand = parts[0].unionByName(parts[1])
+    v = spread(emb).select(
+        "vec_id", "embedding", sim_ops._norm(F.col("embedding")).alias("nrm")
+    )
+    ja = cand.join(
+        v.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    )
+    jb = ja.join(
+        v.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = F.round(
+        sim_ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return jb.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.35
     )
 
 

@@ -1101,6 +1101,70 @@ def test_streaming_substring_zero_span_batch_skips_write(spark, tmp_path):
     }
 
 
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """CONTINUOUS semantic dedup through the generalized banded store:
+    an embedding stream banded with sign-LSH
+    (embedding_banded_signatures) through streaming_banded_dedup must
+    accumulate, across micro-batches, exactly the one-shot
+    lsh_blocked_pairs candidate set — the store's batch-equivalence
+    invariant holding for a second hash family, with the same
+    exactly-once contract as the MinHash stream."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    base = rng.normal(size=(10, dim))
+    rows = []
+    for i in range(10):
+        rows.append((int(i), [float(x) for x in base[i]]))
+        # a planted near-dup for each base vector, ids 100+
+        rows.append(
+            (int(100 + i), [float(x) for x in base[i] + 0.02 * rng.normal(size=dim)])
+        )
+    inbox = tmp_path / "sem_inbox"
+    inbox.mkdir()
+    for half in (0, 1):
+        chunk = rows[half * 10 : (half + 1) * 10]
+        (inbox / f"{half}.csv").write_text(
+            "\n".join(f"{i}\t{','.join(str(x) for x in v)}" for i, v in chunk)
+        )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("vec_id"),
+            F.transform(
+                F.split(F.split("value", "\t").getItem(1), ","),
+                lambda x: x.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    store = str(tmp_path / "sem_store")
+    cands = str(tmp_path / "sem_cands")
+    q = S.streaming_banded_dedup(
+        stream, sim.embedding_banded_signatures, store, cands,
+        str(tmp_path / "sem_ckpt"), trigger={"availableNow": True},
+        query_name="semantic_dedup",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(cands).select("id_a", "id_b").collect()
+    }
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {
+        (r.id_a, r.id_b) for r in sim.lsh_blocked_pairs(corpus).collect()
+    }
+    assert got == want and got, f"missing={want - got} extra={got - want}"
+
+
 def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     """Continuous IVF ingestion: embedding batches arriving as streamed
     files (first batch trains the quantizer, later batches append
