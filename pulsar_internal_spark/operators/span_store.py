@@ -198,6 +198,85 @@ def incremental_substring_spans(
     return _spans_kg(spark, kg, store_path, bid, k=k, id_col=id_col)
 
 
+def append_kgram_batch_bucketed(
+    spark: SparkSession,
+    kg: DataFrame,
+    table: str,
+    *,
+    batch_id: int | None = None,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+) -> int:
+    """The CLUSTER-scale k-gram store: a catalog table partitioned by
+    batch_id and BUCKETED (sorted) on ``kh`` — the span_store twin of
+    signature_store.append_signature_batch_bucketed. Every kh join
+    against history (the first-seen anti-join at append, the owner
+    lookup at span time) then reads the STORE side pre-hash-partitioned
+    with zero exchange; only the arriving batch's frame shuffles, so
+    the full k-gram history — the big side at 100 TB — is never
+    re-shuffled (path parquet cannot persist bucketing metadata; a
+    catalog table can, plan-tested in test_scale_ops). Takes the
+    already-signed occurrence frame ``kg`` (sign once, share across
+    append and span join — see incremental_substring_spans_bucketed).
+    Appends the batch's FIRST-SEEN k-grams; returns the batch_id."""
+    if batch_id is None:
+        if spark.catalog.tableExists(table):
+            prev = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
+            bid = 0 if prev is None else int(prev) + 1
+        else:
+            bid = 0
+    else:
+        bid = int(batch_id)
+    firsts = kg.groupBy("kh").agg(F.min(id_col).alias("owner_doc"))
+    if spark.catalog.tableExists(table):
+        hist = spark.table(table).filter(F.col("batch_id") < bid).select("kh")
+        firsts = firsts.join(hist, "kh", "left_anti")
+    (
+        firsts.withColumn("batch_id", F.lit(bid).cast("int"))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .bucketBy(num_buckets, "kh")
+        .sortBy("kh")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return bid
+
+
+def incremental_substring_spans_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    **params,
+) -> DataFrame:
+    """incremental_substring_spans against the kh-bucketed catalog
+    store: identical semantics (first-arrival ownership, non-owned
+    span emission), but the history owner lookup reads the store
+    pre-partitioned on kh — no exchange of the accumulated k-gram set,
+    only the new batch's occurrence frame shuffles."""
+    k = params.get("k", 8)
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col).transform(stage)
+    bid = append_kgram_batch_bucketed(
+        spark, kg, table,
+        batch_id=params.get("batch_id"),
+        num_buckets=params.get("num_buckets", 16),
+        id_col=id_col,
+    )
+    owners = (
+        spark.table(table)
+        .filter(F.col("batch_id") <= bid)
+        .select("kh", "owner_doc")
+    )
+    covered = (
+        kg.join(owners, "kh")
+        .filter(F.col("owner_doc") != F.col(id_col))
+        .select(id_col, "pos", "kh", "owner_doc")
+    )
+    return dup_span_intervals(covered, k=k, id_col=id_col)
+
+
 def compact_span_store(spark: SparkSession, store_path: str) -> int:
     """Fold every batch partition into base batch 0, keeping each
     k-gram's EARLIEST registration (min batch, then that batch's

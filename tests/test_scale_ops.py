@@ -395,6 +395,89 @@ def test_bucketed_signature_store_joins_without_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_span_store_joins_without_store_exchange(spark, tmp_path):
+    """The kh-bucketed k-gram store must (a) emit exactly the
+    path-based incremental store's span set across the same batch
+    split, and (b) plan every history lookup with the STORE side read
+    pre-bucketed — zero 'Bucketed: false' scans and no exchange
+    feeding the store side of the owner join. At 100 TB the
+    accumulated k-gram set is the big side; only the arriving batch
+    may shuffle."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import span_store as SS
+    from pulsar_internal_spark.sources.tables import load_table
+
+    table = "kgram_store_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
+
+    sf_dir = __import__("os").environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    batches = [
+        docs.filter(F.col("doc_id") <= mx // 2),
+        docs.filter(F.col("doc_id") > mx // 2),
+    ]
+    plain = str(tmp_path / "kgram_store_plain")
+    got, want = set(), set()
+    try:
+        for b in batches:
+            got |= {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in SS.incremental_substring_spans_bucketed(
+                    spark, b, table
+                ).collect()
+            }
+            want |= {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in SS.incremental_substring_spans(spark, b, plain).collect()
+            }
+        assert got == want and got, "bucketed span store diverged"
+
+        # plan: with broadcast disabled, the store side of the owner
+        # join reads its buckets in place — no exchange on kh feeds a
+        # table scan, and every store scan keeps its bucketing
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            for k in saved:
+                spark.conf.set(k, "-1")
+            df = SS.incremental_substring_spans_bucketed(
+                spark, batches[1], table, batch_id=9
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        assert "Bucketed: true" in plan, plan
+        assert "Bucketed: false" not in plan, plan
+        # exactly ONE kh exchange — the freshly signed batch (a staged
+        # ExistingRDD scan); the store side sorts its buckets in place
+        kh_ex = re.findall(
+            r"Exchange hashpartitioning\(kh[^)]*\)[^\n]*\n((?:[^\n]*\n){0,4})",
+            plan,
+        )
+        assert len(kh_ex) == 1, plan
+        assert "Scan ExistingRDD" in kh_ex[0], (
+            "the kh exchange must cover the batch side, not the store:\n"
+            + kh_ex[0]
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_runtime_bloom_filter_reduces_fact_scan(spark):
     """Runtime semi-join reduction: a selective dim-side filter must
     inject a bloom filter onto the fact side of a shuffle join
