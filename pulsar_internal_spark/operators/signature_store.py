@@ -236,7 +236,12 @@ def streaming_banded_dedup(
     streaming batch id; candidates (within-batch plus vs-all-history)
     land in ``candidates_path`` partitioned by batch_id with the same
     exactly-once dynamic-overwrite contract. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    Zero-candidate batches SKIP the sink write (a partitioned zero-row
+    write leaves a schema-less directory that breaks readers — the
+    span-sink hazard class); consume via read_candidates_sink, which
+    serves a typed empty frame until the sink exists."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -246,6 +251,8 @@ def streaming_banded_dedup(
         cands = candidates_for_batch(spark, store_path, batch_id).withColumn(
             "batch_id", F.lit(batch_id)
         )
+        if cands.isEmpty():
+            return
         (
             cands.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -259,6 +266,18 @@ def streaming_banded_dedup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def read_candidates_sink(spark: SparkSession, candidates_path: str) -> DataFrame:
+    """Read a streaming candidates sink with a declared schema — a
+    typed empty frame until the first non-empty batch creates it (see
+    streaming_banded_dedup / span_store.read_span_sink)."""
+    got = _read_store(spark, candidates_path)
+    if got is not None:
+        return got
+    return spark.createDataFrame(
+        [], "id_a BIGINT, id_b BIGINT, batch_id INT"
+    )
 
 
 # -- bucketed-table store: shuffle-free history joins ---------------------

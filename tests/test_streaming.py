@@ -1147,6 +1147,10 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     )
     store = str(tmp_path / "sem_store")
     cands = str(tmp_path / "sem_cands")
+    # before any batch lands, the sink reader serves a typed empty frame
+    pre = S.read_candidates_sink(spark, cands)
+    assert pre.count() == 0
+    assert [f.name for f in pre.schema.fields] == ["id_a", "id_b", "batch_id"]
     q = S.streaming_banded_dedup(
         stream, sim.embedding_banded_signatures, store, cands,
         str(tmp_path / "sem_ckpt"), trigger={"availableNow": True},
