@@ -76,6 +76,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("bpe_encode_tokens", "BPE encode under 6 learned merges: per-round map-side pair counts, narrow per-doc fold rewrite"),
     ("incremental_substring_spans", "incremental substring store: batch signed once (checkpointed), history joined one row per distinct k-gram"),
     ("semantic_dedup_keepers", "SemDeDup: LSH-bucketed cosine pairs -> pointer-jumping components -> keep-one verdict, no corpus-quadratic stage"),
+    ("incremental_semantic_pairs", "incremental semantic dedup: sign-LSH bands vs the shared banded store, candidates cosine-verified"),
 ]
 
 
