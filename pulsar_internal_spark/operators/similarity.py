@@ -830,6 +830,12 @@ def streaming_ivf_append(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # an EMPTY first micro-batch must not train the quantizer (a
+        # kmeans fit on zero vectors either crashes the query or
+        # freezes degenerate centroids forever); empty later batches
+        # have nothing to assign either — skip both
+        if batch_df.isEmpty():
+            return
         if not _store_is_dir(_store_join(path, "centroids")):
             build_ivf_index(
                 batch_df, path, num_centroids=num_centroids,

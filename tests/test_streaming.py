@@ -1253,6 +1253,52 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     assert {r.batch_id for r in got_uri.select("batch_id").distinct().collect()} == {0, 1}
 
 
+def test_streaming_ivf_skips_empty_first_batch(spark, tmp_path):
+    """An EMPTY first micro-batch (empty file / idle source on the
+    first trigger) must not train the quantizer — kmeans over zero
+    vectors would either fail the query or freeze degenerate centroids
+    forever. The build must happen on the first NON-EMPTY batch and
+    the index must serve every vector that arrived."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(31)
+    dim = 8
+    vecs = [(int(i), [float(x) for x in rng.normal(size=dim)]) for i in range(20)]
+    inbox = tmp_path / "ivf_empty_inbox"
+    inbox.mkdir()
+    (inbox / "0.csv").write_text("")  # empty first trigger
+    (inbox / "1.csv").write_text(
+        "\n".join(f"{i}\t{','.join(str(x) for x in v)}" for i, v in vecs)
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("vec_id"),
+            F.transform(
+                F.split(F.split("value", "\t").getItem(1), ","),
+                lambda x: x.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    idx = str(tmp_path / "ivf_empty_idx")
+    q = sim.streaming_ivf_append(
+        stream, idx, str(tmp_path / "ivf_empty_ckpt"),
+        num_centroids=4, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    served = {
+        r.vec_id
+        for r in spark.read.parquet(idx + "/cells").select("vec_id").collect()
+    }
+    assert served == {v[0] for v in vecs}
+
+
 def test_duplex_client_resumes_epoch_after_restart(tmp_path):
     """A restarted client must publish spool files that sort AFTER every
     file from its previous life — otherwise the streaming reader's name
