@@ -511,10 +511,13 @@ def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
     directory-level delete, the same O(#partitions) metadata operation
     as rollup.expire_partitions. New batches then stop matching against
     the expired era; pairs already emitted are unaffected. Returns the
-    removed batch ids. Runs on the store's own filesystem (store_fs)."""
+    removed batch ids. Runs on the store's own filesystem (store_fs),
+    under the maintenance lease — an expiry sweep listing partitions
+    while a compaction swap renames the store away would race."""
     from . import store_fs
 
-    removed = store_fs.expire_prefixed_partitions(
-        store_path, "batch_id=", lambda v: int(v) < keep_from_batch
-    )
+    with maintenance_lease(store_path):
+        removed = store_fs.expire_prefixed_partitions(
+            store_path, "batch_id=", lambda v: int(v) < keep_from_batch
+        )
     return [int(d.split("=", 1)[1]) for d in removed]

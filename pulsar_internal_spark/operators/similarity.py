@@ -781,21 +781,24 @@ def expire_ivf_batches(path: str, keep_from_batch: int) -> list[str]:
     signature_store.expire_batches, routed through store_fs so it
     works on the index's own filesystem. Unlike the dedup stores,
     expiry here CHANGES probe results (the expired vectors stop being
-    served) — that is the point of a TTL on an ANN index. Returns the
-    removed partition paths (cell-relative)."""
+    served) — that is the point of a TTL on an ANN index. Runs under
+    the shared maintenance lease (vs compact_ivf_cells' swap). Returns
+    the removed partition paths (cell-relative)."""
     from . import store_fs
+    from .signature_store import maintenance_lease
 
     cells_path = store_fs.join(path, "cells")
     removed = []
-    for cell_dir in store_fs.list_subdirs(cells_path):
-        if not cell_dir.startswith("cell="):
-            continue
-        got = store_fs.expire_prefixed_partitions(
-            store_fs.join(cells_path, cell_dir),
-            "batch_id=",
-            lambda v: int(v) < keep_from_batch,
-        )
-        removed.extend(f"{cell_dir}/{d}" for d in got)
+    with maintenance_lease(cells_path):
+        for cell_dir in store_fs.list_subdirs(cells_path):
+            if not cell_dir.startswith("cell="):
+                continue
+            got = store_fs.expire_prefixed_partitions(
+                store_fs.join(cells_path, cell_dir),
+                "batch_id=",
+                lambda v: int(v) < keep_from_batch,
+            )
+            removed.extend(f"{cell_dir}/{d}" for d in got)
     return removed
 
 
