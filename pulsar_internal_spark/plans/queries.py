@@ -71,7 +71,7 @@ tolerance is enforced rather than merely accepted.
   corpus_curation_verdicts gapfill_hourly_locf gapfill_hourly_interpolate
   rolling_7day_customer_revenue substring_dup_spans substring_scrub
   bpe_encode_tokens incremental_substring_spans semantic_dedup_keepers
-  incremental_semantic_pairs
+  incremental_semantic_pairs bigram_lm_xent
 """
 
 from __future__ import annotations
@@ -2232,6 +2232,94 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+    )
+
+
+@_register(
+    "bigram_lm_xent",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), big AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+    ), uni AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(w) AS wd FROM toks) GROUP BY wd
+    ), pairc AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n2 FROM big GROUP BY a, b
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(-log2((p.n2 + 1.0) / (u.c1 + t.v))) / COUNT(*), 4)
+             AS xent_bits
+    FROM big g
+    JOIN pairc p ON g.a = p.a AND g.b = p.b
+    JOIN uni u ON g.a = u.wd
+    CROSS JOIN tot t
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (SURVEY.md §7 Phase 4; the LM
+    filter tier of CCNet/Gopher-class pipelines, self-contained): an
+    add-one-smoothed BIGRAM language model is trained on the corpus
+    itself — P(b|a) = (C2(a,b)+1)/(C1(a)+V) — and every document is
+    scored by its mean cross-entropy in bits,
+    mean(-log2 P(w_i | w_{i-1})). Boilerplate-heavy repetitive docs
+    score low (their bigrams are corpus-frequent), unusual/noisy docs
+    score high — the standard perplexity-filter signal without an
+    external LM artifact. Docs with fewer than 2 tokens have no
+    bigrams and are absent, identically in both engines.
+
+    Scale shape (the dsir pattern one order up): ONE bigram-grain
+    aggregate and ONE unigram-grain aggregate build the LM (hot
+    function-word pairs combine map-side), V arrives as a broadcast
+    1-row cross join, and scoring joins the doc bigram stream against
+    the pair-count table — vocabulary-sized, so AQE broadcasts or
+    balances it. Two shuffles beyond the LM aggregates, nothing
+    quadratic, no UDF. xent_bits is an order-dependent double log-sum:
+    compared under the 2e-4 harness tolerance (FLOAT_TOL), like dsir
+    and token entropy."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", dedup_ops.tokenized("text").alias("w")
+    ).transform(stage)
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("a"),
+                        F.element_at("w", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    tot = uni.agg(F.count(F.lit(1)).alias("v"))
+    term = -F.log2((F.col("n2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        big.join(pairc, ["a", "b"])
+        .join(uni, F.col("a") == F.col("wd"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(term) / F.count(F.lit(1)), 4).alias("xent_bits"),
+        )
     )
 
 
