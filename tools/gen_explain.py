@@ -77,6 +77,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("incremental_substring_spans", "incremental substring store: batch signed once (checkpointed), history joined one row per distinct k-gram"),
     ("semantic_dedup_keepers", "SemDeDup: LSH-bucketed cosine pairs -> pointer-jumping components -> keep-one verdict, no corpus-quadratic stage"),
     ("incremental_semantic_pairs", "incremental semantic dedup: sign-LSH bands vs the shared banded store, candidates cosine-verified"),
+    ("bigram_lm_xent", "bigram-LM scoring: two map-side-combined LM aggregates, broadcast V, vocabulary-sized scoring join"),
 ]
 
 
