@@ -433,3 +433,34 @@ def test_rolling_revenue_uses_range_frame(spark, sf_dir):
     assert "specifiedwindowframe(RangeFrame" in plan, plan
     assert plan.count("Window [") == 1, plan
     assert "Join" not in plan, plan  # no range self-join anywhere
+
+
+def test_bigram_lm_plan_shape(spark, sf_dir):
+    """The bigram LM must score via vocabulary-sized joins, never a
+    second corpus scan per LM side: no window, no Python eval, and the
+    only nested loop is the 1-row broadcast totals attach."""
+    plan = _plan(spark, sf_dir, "bigram_lm_xent")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row V attach
+
+
+def test_semantic_dedup_keepers_plan_shape(spark, sf_dir):
+    """SemDeDup's verdict join must never go cartesian and must stay
+    JVM-side end to end (LSH banding + cosine verify + CC + verdict
+    window are all built-in expressions)."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_keepers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_incremental_semantic_pairs_reads_store_not_corpus(spark, sf_dir):
+    """The incremental semantic increment must read banded signatures
+    from the persisted store (parquet scans of the demo store), with
+    the cosine verify joining the candidate ids back to the embedding
+    table — no cartesian anywhere, no Python eval."""
+    plan = _plan(spark, sf_dir, "incremental_semantic_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Scan parquet" in plan, plan  # the persisted store scans
