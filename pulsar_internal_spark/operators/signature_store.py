@@ -240,18 +240,33 @@ def streaming_banded_dedup(
 
     Zero-candidate batches SKIP the sink write (a partitioned zero-row
     write leaves a schema-less directory that breaks readers — the
-    span-sink hazard class); consume via read_candidates_sink, which
-    serves a typed empty frame until the sink exists."""
+    span-sink hazard class) but DELETE the batch's sink partition if a
+    pre-crash attempt left a non-empty one (strict replace-on-replay —
+    a replayed batch that now yields zero rows must not leave stale
+    pairs behind, possible if retention ran between attempts); consume
+    via read_candidates_sink, which serves a typed empty frame until
+    the sink exists. The candidates frame is STAGED before the
+    emptiness probe so the batch-vs-history join — the dominant
+    per-micro-batch work — executes once, not once for the probe and
+    again for the write."""
+    from ..staging import stage as stage_frame
+    from . import store_fs
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         append_banded_batch(
             spark, bander(batch_df), store_path, batch_id=batch_id
         )
-        cands = candidates_for_batch(spark, store_path, batch_id).withColumn(
-            "batch_id", F.lit(batch_id)
+        cands = (
+            candidates_for_batch(spark, store_path, batch_id)
+            .withColumn("batch_id", F.lit(batch_id))
+            .transform(stage_frame)
         )
         if cands.isEmpty():
+            store_fs.delete_dir(
+                store_fs.join(candidates_path, f"batch_id={batch_id}"),
+                ignore_missing=True,
+            )
             return
         (
             cands.write.mode("overwrite")
@@ -268,15 +283,22 @@ def streaming_banded_dedup(
     return writer.start()
 
 
-def read_candidates_sink(spark: SparkSession, candidates_path: str) -> DataFrame:
+def read_candidates_sink(
+    spark: SparkSession, candidates_path: str, id_type: str = "BIGINT"
+) -> DataFrame:
     """Read a streaming candidates sink with a declared schema — a
     typed empty frame until the first non-empty batch creates it (see
-    streaming_banded_dedup / span_store.read_span_sink)."""
+    streaming_banded_dedup / span_store.read_span_sink).
+    ``id_type`` is the SQL type of id_a/id_b: streaming_banded_dedup
+    is generic over the banding function and fixes only the COLUMN
+    NAMES, so a bander emitting non-bigint ids (string content hashes,
+    uuids) declares its type here and the pre-sink empty frame agrees
+    with the sink once created — mirroring read_span_sink's id_col."""
     got = _read_store(spark, candidates_path)
     if got is not None:
         return got
     return spark.createDataFrame(
-        [], "id_a BIGINT, id_b BIGINT, batch_id INT"
+        [], f"id_a {id_type}, id_b {id_type}, batch_id INT"
     )
 
 
@@ -309,7 +331,13 @@ def append_signature_batch_bucketed(
     join keys equal the bucket column set (a (band_idx, band_key)
     two-key join against a band_key-only bucketing gets its bucketed
     scan disabled as 'unnecessary'). Sorted within buckets so the
-    sort-merge join reads presorted runs."""
+    sort-merge join reads presorted runs.
+
+    An EXPLICIT batch_id is replace-on-replay: the batch's existing
+    partition is dropped (ALTER TABLE DROP PARTITION — bucketed
+    catalog writes cannot use dynamic partition overwrite without
+    losing the bucketing spec) before the bucketed append, matching
+    the path-based store's idempotence contract."""
     if batch_id is None:
         if spark.catalog.tableExists(table):
             prev = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
@@ -318,6 +346,10 @@ def append_signature_batch_bucketed(
             bid = 0
     else:
         bid = int(batch_id)
+        if spark.catalog.tableExists(table):
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={bid})"
+            )
     (
         banded_signatures(
             new_docs, id_col, text_col, num_hashes, band_size, shingle_n
@@ -374,13 +406,16 @@ def maintenance_lease(store_path: str):
     create-exclusive marker at ``{store}.lease`` held for the duration
     of a maintenance operation. A second maintainer (e.g. two cron'd
     compactions overlapping) fails LOUDLY instead of interleaving
-    renames with the first one's swap. A maintainer that crashes
-    mid-window leaves the marker behind — deliberately: the recovery
-    message routes the operator through the orphan-generation check
-    before releasing, because an expired-TTL auto-steal could put two
-    live maintainers in the window, which is the exact failure the
-    lease exists to prevent. Atomic on local and HDFS; best-effort on
-    S3 (see store_fs.create_exclusive)."""
+    renames with the first one's swap. A maintainer that FAILS
+    mid-window — process crash OR in-process exception (a failed
+    rename mid-swap) — leaves the marker behind, deliberately: the
+    recovery message routes the operator through the orphan-generation
+    check before releasing, because an expired-TTL auto-steal (or an
+    auto-release on a half-done swap) could put two live maintainers
+    in the window, which is the exact failure the lease exists to
+    prevent. The marker is removed only on SUCCESSFUL completion of
+    the window's body. Atomic on local and HDFS; best-effort on S3
+    (see store_fs.create_exclusive)."""
     from . import store_fs
 
     lease = store_path.rstrip("/") + ".lease"
@@ -392,10 +427,11 @@ def maintenance_lease(store_path: str):
             "ensure_no_orphan_generation, then delete the marker to "
             "recover."
         )
-    try:
-        yield
-    finally:
-        store_fs.delete_file(lease)
+    yield
+    # reached only when the body completed without raising: a failed
+    # maintenance window keeps the lease so the next attempt is routed
+    # through the loud recovery path above instead of racing leftovers
+    store_fs.delete_file(lease)
 
 
 def ensure_no_orphan_generation(store_path: str) -> None:

@@ -218,7 +218,16 @@ def append_kgram_batch_bucketed(
     catalog table can, plan-tested in test_scale_ops). Takes the
     already-signed occurrence frame ``kg`` (sign once, share across
     append and span join — see incremental_substring_spans_bucketed).
-    Appends the batch's FIRST-SEEN k-grams; returns the batch_id."""
+    Appends the batch's FIRST-SEEN k-grams; returns the batch_id.
+
+    An EXPLICIT batch_id write is REPLACE-on-replay, the same
+    idempotence contract as every path-based store (_append_kg,
+    append_banded_batch, ivf_index_append): bucketed catalog writes
+    cannot go through insertInto/dynamic-overwrite without losing the
+    bucketing spec, so replay safety is ALTER TABLE DROP PARTITION
+    (a metadata+data delete the catalog serves for datasource tables)
+    followed by the bucketed append — a replayed batch replaces its
+    own partition instead of double-appending first-seen rows."""
     if batch_id is None:
         if spark.catalog.tableExists(table):
             prev = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
@@ -227,6 +236,10 @@ def append_kgram_batch_bucketed(
             bid = 0
     else:
         bid = int(batch_id)
+        if spark.catalog.tableExists(table):
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={bid})"
+            )
     firsts = kg.groupBy("kh").agg(F.min(id_col).alias("owner_doc"))
     if spark.catalog.tableExists(table):
         hist = spark.table(table).filter(F.col("batch_id") < bid).select("kh")
@@ -329,17 +342,28 @@ def streaming_substring_dedup(
         text_col = params.get("text_col", "text")
         kg = _kgram_occurrences(batch_df, k, id_col, text_col).transform(stage)
         _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
-        spans = _spans_kg(
-            spark, kg, store_path, batch_id, k=k, id_col=id_col
-        ).withColumn("batch_id", F.lit(batch_id))
+        # staged so the owner join + islands windows run once, not once
+        # for the emptiness probe and again for the write
+        spans = (
+            _spans_kg(spark, kg, store_path, batch_id, k=k, id_col=id_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .transform(stage)
+        )
         # a zero-span batch would write a partitioned dir with NO data
         # files (partition dirs derive from rows), leaving a sink that
         # spark.read.parquet rejects with "unable to infer schema"
         # until a non-empty batch lands. Skip the write instead — the
         # sink path simply not existing yet is the clear signal — and
         # point consumers at read_span_sink, which returns a TYPED
-        # empty frame for a not-yet-created sink.
+        # empty frame for a not-yet-created sink. A pre-crash attempt's
+        # non-empty partition is deleted (strict replace-on-replay).
         if spans.isEmpty():
+            from . import store_fs
+
+            store_fs.delete_dir(
+                store_fs.join(spans_path, f"batch_id={batch_id}"),
+                ignore_missing=True,
+            )
             return
         (
             spans.write.mode("overwrite")

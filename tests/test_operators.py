@@ -1427,6 +1427,100 @@ def test_maintenance_lease_blocks_concurrent_maintainers(spark, tmp_path):
     assert S.compact_store(spark, uri) == 2
 
 
+def test_maintenance_lease_kept_on_inprocess_failure(spark, tmp_path):
+    """A maintenance window that raises (failed rename mid-swap, any
+    Python-level error) must LEAVE the lease marker behind — the same
+    posture as a process kill — so the next maintainer is routed
+    through the loud recovery path instead of racing half-done
+    leftovers. Release happens only on successful completion."""
+    import os
+
+    import pytest
+
+    from pulsar_internal_spark.operators import signature_store as S
+
+    store = str(tmp_path / "fail_store")
+    os.makedirs(store)
+    lease = store + ".lease"
+
+    with pytest.raises(ValueError, match="mid-window"):
+        with S.maintenance_lease(store):
+            raise ValueError("simulated failure mid-window")
+    assert os.path.exists(lease), "failed window must keep the lease"
+
+    # recovery: operator verifies + deletes the marker, then the next
+    # window acquires and (on success) releases it
+    with pytest.raises(RuntimeError, match="lease .* already held"):
+        with S.maintenance_lease(store):
+            pass
+    os.remove(lease)
+    with S.maintenance_lease(store):
+        pass
+    assert not os.path.exists(lease), "successful window must release"
+
+
+def test_bucketed_stores_explicit_batch_replay_idempotent(spark, tmp_path):
+    """Explicit-batch-id appends to the BUCKETED catalog stores are
+    replace-on-replay (ALTER TABLE DROP PARTITION + bucketed append),
+    matching the path stores' dynamic-overwrite contract: re-running a
+    batch id leaves row counts and candidate/span sets unchanged, and
+    the table keeps its bucketing spec across replays."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import span_store as SS
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{j}" for j in range(i, i + 12)) + " shared tail words here")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    early, late = docs.filter("doc_id < 5"), docs.filter("doc_id >= 5")
+
+    sig_tbl, kg_tbl = "sig_replay_bkt", "kg_replay_bkt"
+    for t in (sig_tbl, kg_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        S.append_signature_batch_bucketed(spark, early, sig_tbl, batch_id=0)
+        S.append_signature_batch_bucketed(spark, late, sig_tbl, batch_id=1)
+        n1 = spark.table(sig_tbl).count()
+        pairs1 = set(
+            (r.id_a, r.id_b)
+            for r in S.candidates_for_batch_bucketed(spark, sig_tbl, 1).collect()
+        )
+        S.append_signature_batch_bucketed(spark, late, sig_tbl, batch_id=1)
+        assert spark.table(sig_tbl).count() == n1, "replay double-appended"
+        assert (
+            set(
+                (r.id_a, r.id_b)
+                for r in S.candidates_for_batch_bucketed(spark, sig_tbl, 1).collect()
+            )
+            == pairs1
+        )
+
+        kg_early = SS._kgram_occurrences(early, 8, "doc_id", "text")
+        kg_late = SS._kgram_occurrences(late, 8, "doc_id", "text")
+        SS.append_kgram_batch_bucketed(spark, kg_early, kg_tbl, batch_id=0)
+        SS.append_kgram_batch_bucketed(spark, kg_late, kg_tbl, batch_id=1)
+        k1 = spark.table(kg_tbl).count()
+        SS.append_kgram_batch_bucketed(spark, kg_late, kg_tbl, batch_id=1)
+        assert spark.table(kg_tbl).count() == k1, "kgram replay double-appended"
+        # first-seen contract intact: every kh still has exactly one row
+        assert (
+            spark.table(kg_tbl).groupBy("kh").count().filter("count > 1").count()
+            == 0
+        )
+        # bucketing survives the drop+append cycle
+        desc = spark.sql(f"DESCRIBE EXTENDED {kg_tbl}").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+        assert "Num Buckets" in txt and "16" in txt, txt
+    finally:
+        for t in (sig_tbl, kg_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ivf_store_compaction_and_expiry(spark, tmp_path):
     """IVF index maintenance completes the four-store contract:
     compaction folds every (cell, batch_id) leaf into batch 0 and must
