@@ -364,6 +364,109 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF SERVING path: the coarse quantizer is pre-trained and arrives
+    as frozen constants (operators/ivf_frozen.CENTROIDS — see that
+    module for the offline training recipe). This is the realistic
+    100 TB deployment shape: centroids are fitted once on a sample and
+    then served as plan literals, exactly like sign-LSH serves
+    _plane_weights; nothing is trained per query.
+
+    Plan shape: corpus cell assignment is a NARROW map — argmin over the
+    inlined centroid literals via array_min of (dist2, cell) structs
+    (struct ordering = field order, so ties break to the smaller cell
+    deterministically) — no explode, no window, no shuffle. The query
+    side sorts the same literal array and keeps the nprobe closest
+    cells, then broadcasts onto the assigned corpus; exact cosine +
+    per-query top-k (the only shuffle, keyed by query id) finish it.
+    Unlike the kmeans twin (ivf_topk), every arithmetic step here is
+    expressible in ANSI SQL over the same literals, which is what makes
+    the ivf_cosine_topk query value-oracle-checkable."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+
+    def d2(vec, cent):
+        return F.aggregate(
+            F.zip_with(
+                vec, cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).withColumn(
+        "cell",
+        F.array_min(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    d2(F.col("cv"), c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"],
+    )
+
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        .withColumn(
+            "probed",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cent_lit,
+                        lambda c: F.struct(
+                            d2(F.col("qv"), c["centroid"]).alias("d2"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select("query_id", "qv", "qn", F.explode("probed").alias("_p"))
+        .select("query_id", "qv", "qn", F.col("_p.cell").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _band_structs(projs_col, planes_per_band: int, num_bands: int):
     """(band_idx, band_key) structs from a staged projection array —
     band b's key is the sign-bit string of planes

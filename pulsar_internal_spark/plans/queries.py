@@ -2324,6 +2324,107 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bigram_lm_xent_interp",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+      FROM documents
+    ), big AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+    ), uni AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(w) AS wd FROM toks) GROUP BY wd
+    ), pairc AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n2 FROM big GROUP BY a, b
+    ), tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t FROM uni)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(-log2(
+             0.7 * (CAST(p.n2 AS DOUBLE) / CAST(ua.c1 AS DOUBLE))
+             + 0.3 * (CAST(ub.c1 AS DOUBLE) / t.t)
+           )) / COUNT(*), 4) AS xent_interp_bits
+    FROM big g
+    JOIN pairc p ON g.a = p.a AND g.b = p.b
+    JOIN uni ua ON g.a = ua.wd
+    JOIN uni ub ON g.b = ub.wd
+    CROSS JOIN tot t
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_lm_xent_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETED-INTERPOLATION bigram LM scoring (SURVEY.md §7 Phase 4;
+    round 7, VERDICT r6 #8): the standard rung above bigram_lm_xent's
+    add-one smoothing — P(w_i|w_{i-1}) = λ·P_ML(w_i|w_{i-1}) +
+    (1−λ)·P_uni(w_i) with λ = 0.7 (Jelinek-Mercer interpolation).
+    Add-one flattens exactly the high-frequency contexts the
+    perplexity filter cares about (a corpus-frequent bigram after a
+    hot function word gets punished by +V in the denominator);
+    interpolation instead backs off smoothly to the unigram prior, so
+    scores track fluency rather than vocabulary size. Every scored
+    bigram occurs in the corpus (the LM is self-trained), so the ML
+    term is never zero and no discounting floor is needed.
+
+    Scale shape is IDENTICAL to bigram_lm_xent — the same two LM
+    aggregates, the unigram table joined twice (context count for the
+    ML term, target count for the prior), total-token mass T as a
+    broadcast 1-row cross join, then one doc-grain aggregate. Still
+    two shuffles beyond the LM aggregates, nothing quadratic, no UDF.
+    xent_interp_bits is an order-dependent double log-sum: compared
+    under the 2e-4 harness tolerance (FLOAT_TOL) like its sibling."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", dedup_ops.tokenized("text").alias("w")
+    ).transform(stage)
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("a"),
+                        F.element_at("w", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .transform(stage)
+    )
+    pairc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    tot = uni.agg(F.sum("c1").cast("double").alias("t"))
+    prob = (
+        F.lit(0.7) * (F.col("n2").cast("double") / F.col("c1_a").cast("double"))
+        + F.lit(0.3) * (F.col("c1_b").cast("double") / F.col("t"))
+    )
+    return (
+        big.join(pairc, ["a", "b"])
+        .join(
+            uni.select(F.col("wd").alias("a"), F.col("c1").alias("c1_a")), "a"
+        )
+        .join(
+            uni.select(F.col("wd").alias("b"), F.col("c1").alias("c1_b")), "b"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(-F.log2(prob)) / F.count(F.lit(1)), 4).alias(
+                "xent_interp_bits"
+            ),
+        )
+    )
+
+
+@_register(
     "incremental_semantic_pairs",
     "WITH " + _lsh_verified_pairs_cte() + "\n    SELECT id_a, id_b, cos_sim FROM vpairs",
 )
@@ -2381,15 +2482,77 @@ def incremental_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ivf_cosine_topk")  # kmeans centroids are engine-specific; rows-only
+def _ivf_oracle_sql(k: int = 5, nprobe: int = 3) -> str:
+    """DuckDB twin of ivf_fixed_topk over the SAME frozen centroid
+    literals (operators/ivf_frozen.CENTROIDS): cell assignment =
+    argmin squared L2 (ties to the smaller cell), nprobe closest cells
+    per query, exact cosine + top-k re-rank — the inline-constants
+    pattern _lsh_verified_pairs_cte already uses for planes."""
+    from ..operators.ivf_frozen import CENTROIDS
+
+    cent = " UNION ALL ".join(
+        f"SELECT {i} AS cell, ["
+        + ", ".join(str(x) for x in c)
+        + "]::DOUBLE[] AS centroid"
+        for i, c in enumerate(CENTROIDS)
+    )
+    # same accumulation: per-element squared diffs summed in index order
+    d2 = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "(v[CAST(i AS INT)] - centroid[CAST(i AS INT)]) * "
+        "(v[CAST(i AS INT)] - centroid[CAST(i AS INT)])))"
+    )
+    return f"""
+    WITH cent AS ({cent}),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id ORDER BY {d2}, ct.cell) AS rn
+        FROM corp c CROSS JOIN cent ct)
+      WHERE rn = 1
+    ),
+    qc AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT c.vec_id AS query_id, c.v AS qv, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id ORDER BY {d2}, ct.cell) AS rn
+        FROM corp c CROSS JOIN cent ct WHERE c.vec_id % 100 = 0)
+      WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT qc.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qc.qv, a.v), 6) AS cos_sim
+      FROM qc JOIN assign a ON a.cell = qc.cell
+      WHERE a.vec_id <> qc.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@_register("ivf_cosine_topk", _ivf_oracle_sql())
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse cells (seeded, sample-trainable) + exact
-    cosine re-rank inside nprobe probed cells — the second approximate
-    scale path beside sign-LSH. Rows-only driver check; recall vs brute
-    force asserted in tests/test_operators.py."""
+    """IVF ANN serving (SURVEY.md §7 Phase 4): coarse cells from the
+    FROZEN offline-trained quantizer (operators/ivf_frozen.CENTROIDS —
+    trained once with the seeded kmeans recipe ivf_topk uses, then
+    served as plan constants, the realistic 100 TB deployment shape) +
+    exact cosine re-rank inside nprobe probed cells — the second
+    approximate scale path beside sign-LSH. Round 7 closes the r6
+    verdict's #4: this was the only deterministic rows-only query; with
+    the quantizer frozen, the DuckDB oracle replays cell assignment,
+    probing and re-rank over the same literals, so the driver now
+    value-checks it end-to-end. The kmeans TRAINING path (ivf_topk)
+    keeps its own recall gate in tests/test_operators.py."""
+    from ..operators.ivf_frozen import CENTROIDS
+
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    out = sim_ops.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3)
+    out = sim_ops.ivf_fixed_topk(emb, queries_df, CENTROIDS, k=5, nprobe=3)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )

@@ -64,6 +64,7 @@ FLOAT_TOL: dict[str, dict[str, float]] = {
     "dsir_importance_weights": {"log_importance": 2e-4},
     "token_entropy_scores": {"entropy_bits": 2e-4, "type_token_ratio": 2e-4},
     "bigram_lm_xent": {"xent_bits": 2e-4},
+    "bigram_lm_xent_interp": {"xent_interp_bits": 2e-4},
 }
 
 

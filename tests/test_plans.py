@@ -446,6 +446,31 @@ def test_bigram_lm_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row V attach
 
 
+def test_bigram_lm_interp_plan_shape(spark, sf_dir):
+    """The interpolated LM keeps its sibling's shape guarantees: the
+    unigram table joins twice (context + target) as hash joins, the
+    only nested loop is the 1-row broadcast token-mass attach, and
+    nothing windows or drops to Python."""
+    plan = _plan(spark, sf_dir, "bigram_lm_xent_interp")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row T attach
+
+
+def test_ivf_fixed_topk_plan_shape(spark, sf_dir):
+    """IVF serving with the frozen quantizer: corpus cell assignment
+    must be a narrow map (no window, no explode on the corpus side —
+    argmin via array_min over the centroid literals), the probed-cells
+    frame must broadcast onto the assigned corpus, and the only Window
+    is the per-query top-k."""
+    plan = _plan(spark, sf_dir, "ivf_cosine_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # probed cells onto corpus
+    assert plan.count("Window [") == 1, plan  # only the top-k rank
+
+
 def test_semantic_dedup_keepers_plan_shape(spark, sf_dir):
     """SemDeDup's verdict join must never go cartesian and must stay
     JVM-side end to end (LSH banding + cosine verify + CC + verdict

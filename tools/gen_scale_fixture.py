@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Generate a scaled-up fixture (default 10x = sf1.0) from the driver's
+sf0.1 parquet tables, for the empirical scale-up proof (VERDICT r6 #1).
+
+Scaling model — "another day of the same workload", not "the same rows
+again": every copy is a key-shifted replica whose CONTENT is decorrelated
+from the other copies, so data volume grows 10x while selectivities,
+duplicate RATES and per-key group sizes stay constant. Naive replication
+would be pathological, not realistic: identical documents would turn
+every MinHash/SimHash band bucket into a 10-clique (candidate pairs grow
+100x, not 10x) and identical embeddings would do the same to sign-LSH
+buckets — measuring that measures the fixture, not the operator.
+
+Per-table treatment (STRIDE = 1e9, divisible by every modulus the query
+suite uses — vec_id % 100, % 2 parity splits — so query-side fractions
+are scale-invariant):
+- region, nation: fixed dimensions, single copy (TPC-H's own model).
+- customer/supplier/part/orders/lineitem: all keys shifted by
+  copy*STRIDE, FK columns shifted in lockstep so referential integrity
+  holds within each copy; dates/amounts untouched (same date range at
+  10x density — the correct densification for window/agg scaling).
+- events: event_id/user_id shifted; 10x users, same per-user timeline.
+- documents: doc_id shifted; every TOKEN gets a per-copy suffix
+  (regexp '(\\S+)' -> '\\1xN'), so within-copy near-dup structure is
+  EXACTLY the original corpus's while cross-copy shingle/k-gram overlap
+  is zero. n_chars recomputed.
+- embeddings: vec_id shifted; vector circularly rotated by copy index
+  (norm-preserving, decorrelates cross-copy cosine); label kept.
+
+Output mirrors the driver layout (<out>/<table>.parquet single files) so
+load_table() and the DuckDB oracle harness both read it unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+STRIDE = 1_000_000_000
+
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def copy_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
+    shift = set(SHIFT_COLS.get(table, []))
+    parts = []
+    for name, typ in cols:
+        if name in shift:
+            parts.append(f"{name} + {i * STRIDE} AS {name}")
+        elif table == "documents" and name == "text" and i > 0:
+            parts.append(rf"regexp_replace(text, '(\S+)', '\1x{i}', 'g') AS text")
+        elif table == "documents" and name == "n_chars" and i > 0:
+            parts.append(
+                rf"CAST(length(regexp_replace(text, '(\S+)', '\1x{i}', 'g')) AS BIGINT) AS n_chars"
+            )
+        elif table == "embeddings" and name == "embedding" and i > 0:
+            # circular rotate by i: norm-preserving, kills cross-copy cosine
+            parts.append(
+                f"(embedding[{i + 1}:] || embedding[1:{i}])::FLOAT[] AS embedding"
+            )
+        else:
+            parts.append(name)
+    return ", ".join(parts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None, help="default: <repo>/.scale/sf1.0")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = args.out or os.path.join(repo, ".scale", "sf1.0")
+    os.makedirs(out, exist_ok=True)
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    for t in TABLES:
+        src = os.path.join(args.src, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{src}')"
+        )
+        cols = [
+            (r[0], r[1])
+            for r in con.execute("DESCRIBE src").fetchall()
+        ]
+        if t in ("region", "nation"):
+            sel = "SELECT * FROM src"
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT {copy_select(t, cols, i)} FROM src"
+                for i in range(args.factor)
+            )
+        con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{t}: {n} rows -> {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
