@@ -57,11 +57,13 @@ def main() -> None:
     spark = get_spark(app_name="pulsar_internal_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer reads, plus the two lazily
+    # warmup: JVM + codegen + parquet footer reads, plus the lazily
     # initialized subsystems whose startup would otherwise be billed to
     # whichever query alphabetically hits them first — the Python UDF
     # worker pool (blake2 pays ~2 s of worker spawn + package shipping)
-    # and the MLlib class graph (ivf pays ~5 s of class loading)
+    # and the IVF serving plan's large codegen unit (argmin over the
+    # frozen centroid literals; since round 7 the query serves frozen
+    # constants, so MLlib class loading is no longer on any query path)
     _materialize(QUERIES["class_filter_scan"](spark, sf_dir))
     # events-table scan path (nanos->timestamp) warms separately
     _materialize(QUERIES["distinct_users_by_type"](spark, sf_dir))

@@ -8,13 +8,24 @@ hash-memo idiom (script.hpp:127-129: fingerprints computed once, then
 looked up) and the batch operator it must stay equivalent to
 (dedup.py:minhash_lsh_candidates).
 
-Store layout: parquet at ``store_path`` with columns
-(id, band_idx, band_key, batch_id), hive-partitioned by ``batch_id`` —
-so "the new batch" and "everything before it" are PARTITION-PRUNED
-scans, not filters over the whole store, and a crashed append can be
-rolled back by deleting one partition directory. Bands stay together
-within a batch (band_idx would explode the dir count at many batches
-and prunes nothing the join needs).
+Store layout (round 7 — pointer-committed generations, VERDICT r6 #3):
+``store_path`` holds versioned generation dirs plus a ``current``
+pointer file naming the live one::
+
+    store_path/
+      current          <- "gen-00000001"
+      gen-00000001/    <- parquet, hive-partitioned by batch_id
+
+Rows are (id, band_idx, band_key, batch_id), partitioned by batch_id
+inside the generation — so "the new batch" and "everything before it"
+are PARTITION-PRUNED scans, not filters over the whole store, and a
+crashed append can be rolled back by deleting one partition directory.
+Bands stay together within a batch (band_idx would explode the dir
+count at many batches and prunes nothing the join needs). Maintenance
+(compaction) writes the NEXT generation in full, then atomically
+replaces the pointer — directories are never renamed, the store path
+never transiently disappears, and on object stores the commit is one
+small PUT instead of a copy+delete dir rename (see store_fs).
 
 Equivalence invariant (property-tested): for documents arriving in any
 batch split, the union over batches of ``candidates_for_batch`` equals
@@ -41,20 +52,62 @@ from .dedup import banded_signatures
 STORE_SCHEMA = "id BIGINT, band_idx INT, band_key STRING, batch_id INT"
 
 
-def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Plain parquet read that treats ONLY path-absence as 'nothing
+    yet' — the read primitive for streaming SINKS (candidates/spans),
+    which stay flat parquet dirs: they have no compaction, so they
+    carry no generation layer. Any other analysis failure (schema
+    lost, empty dir from a corrupt sink) must propagate."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(store_path)
+        return spark.read.parquet(path)
     except AnalysisException as e:
-        # ONLY path-absent means "first batch" — any other analysis
-        # failure (schema lost, empty dir from a corrupt store) must
-        # propagate, or batch numbering silently restarts at 0 over
-        # damaged history
         err = getattr(e, "getErrorClass", lambda: None)() or str(e)
         if "PATH_NOT_FOUND" in err or "Path does not exist" in str(e):
             return None
         raise
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Read a generation store via its pointer: None = no committed
+    generation yet (first batch). A pointer that references a missing
+    directory is damage, not a fresh store — the read then fails
+    loudly instead of silently restarting batch numbering at 0."""
+    from . import store_fs
+
+    root = store_fs.resolve_current(store_path)
+    if root is None:
+        return None
+    return spark.read.parquet(root)
+
+
+def _begin_store_write(store_path: str) -> tuple[str, bool]:
+    """(directory the append writes parquet into, init?) for a
+    generation store. For an existing store this is the pointed
+    generation. For a FRESH store the write lands in gen-00000000 and
+    the caller commits the pointer with :func:`_commit_store_init`
+    only after the parquet write succeeds — so the pointer never
+    references an incomplete generation. A crashed first append
+    (gen-00000000 present, pointer never written) is REBUILT: its
+    caller never saw success, so by the replay contract the batch
+    comes again; stacking onto the leftover would double its rows.
+    ensure_no_orphan_generation (called by appenders first) has
+    already refused any other pointerless-generation state."""
+    from . import store_fs
+
+    root = store_fs.resolve_current(store_path)
+    if root is not None:
+        return root, False
+    root = store_fs.join(store_path, store_fs.FIRST_GEN)
+    store_fs.delete_dir(root, ignore_missing=True)
+    return root, True
+
+
+def _commit_store_init(store_path: str) -> None:
+    from . import store_fs
+
+    store_fs.write_pointer(store_path, store_fs.FIRST_GEN)
 
 
 def append_signature_batch(
@@ -110,8 +163,9 @@ def append_banded_batch(
     implementation. The banding function is part of the store's
     identity, like the signature parameters above."""
     ensure_no_orphan_generation(store_path)
+    root, init = _begin_store_write(store_path)
     if batch_id is None:
-        existing = _read_store(spark, store_path)
+        existing = None if init else _read_store(spark, store_path)
         if existing is None:
             bid = 0
         else:
@@ -121,7 +175,7 @@ def append_banded_batch(
         bid = int(batch_id)
     out = banded.withColumn("batch_id", F.lit(bid))
     if batch_id is None:
-        out.write.mode("append").partitionBy("batch_id").parquet(store_path)
+        out.write.mode("append").partitionBy("batch_id").parquet(root)
     else:
         # per-write option scopes the dynamic overwrite to THIS write —
         # no session-conf mutation to save/restore
@@ -129,8 +183,10 @@ def append_banded_batch(
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(store_path)
+            .parquet(root)
         )
+    if init:
+        _commit_store_init(store_path)
     return bid
 
 
@@ -143,7 +199,12 @@ def candidates_for_batch(
     against history — those pairs were emitted when their own batches
     arrived, which is what makes the increment O(new x matched), not
     O(corpus^2)."""
-    return _candidates(spark.read.parquet(store_path), batch_id)
+    store = _read_store(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"signature store {store_path} has no committed generation"
+        )
+    return _candidates(store, batch_id)
 
 
 def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
@@ -294,7 +355,7 @@ def read_candidates_sink(
     NAMES, so a bander emitting non-bigint ids (string content hashes,
     uuids) declares its type here and the pre-sink empty frame agrees
     with the sink once created — mirroring read_span_sink's id_col."""
-    got = _read_store(spark, candidates_path)
+    got = _read_parquet_or_none(spark, candidates_path)
     if got is not None:
         return got
     return spark.createDataFrame(
@@ -435,72 +496,94 @@ def maintenance_lease(store_path: str):
 
 
 def ensure_no_orphan_generation(store_path: str) -> None:
-    """Crash-window guard shared by every store writer: if a compaction
-    died between its two renames, the store path is missing but the
-    ONLY surviving generation sits at ``{store}.old``. Starting a fresh
-    store then would (a) silently lose all history and (b) let the next
-    compaction's entry sweep DELETE the orphaned generation. Refuse and
-    tell the operator how to recover instead. Probes run on the STORE'S
-    OWN filesystem (store_fs: Hadoop FileSystem API for URI paths,
-    os-level for plain local paths) — an os probe against hdfs:// would
-    silently answer "absent" and evaporate this guard."""
+    """Damage guard shared by every store writer, re-derived for the
+    pointer layout (round 7). With pointer-committed generations there
+    is no crash window in which the LIVE generation is unreferenced —
+    the pointer is only ever written AFTER its target is complete, and
+    maintenance leftovers (generations without a pointer reference)
+    are inert and swept under the lease. What remains detectable is
+    MANUAL damage, and both shapes must refuse rather than silently
+    restart the store:
+
+      - pointer present but its generation dir missing (someone
+        deleted data out from under the pointer);
+      - generations BEYOND gen-00000000 present with no pointer
+        (someone deleted the pointer of a real store — gen-00000000
+        alone without a pointer is the one legitimate crash state, a
+        first append that died pre-commit, and is rebuilt by the
+        replay contract in _begin_store_write).
+
+    Probes run on the STORE'S OWN filesystem (store_fs) — an os probe
+    against hdfs:// would silently answer "absent" and evaporate this
+    guard."""
     from . import store_fs
 
     base = store_path.rstrip("/")
-    old = base + ".old"
-    if not store_fs.is_dir(base) and store_fs.is_dir(old):
+    gen = store_fs.read_pointer(base)
+    if gen is not None:
+        if not store_fs.is_dir(store_fs.join(base, gen)):
+            raise RuntimeError(
+                f"store {base} pointer references {gen} but that "
+                "generation directory is missing — restore it or point "
+                f"{store_fs.POINTER} at a surviving {store_fs.GEN_PREFIX}* dir"
+            )
+        return
+    gens = store_fs.list_generations(base)
+    if [g for g in gens if g != store_fs.FIRST_GEN]:
         raise RuntimeError(
-            f"store {base} is missing but {old} exists — a compaction "
-            f"crashed mid-swap; recover by renaming {old} back to {base}"
+            f"store {base} has generations {gens} but no "
+            f"{store_fs.POINTER} pointer — a real store lost its pointer "
+            "file; recover by writing the live generation's name into it"
         )
 
 
 def swap_in_generation(store_path: str, write_tmp) -> None:
-    """Shared staged-swap for store compactions (this module and
-    operators/sketches.py — one copy so the crash posture cannot
-    drift): sweep fixed-name leftovers of prior crashed runs, have
-    ``write_tmp(tmp_dir)`` materialize the new generation, then swap
-    via two renames. The final cleanup is STRICT (a failed rmtree
-    surfaces rather than leaving a stale .old that a later sweep would
-    delete with data-loss potential). Orphan-generation guard runs
-    first, so a crashed swap's survivor is never swept.
+    """Shared generation commit for store compactions (this module,
+    operators/sketches.py, span_store, similarity's IVF cells — one
+    copy so the crash posture cannot drift). Round 7 replaced the
+    directory-rename swap with a POINTER COMMIT (VERDICT r6 #3): under
+    the maintenance lease, sweep unreferenced generation leftovers of
+    prior crashed runs, have ``write_tmp(next_gen_dir)`` materialize
+    the next generation IN FULL, atomically replace the ``current``
+    pointer, then delete the superseded generation.
 
-    Reader visibility during the swap: between the two renames the
-    store path briefly DOES NOT EXIST (POSIX rename can atomically
-    replace a file but not exchange two directories), so a concurrent
-    reader may transiently fail with PATH_NOT_FOUND — and a
-    _read_store-style reader would momentarily see "first batch"
-    (None). That is why compaction runs inside the single-maintainer
-    window (see compact_store): no append/auto-increment caller may
-    run concurrently, and serving readers should retry on
-    PATH_NOT_FOUND. Data is never torn — each generation is complete —
-    but existence is not continuous.
+    Crash windows, all benign:
+      - died before the pointer flip: the pointer still names the old
+        generation; the half-built next one is unreferenced and inert,
+        swept by the next maintenance window;
+      - died after the flip, before cleanup: the store serves the new
+        generation; the old one is unreferenced and swept later;
+      - readers NEVER see an absent store path — both generations
+        exist across the flip and the pointer replace is atomic
+        (os.replace locally; ~20-byte create-overwrite via Hadoop,
+        whose only reader-visible hazard is the bounded empty-pointer
+        retry in store_fs.read_pointer). The pre-round-7
+        "PATH_NOT_FOUND between two renames" caveat is GONE.
 
-    All filesystem ops route through store_fs, so the swap works on
-    plain local paths, file://, and hdfs:// alike (HDFS rename is
-    atomic, same crash windows as local). On s3a:// rename is
-    copy+delete — see store_fs's module docstring for the honest
-    degradation; prefer a manifest-committing table layer there.
+    On object stores the commit is one small PUT — generation dirs are
+    never renamed, so the old swap's copy+delete degradation no longer
+    exists; the lease alone remains advisory there (store_fs).
 
     The single-MAINTAINER half of the window contract is ENFORCED, not
-    just documented: the swap runs under maintenance_lease, so a second
-    concurrent compaction fails loudly instead of racing the renames
-    (maintainer-vs-APPEND exclusion remains the operator's scheduling
-    responsibility — appends are not leased by design; see
-    compact_store)."""
+    just documented: a second concurrent compaction fails loudly on
+    the lease instead of racing the pointer (maintainer-vs-APPEND
+    exclusion remains the operator's scheduling responsibility —
+    appends are not leased by design; see compact_store)."""
     from . import store_fs
 
     base = store_path.rstrip("/")
     with maintenance_lease(base):
         ensure_no_orphan_generation(base)
-        tmp = base + ".compacting"
-        old = base + ".old"
-        store_fs.delete_dir(tmp, ignore_missing=True)
-        store_fs.delete_dir(old, ignore_missing=True)
-        write_tmp(tmp)
-        store_fs.rename(base, old)
-        store_fs.rename(tmp, base)
-        store_fs.delete_dir(old)
+        cur = store_fs.read_pointer(base)
+        if cur is None:
+            raise FileNotFoundError(
+                f"store {base} has no committed generation to compact"
+            )
+        store_fs.sweep_stale_generations(base, keep=cur)
+        nxt = store_fs.next_generation(cur)
+        write_tmp(store_fs.join(base, nxt))
+        store_fs.write_pointer(base, nxt)
+        store_fs.delete_dir(store_fs.join(base, cur))
 
 
 def compact_store(spark: SparkSession, store_path: str) -> int:
@@ -516,14 +599,15 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
 
     MAINTENANCE WINDOW CONTRACT: run from the single maintainer, not
     concurrently with appends — an append landing between the read and
-    the swap would vanish with the old generation. Readers always see
-    a COMPLETE generation (old or new, never torn data), but the store
-    path is briefly absent between the swap's two renames, so a
-    concurrent reader may transiently hit PATH_NOT_FOUND and should
-    retry (see swap_in_generation). The same contract as
+    the pointer flip would vanish with the superseded generation.
+    Readers always see a COMPLETE generation (old or new, never torn
+    data) and the store path stays continuously present across the
+    flip (see swap_in_generation). The same contract as
     sketches.compact_sketch_store and the lpframes spool's
     single-committing-writer rule."""
-    store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path)
+    if store is None:
+        return 0
     n_batches = store.select("batch_id").distinct().count()
     if n_batches <= 1:
         return n_batches
@@ -553,7 +637,10 @@ def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
     from . import store_fs
 
     with maintenance_lease(store_path):
+        root = store_fs.resolve_current(store_path)
+        if root is None:
+            return []
         removed = store_fs.expire_prefixed_partitions(
-            store_path, "batch_id=", lambda v: int(v) < keep_from_batch
+            root, "batch_id=", lambda v: int(v) < keep_from_batch
         )
     return [int(d.split("=", 1)[1]) for d in removed]

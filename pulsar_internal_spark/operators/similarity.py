@@ -631,8 +631,11 @@ def build_ivf_index(
     cell ONCE, and write
 
       {path}/centroids/  — (cell, centroid array<double>) — tiny
-      {path}/cells/      — (vec_id, embedding, norm) partitioned by
-                           (cell, batch_id); the build is batch_id=0
+      {path}/cells/      — pointer-committed generation store (round 7,
+                           shared layout with the other stores): the
+                           live generation holds (vec_id, embedding,
+                           norm) partitioned by (cell, batch_id); the
+                           build is batch_id=0
 
     The build pays the assignment scan once; every subsequent probe
     reads ONLY its nprobe cell directories (dynamic partition pruning,
@@ -684,9 +687,18 @@ def build_ivf_index(
         "cell",
         F.lit(0).cast("int").alias("batch_id"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(
-        os.path.join(path, "cells")
-    )
+    # the cells dir is a pointer-committed generation store (round 7,
+    # shared layout with the signature/sketch/span stores): a build is
+    # a full (re)create — clear any prior generations, write gen-0,
+    # commit the pointer only after the parquet write succeeds
+    from . import store_fs
+    from .signature_store import _begin_store_write, _commit_store_init
+
+    cells_base = os.path.join(path, "cells")
+    store_fs.delete_dir(cells_base, ignore_missing=True)
+    root, _ = _begin_store_write(cells_base)
+    assigned.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(root)
+    _commit_store_init(cells_base)
 
 
 def ivf_index_topk(
@@ -737,7 +749,13 @@ def ivf_index_topk(
         .filter(F.col("cell_rank") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    cells = spark.read.parquet(os.path.join(path, "cells"))
+    from .signature_store import _read_store
+
+    cells = _read_store(spark, os.path.join(path, "cells"))
+    if cells is None:
+        raise FileNotFoundError(
+            f"IVF index {path} has no committed cells generation"
+        )
     scored = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -814,10 +832,20 @@ def ivf_index_append(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", "norm", "cell")
     )
-    cells_path = os.path.join(path, "cells")
+    from . import store_fs
+    from .signature_store import _read_store, ensure_no_orphan_generation
+
+    cells_base = os.path.join(path, "cells")
+    ensure_no_orphan_generation(cells_base)
+    root = store_fs.resolve_current(cells_base)
+    if root is None:
+        raise FileNotFoundError(
+            f"IVF index {path} has no committed cells generation — "
+            "build_ivf_index first (appends never implicitly create an index)"
+        )
     if batch_id is None:
         prev = (
-            spark.read.parquet(cells_path)
+            _read_store(spark, cells_base)
             .agg(F.max("batch_id"))
             .collect()[0][0]
         )
@@ -827,14 +855,14 @@ def ivf_index_append(
     assigned = assigned.withColumn("batch_id", F.lit(bid).cast("int"))
     if batch_id is None:
         assigned.write.mode("append").partitionBy("cell", "batch_id").parquet(
-            cells_path
+            root
         )
     else:
         (
             assigned.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "batch_id")
-            .parquet(cells_path)
+            .parquet(root)
         )
     return bid
 
@@ -855,10 +883,12 @@ def compact_ivf_cells(spark, path: str) -> int:
     stores. Returns the number of batches folded."""
     import os
 
-    from .signature_store import swap_in_generation
+    from .signature_store import _read_store, swap_in_generation
 
     cells_path = os.path.join(path, "cells")
-    cells = spark.read.parquet(cells_path)
+    cells = _read_store(spark, cells_path)
+    if cells is None:
+        return 0
     n_batches = cells.select("batch_id").distinct().count()
     if n_batches <= 1:
         return n_batches
@@ -893,11 +923,14 @@ def expire_ivf_batches(path: str, keep_from_batch: int) -> list[str]:
     cells_path = store_fs.join(path, "cells")
     removed = []
     with maintenance_lease(cells_path):
-        for cell_dir in store_fs.list_subdirs(cells_path):
+        root = store_fs.resolve_current(cells_path)
+        if root is None:
+            return []
+        for cell_dir in store_fs.list_subdirs(root):
             if not cell_dir.startswith("cell="):
                 continue
             got = store_fs.expire_prefixed_partitions(
-                store_fs.join(cells_path, cell_dir),
+                store_fs.join(root, cell_dir),
                 "batch_id=",
                 lambda v: int(v) < keep_from_batch,
             )

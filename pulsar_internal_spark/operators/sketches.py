@@ -93,11 +93,17 @@ def append_sketch_batch(
     reprocessed content became empty still REPLACES its old partition
     (the replace-on-retry contract would silently not hold for a
     zero-row dynamic overwrite)."""
-    from .signature_store import _read_store, ensure_no_orphan_generation
+    from .signature_store import (
+        _begin_store_write,
+        _commit_store_init,
+        _read_store,
+        ensure_no_orphan_generation,
+    )
 
     ensure_no_orphan_generation(store_path)
+    root, init = _begin_store_write(store_path)
     if batch_id is None:
-        existing = _read_store(spark, store_path)
+        existing = None if init else _read_store(spark, store_path)
         batch_id = (
             0
             if existing is None
@@ -113,8 +119,10 @@ def append_sketch_batch(
         cells.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
-        .parquet(store_path)
+        .parquet(root)
     )
+    if init:
+        _commit_store_init(store_path)
     return batch_id
 
 
@@ -129,7 +137,13 @@ def serve_sketch(spark: SparkSession, store_path: str) -> DataFrame:
     absent cell are the same sketch state (estimate_counts zero-fills
     on its left join), so serving stays bit-identical to the one-shot
     sketch."""
-    df = spark.read.parquet(store_path)
+    from .signature_store import _read_store
+
+    df = _read_store(spark, store_path)
+    if df is None:
+        raise FileNotFoundError(
+            f"sketch store {store_path} has no committed generation"
+        )
     expected = {f.split()[0] for f in CELL_SCHEMA.split(", ")}
     missing = expected - set(df.columns)
     if missing:
@@ -190,14 +204,15 @@ def compact_sketch_store(spark: SparkSession, store_path: str) -> int:
 
     MAINTENANCE WINDOW CONTRACT (same as signature_store.compact_store):
     run from the single maintainer, not concurrently with appends — an
-    append that lands between the merge read and the swap would vanish
-    with the old generation. Readers see a complete generation (old or
-    new, never torn data), but the store path is briefly absent between
-    the swap's two renames — a concurrent serve_sketch may transiently
-    hit PATH_NOT_FOUND and should retry (see swap_in_generation)."""
-    from .signature_store import swap_in_generation
+    append that lands between the merge read and the pointer flip would
+    vanish with the superseded generation. Readers see a complete
+    generation (old or new, never torn data) and the store stays
+    continuously readable across the flip (see swap_in_generation)."""
+    from .signature_store import _read_store, swap_in_generation
 
-    store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path)
+    if store is None:
+        return 0
     ids = sorted(r.batch_id for r in store.select("batch_id").distinct().collect())
     if len(ids) <= 2:
         return 0

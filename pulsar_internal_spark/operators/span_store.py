@@ -9,7 +9,8 @@ k-grams against the store — the same incremental shape as
 signature_store.py (MinHash) and sketches.py (count-min), completing the
 family for the exact-substring tier.
 
-Store layout: parquet at ``store_path`` with columns
+Store layout: pointer-committed generation store (see signature_store /
+store_fs, round 7) whose live generation holds parquet columns
 (kh, owner_doc, batch_id), hive-partitioned by ``batch_id`` — one row per
 k-gram hash FIRST SEEN in that batch (appends anti-join history, so the
 store is the distinct k-gram set, not the occurrence stream). History
@@ -46,7 +47,13 @@ from pyspark.sql import functions as F
 
 from .dedup import dup_span_intervals, tokenized
 from ..staging import stage
-from .signature_store import _read_store
+from .signature_store import (
+    _begin_store_write,
+    _commit_store_init,
+    _read_parquet_or_none,
+    _read_store,
+    ensure_no_orphan_generation,
+)
 
 SPAN_STORE_SCHEMA = "kh STRING, owner_doc BIGINT, batch_id INT"
 
@@ -102,7 +109,9 @@ def _append_kg(
     batch_id: int | None,
     id_col: str,
 ) -> int:
-    store = _read_store(spark, store_path)
+    ensure_no_orphan_generation(store_path)
+    root, init = _begin_store_write(store_path)
+    store = None if init else _read_store(spark, store_path)
     if batch_id is None:
         if store is None:
             bid = 0
@@ -118,14 +127,16 @@ def _append_kg(
         firsts = firsts.join(hist_khs, "kh", "left_anti")
     out = firsts.withColumn("batch_id", F.lit(bid).cast("int"))
     if batch_id is None:
-        out.write.mode("append").partitionBy("batch_id").parquet(store_path)
+        out.write.mode("append").partitionBy("batch_id").parquet(root)
     else:
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(store_path)
+            .parquet(root)
         )
+    if init:
+        _commit_store_init(store_path)
     return bid
 
 
@@ -159,7 +170,11 @@ def _spans_kg(
     k: int,
     id_col: str,
 ) -> DataFrame:
-    store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"k-gram store {store_path} has no committed generation"
+        )
     # the store is first-seen-DISTINCT by construction (appends anti-join
     # history), so each kh has exactly one row — owner lookup is a plain
     # partition-pruned scan, no per-batch re-aggregation of history
@@ -300,7 +315,9 @@ def compact_span_store(spark: SparkSession, store_path: str) -> int:
     the other stores (swap_in_generation). Returns batches folded."""
     from .signature_store import swap_in_generation
 
-    store = spark.read.parquet(store_path)
+    store = _read_store(spark, store_path)
+    if store is None:
+        return 0
     n_batches = store.select("batch_id").distinct().count()
     if n_batches <= 1:
         return n_batches
@@ -388,10 +405,8 @@ def read_span_sink(
     (zero-span batches skip their write — see streaming_substring_dedup),
     so a bare spark.read.parquet would fail; consumers get a typed
     empty frame instead and their downstream plans stay valid."""
-    from .signature_store import _read_store
-
     schema = (
         f"{id_col} BIGINT, span_start BIGINT, span_end BIGINT, batch_id INT"
     )
-    got = _read_store(spark, spans_path)
+    got = _read_parquet_or_none(spark, spans_path)
     return got if got is not None else spark.createDataFrame([], schema)

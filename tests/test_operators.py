@@ -932,8 +932,12 @@ def test_incremental_minhash_equals_batch_on_union(spark, sf_dir, tmp_path):
         f"extra={sorted(got - want)[:5]}"
     )
 
-    # store layout: one hive partition per batch (prunable increments)
-    parts = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    # store layout: pointer-committed generation holding one hive
+    # partition per batch (prunable increments)
+    from pulsar_internal_spark.operators import store_fs as SFS
+
+    root = SFS.resolve_current(store)
+    parts = sorted(d for d in os.listdir(root) if d.startswith("batch_id="))
     assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
 
 
@@ -1160,8 +1164,12 @@ def test_signature_store_compaction_and_retention(spark, sf_dir, tmp_path):
     assert folded == 2
     import os
 
+    from pulsar_internal_spark.operators import store_fs as SFS
+
     assert sorted(
-        d for d in os.listdir(compacted) if d.startswith("batch_id=")
+        d
+        for d in os.listdir(SFS.resolve_current(compacted))
+        if d.startswith("batch_id=")
     ) == ["batch_id=0"]
 
     # new batch: candidates identical against compacted vs plain store
@@ -1358,8 +1366,12 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
 
     folded = SS.compact_span_store(spark, store)
     assert folded == 3
+    from pulsar_internal_spark.operators import store_fs as SFS
+
     assert sorted(
-        d for d in os.listdir(store) if d.startswith("batch_id=")
+        d
+        for d in os.listdir(SFS.resolve_current(store))
+        if d.startswith("batch_id=")
     ) == ["batch_id=0"]
     replay = batches[2]
     spans_after = {
@@ -1379,12 +1391,45 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     # leaves the store row count unchanged
     import duckdb
 
-    n1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    root = SFS.resolve_current(store)
+    n1 = duckdb.sql(f"SELECT COUNT(*) FROM '{root}/*/*.parquet'").fetchone()[0]
     SS.append_kgram_batch(spark, replay, store, batch_id=9)
-    a1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    a1 = duckdb.sql(f"SELECT COUNT(*) FROM '{root}/*/*.parquet'").fetchone()[0]
     SS.append_kgram_batch(spark, replay, store, batch_id=9)
-    a2 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    a2 = duckdb.sql(f"SELECT COUNT(*) FROM '{root}/*/*.parquet'").fetchone()[0]
     assert a1 == a2 >= n1
+
+
+def test_crashed_first_append_is_rebuilt(spark, tmp_path):
+    """A first append that died AFTER creating gen-00000000 but BEFORE
+    the pointer commit leaves the one legitimate pointerless state; by
+    the replay contract its caller never saw success, so the retry
+    must REBUILD gen-0 (stacking onto the leftover would double rows)
+    and commit the pointer. Any other pointerless generation refuses
+    (covered by the damage-guard tests)."""
+    import os
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import store_fs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "crashed_first")
+    leftover = os.path.join(store, store_fs.FIRST_GEN)
+    os.makedirs(os.path.join(leftover, "batch_id=0"))
+    with open(os.path.join(leftover, "batch_id=0", "_junk"), "w") as f:
+        f.write("partial crashed write")
+    assert store_fs.read_pointer(store) is None
+
+    assert S.append_signature_batch(spark, docs, store) == 0
+    assert store_fs.read_pointer(store) == store_fs.FIRST_GEN
+    assert not os.path.exists(
+        os.path.join(leftover, "batch_id=0", "_junk")
+    ), "retry must rebuild gen-0, not stack onto the crashed leftover"
+    # and the rebuilt store is a normal store: next append increments
+    assert S.append_signature_batch(spark, docs, store) == 1
 
 
 def test_maintenance_lease_blocks_concurrent_maintainers(spark, tmp_path):
@@ -1554,7 +1599,7 @@ def test_ivf_store_compaction_and_expiry(spark, tmp_path):
 
     assert sim.compact_ivf_cells(spark, idx) == 2
     # every cell now holds exactly the base batch leaf
-    cells_local = os.path.join(local, "cells")
+    cells_local = store_fs.resolve_current(os.path.join(local, "cells"))
     for cell_dir in sorted(os.listdir(cells_local)):
         if cell_dir.startswith("cell="):
             subs = [
@@ -1575,7 +1620,9 @@ def test_ivf_store_compaction_and_expiry(spark, tmp_path):
     assert removed and all("batch_id=0" in r for r in removed)
     served = {
         r.vec_id
-        for r in spark.read.parquet(store_fs.join(idx, "cells"))
+        for r in spark.read.parquet(
+            store_fs.resolve_current(store_fs.join(idx, "cells"))
+        )
         .select("vec_id")
         .distinct()
         .collect()
@@ -1657,28 +1704,46 @@ def test_store_maintenance_routes_uris_via_hadoop_fs(spark, tmp_path):
     b0 = S.append_signature_batch(spark, docs.filter("doc_id < 4"), uri)
     b1 = S.append_signature_batch(spark, docs.filter("doc_id >= 4"), uri)
     assert (b0, b1) == (0, 1)
-    # both routes see the same store
+    # both routes see the same store: pointer + gen-0 written via the
+    # Hadoop FileSystem client, readable through the os fast-path
     assert store_fs.is_dir(uri) and os.path.isdir(local)
-    assert store_fs.list_subdirs(uri) == store_fs.list_subdirs(local)
-    rows_before = spark.read.parquet(uri).count()
+    assert store_fs.read_pointer(uri) == store_fs.FIRST_GEN
+    assert store_fs.read_pointer(local) == store_fs.FIRST_GEN
+    assert store_fs.list_generations(uri) == store_fs.list_generations(local)
+    rows_before = spark.read.parquet(uri + "/" + store_fs.FIRST_GEN).count()
 
-    # compaction = staged swap: Hadoop-FS delete sweeps + two renames
+    # compaction = pointer commit: next generation written via Hadoop
+    # FS, pointer create-overwritten, superseded generation deleted
     assert S.compact_store(spark, uri) == 2
-    assert store_fs.list_subdirs(uri) == ["batch_id=0"]
-    assert not os.path.isdir(local + ".old") and not os.path.isdir(
-        local + ".compacting"
+    cur = store_fs.read_pointer(uri)
+    assert cur == store_fs.next_generation(store_fs.FIRST_GEN)
+    assert store_fs.list_generations(local) == [cur], (
+        "superseded generation must be cleaned up"
     )
-    assert spark.read.parquet(uri).count() == rows_before
+    root = store_fs.resolve_current(uri)
+    assert store_fs.list_subdirs(root) == ["batch_id=0"]
+    assert spark.read.parquet(root).count() == rows_before
 
-    # expiry: partition delete on the store's own filesystem
+    # expiry: partition delete inside the pointed generation
     S.append_signature_batch(spark, docs.filter("doc_id >= 4"), uri)
     assert S.expire_batches(uri, keep_from_batch=1) == [0]
-    assert store_fs.list_subdirs(uri) == ["batch_id=1"]
+    assert store_fs.list_subdirs(store_fs.resolve_current(uri)) == ["batch_id=1"]
 
-    # orphan guard fires through the Hadoop probe too
-    os.rename(local, local + ".old")
-    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+    # damage guards fire through the Hadoop probe too: a pointer whose
+    # generation dir vanished, and a real store whose pointer was deleted
+    os.rename(
+        os.path.join(local, cur), os.path.join(local, cur) + "_hidden"
+    )
+    with pytest.raises(RuntimeError, match="generation directory is missing"):
         S.ensure_no_orphan_generation(uri)
+    os.rename(
+        os.path.join(local, cur) + "_hidden", os.path.join(local, cur)
+    )
+    os.remove(os.path.join(local, store_fs.POINTER))
+    with pytest.raises(RuntimeError, match="lost its pointer"):
+        S.ensure_no_orphan_generation(uri)
+    store_fs.write_pointer(uri, cur)  # operator recovery via Hadoop route
+    assert store_fs.read_pointer(local) == cur
     # and a clean missing store stays a no-op on both routes
     S.ensure_no_orphan_generation(str(tmp_path / "fresh"))
     S.ensure_no_orphan_generation("file://" + str(tmp_path / "fresh"))
@@ -1867,11 +1932,15 @@ def test_ivf_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
 
     S.ivf_index_append(spark, half_b, idx)
 
+    from pulsar_internal_spark.operators import store_fs
+
     cents = {
         r.cell: r.centroid
         for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
     }
-    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    cells = spark.read.parquet(
+        store_fs.resolve_current(os.path.join(idx, "cells"))
+    )
     b_ids = {r.vec_id for r in half_b.select("vec_id").collect()}
     got = {
         r.vec_id: (r.cell, r.embedding)

@@ -959,16 +959,19 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     # idempotence: replaying the LAST batch id must not change the store
     import duckdb
 
+    from pulsar_internal_spark.operators import store_fs
+
+    root = store_fs.resolve_current(store)
     last_bid = max(
         int(r.batch_id)
-        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+        for r in spark.read.parquet(root).select("batch_id").distinct().collect()
     )
     replay = docs.filter(F.col("doc_id") >= 12)  # any subset; same bid
     S.append_signature_batch(spark, replay, store, batch_id=last_bid)
     S.append_signature_batch(spark, replay, store, batch_id=last_bid)
-    after1 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    after1 = duckdb.sql(f"SELECT COUNT(*) FROM '{root}/*/*.parquet'").fetchone()[0]
     S.append_signature_batch(spark, replay, store, batch_id=last_bid)
-    after2 = duckdb.sql(f"SELECT COUNT(*) FROM '{store}/*/*.parquet'").fetchone()[0]
+    after2 = duckdb.sql(f"SELECT COUNT(*) FROM '{root}/*/*.parquet'").fetchone()[0]
     assert after1 == after2, "explicit-batch-id append must be idempotent"
 
 
@@ -1168,6 +1171,53 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     }
     assert got == want and got, f"missing={want - got} extra={got - want}"
 
+    # end-to-end tail (VERDICT r6 #7): cosine-VERIFY the sink's
+    # candidates against the corpus — the streaming mirror of
+    # incremental_semantic_pairs' batch path. Verified streamed pairs
+    # must equal the one-shot verified set, and every planted near-dup
+    # (i, 100+i) must survive verification.
+    v = corpus.select(
+        "vec_id", "embedding", sim._norm(F.col("embedding")).alias("nrm")
+    )
+
+    def verify(pairs_df):
+        ja = pairs_df.join(
+            v.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        jb = ja.join(
+            v.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        cos = F.round(
+            sim._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        )
+        return jb.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+            F.col("cos_sim") >= 0.35
+        )
+
+    sink_pairs = S.read_candidates_sink(spark, cands).select("id_a", "id_b")
+    got_v = {(r.id_a, r.id_b, r.cos_sim) for r in verify(sink_pairs).collect()}
+    want_v = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in verify(
+            sim.lsh_blocked_pairs(corpus).select("id_a", "id_b")
+        ).collect()
+    }
+    assert got_v == want_v and got_v
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= {(a, b) for a, b, _ in got_v}, (
+        "every planted near-dup must survive cosine verification"
+    )
+
 
 def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     """Continuous IVF ingestion: embedding batches arriving as streamed
@@ -1230,7 +1280,9 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     # exactly-once: replaying an explicit batch id must not grow the index
     import os
 
-    cells = os.path.join(streamed, "cells")
+    from pulsar_internal_spark.operators import store_fs
+
+    cells = store_fs.resolve_current(os.path.join(streamed, "cells"))
     n1 = spark.read.parquet(cells).count()
     sim.ivf_index_append(spark, df_b, streamed, batch_id=1)
     sim.ivf_index_append(spark, df_b, streamed, batch_id=1)
@@ -1248,7 +1300,7 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
         num_centroids=4, trigger={"availableNow": True},
     )
     q2.awaitTermination(120)
-    got_uri = spark.read.parquet(uri_index + "/cells")
+    got_uri = spark.read.parquet(store_fs.resolve_current(uri_index + "/cells"))
     assert got_uri.select("vec_id").distinct().count() == 60
     assert {r.batch_id for r in got_uri.select("batch_id").distinct().collect()} == {0, 1}
 
@@ -1292,9 +1344,15 @@ def test_streaming_ivf_skips_empty_first_batch(spark, tmp_path):
         num_centroids=4, trigger={"availableNow": True},
     )
     q.awaitTermination(120)
+    from pulsar_internal_spark.operators import store_fs
+
     served = {
         r.vec_id
-        for r in spark.read.parquet(idx + "/cells").select("vec_id").collect()
+        for r in spark.read.parquet(
+            store_fs.resolve_current(idx + "/cells")
+        )
+        .select("vec_id")
+        .collect()
     }
     assert served == {v[0] for v in vecs}
 

@@ -78,7 +78,50 @@ HEADLINERS: list[tuple[str, str]] = [
     ("semantic_dedup_keepers", "SemDeDup: LSH-bucketed cosine pairs -> pointer-jumping components -> keep-one verdict, no corpus-quadratic stage"),
     ("incremental_semantic_pairs", "incremental semantic dedup: sign-LSH bands vs the shared banded store, candidates cosine-verified"),
     ("bigram_lm_xent", "bigram-LM scoring: two map-side-combined LM aggregates, broadcast V, vocabulary-sized scoring join"),
+    ("bigram_lm_xent_interp", "interpolated (Jelinek-Mercer) LM: unigram table joined twice (context + target), 1-row broadcast token mass"),
+    ("ivf_cosine_topk", "IVF serving: frozen-quantizer argmin cell assignment (narrow array_min, no corpus explode), broadcast probed cells, one top-k window"),
 ]
+
+
+def normalize_plan(plan: str) -> str:
+    """Strip run- and session-variant tokens from a physical-plan string
+    so its hash is stable across sessions: expression/plan ids, exchange
+    reuse ids, partition counts (the test session runs 8 shuffle
+    partitions, the generator 32), filesystem paths (sf dirs, demo-store
+    uuid tempdirs, checkpoint RDD names), and file-index statistics."""
+    import re
+
+    s = plan
+    s = re.sub(r"#\d+[A-Za-z]*", "#N", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=N", s)
+    s = re.sub(r"\[id=#?N?\d*\]", "[id=N]", s)
+    s = re.sub(r"\[plan_id=N\]", "[plan_id=N]", s)
+    s = re.sub(r"(hashpartitioning|rangepartitioning)\((.*?), \d+\)", r"\1(\2, N)", s)
+    s = re.sub(r"coalesce\(\d+\)", "coalesce(N)", s)
+    s = re.sub(r"(file:)?/[^\s,)\]]*", "PATH", s)
+    s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(N)", s)
+    s = re.sub(r"\d+ paths", "N paths", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics(N)", s)
+    s = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[N]", s)
+    s = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def initial_plan_string(df) -> str:
+    """The STATIC physical plan (pre-AQE-execution) — what code changes
+    move; runtime-only AQE decisions are deliberately out of scope for
+    the drift hash (the displayed EXPLAIN.md sections still show the
+    final executed plans)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_hash(df) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        normalize_plan(initial_plan_string(df)).encode()
+    ).hexdigest()[:16]
 
 
 def main() -> None:
@@ -94,14 +137,25 @@ def main() -> None:
     out = [
         "# EXPLAIN — headline query plans (sf0.01, final AQE plans)",
         "",
-        f"Generated at commit `{head}` — if plans changed since, regenerate",
-        "with `python tools/gen_explain.py` (staleness is self-evident by",
-        "diffing that commit).",
+        f"Generated at commit `{head}` — regenerate with",
+        "`python tools/gen_explain.py` after plan-affecting changes.",
+        "Staleness is ENFORCED, not conventional: EXPLAIN.hashes.json",
+        "carries a normalized hash of each section's static physical",
+        "plan, and tests/test_explain_drift.py recomputes every hash at",
+        "HEAD — a plan change without a regeneration fails the suite.",
         "",
     ]
+    hashes: dict[str, str] = {}
     for name, blurb in HEADLINERS:
         df = QUERIES[name](spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()  # finalize AQE
+        hashes[name] = plan_hash(df)  # static plan BEFORE materialization
+        # materialize through the DataFrame's OWN QueryExecution so AQE
+        # finalizes IT (a noop write runs a separate QueryExecution and
+        # leaves this one isFinalPlan=false — the pre-round-7 sections
+        # showed initial plans for that reason); results are small at
+        # sf0.01, and the final plan is the one that shows real AQE
+        # decisions (coalesced reads, skew splits, reused exchanges)
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString().rstrip()
         # keep the plan readable: truncate pathological single lines
         lines = [
@@ -109,9 +163,14 @@ def main() -> None:
             for line in plan.splitlines()
         ]
         out += [f"## {name}", "", f"*{blurb}*", "", "```", *lines, "```", ""]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote EXPLAIN.md with {len(HEADLINERS)} plans")
+    import json
+
+    with open(os.path.join(repo, "EXPLAIN.hashes.json"), "w") as f:
+        json.dump({"_meta": {"commit": head}, **hashes}, f, indent=1)
+    print(f"wrote EXPLAIN.md + EXPLAIN.hashes.json with {len(HEADLINERS)} plans")
 
 
 if __name__ == "__main__":
