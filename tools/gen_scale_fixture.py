@@ -19,7 +19,14 @@ are scale-invariant):
   copy*STRIDE, FK columns shifted in lockstep so referential integrity
   holds within each copy; dates/amounts untouched (same date range at
   10x density — the correct densification for window/agg scaling).
-- events: event_id/user_id shifted; 10x users, same per-user timeline.
+- events: event_id/user_id shifted; each copy's TIMELINE shifted by
+  copy*64 days (past the ~27-day source span) — 10x users over 10x the
+  calendar, so per-minute/hour/session bucket sizes stay CONSTANT.
+  Keeping the original timestamps instead densifies every time bucket
+  10x, and anything keyed on a time bucket (minute co-occurrence
+  edges, hour-range joins) grows quadratically in the factor (measured
+  139x candidate pairs at 10x) — a fixture artifact, same class as the
+  identical-document 10-clique above.
 - documents: doc_id shifted; every TOKEN gets a per-copy suffix
   (regexp '(\\S+)' -> '\\1xN'), so within-copy near-dup structure is
   EXACTLY the original corpus's while cross-copy shingle/k-gram overlap
@@ -69,6 +76,17 @@ def copy_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
             parts.append(
                 rf"CAST(length(regexp_replace(text, '(\S+)', '\1x{i}', 'g')) AS BIGINT) AS n_chars"
             )
+        elif table == "events" and name == "ts" and i > 0:
+            # each copy is ANOTHER MONTH of the same workload: shift its
+            # timeline past the source span (~27 days) so minute/hour/
+            # session buckets never collide across copies. Without this,
+            # 10 copies densify every minute bucket 10x and any query
+            # keyed on a time bucket (co-occurrence edges, range joins)
+            # grows QUADRATICALLY in the factor — measured 139x pair
+            # growth at factor 10 — which measures the fixture, not the
+            # operator. Per-bucket group sizes must stay constant, the
+            # same invariant the key STRIDE enforces for id moduli.
+            parts.append(f"ts + INTERVAL {i * 64} DAY AS ts")
         elif table == "embeddings" and name == "embedding" and i > 0:
             # circular rotate by i: norm-preserving, kills cross-copy cosine
             parts.append(
