@@ -467,6 +467,364 @@ def ivf_fixed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encode: map each vector to M small codes —
+    code j = argmin over codebook j of squared L2 distance between the
+    j-th contiguous subvector and the codebook entry. One NARROW map
+    over inlined codebook literals (array_min of (d2, code) structs per
+    subspace — struct ordering breaks ties to the smaller code,
+    deterministically), no explode, no shuffle, no UDF. At 100 TB this
+    runs once at ingest and the serving scan stores/reads ONLY the
+    codes: M=16 x 4-bit codes replace 64 float32s (32x), which is the
+    memory story that makes billion-vector ANN fit a cluster."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+
+    def d2(sv, ctr):
+        return F.aggregate(
+            F.zip_with(
+                sv, ctr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_j(j: int):
+        sv = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    d2(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in ctr]),
+                    ).alias("d2"),
+                    F.lit(c).alias("code"),
+                )
+                for c, ctr in enumerate(codebooks[j])
+            ]
+        )
+        return F.array_min(cands)["code"]
+
+    return df.withColumn(out_col, F.array(*[code_j(j) for j in range(m)]))
+
+
+def pq_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN serving (asymmetric distance / ADC):
+    the third rung of the approximation ladder after sign-LSH banding
+    and IVF probing, and the MEMORY answer at 100 TB — the hot scan
+    touches only M=16 4-bit codes per vector, never the floats.
+
+    Phases (all JVM-side, codebooks inlined as plan literals exactly
+    like ivf_fixed_topk serves its frozen centroids):
+      1. encode — pq_encode's narrow map (offline at real scale; in
+         this one-plan demo it runs fused into the scan);
+      2. ADC scan — each query precomputes an M x KSUB lookup table
+         (dot of its j-th subvector with every codebook entry, summed
+         in index order) plus a shared literal table of entry norms;
+         a corpus row's approximate cosine is then M table lookups
+         (zip_with codes x tables), no per-pair float math. Queries
+         are broadcast (small by contract); per-query shortlist of
+         ``shortlist`` by (score desc, id) is the only shuffle, keyed
+         by query id;
+      3. exact re-rank — the shortlist (Q x shortlist rows, tiny) is
+         broadcast back onto the corpus to fetch TRUE vectors for the
+         survivors only; exact cosine, top-``k``. Final scores are
+         exact, so approximation affects WHICH candidates are ranked,
+         never the reported similarity.
+
+    Every arithmetic step folds in index order over the same literals
+    the DuckDB oracle replays, so pq_adc_topk is value-checked
+    end-to-end (same discipline as _ivf_oracle_sql)."""
+    m, ksub = len(codebooks), len(codebooks[0])
+
+    def subdot(sv, ctr):
+        return F.aggregate(
+            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dsub = len(codebooks[0][0])
+    # literal M x KSUB table of codebook-entry squared norms, folded in
+    # index order (matches the oracle's list_sum over list_transform)
+    norms_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(sum(x * x for x in ctr)))
+                    for ctr in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+
+    coded = pq_encode(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        codebooks,
+        vec_col="cv",
+    ).select("neighbor_id", "codes")
+
+    q_tabs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        subdot(
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                            F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        )
+                        for c in range(ksub)
+                    ]
+                )
+                for j in range(m)
+            ]
+        ).alias("tables"),
+    )
+
+    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
+        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        coded.join(F.broadcast(q_tabs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                lut(F.col("tables"))
+                / F.sqrt(F.greatest(lut(norms_lit), F.lit(1e-12)))
+            ).alias("score"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    rer = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def ivfpq_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ combined serving — the classic billion-scale ANN index
+    layout (coarse cells prune WHICH vectors are scanned, PQ codes
+    prune WHAT the scan reads): corpus rows carry (cell, codes) only;
+    a query probes its nprobe closest cells and ADC-scores just those
+    cells' codes, so the scan cost is (nprobe/num_cells) of the corpus
+    at 8 bytes per row — both prunings compound, which is why this is
+    the shape billion-vector deployments actually run.
+
+    Plan: cell assignment AND PQ encode are one narrow map over plan
+    literals (no shuffle); the probed-cells x ADC-tables query frame is
+    broadcast and joined BY CELL (a keyed BroadcastHashJoin — compare
+    pq_fixed_topk's keyless scan of everything); per-query shortlist
+    window, then the tiny shortlist broadcasts back to fetch true
+    vectors for the exact cosine re-rank. Deterministic end to end
+    over the same frozen literals the DuckDB twin replays
+    (_ivfpq_oracle_sql), so the query is value-checked, not
+    recall-checked."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+
+    def d2(vec, cent):
+        return F.aggregate(
+            F.zip_with(
+                vec, cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def subdot(sv, ctr):
+        return F.aggregate(
+            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norms_lit = F.array(
+        *[
+            F.array(
+                *[F.lit(float(sum(x * x for x in ctr))) for ctr in codebooks[j]]
+            )
+            for j in range(m)
+        ]
+    )
+
+    coded = pq_encode(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        codebooks,
+        vec_col="cv",
+    ).withColumn(
+        "cell",
+        F.array_min(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    d2(F.col("cv"), c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"],
+    ).select("neighbor_id", "cell", "codes")
+
+    q_side = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn(
+            "probed",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cent_lit,
+                        lambda c: F.struct(
+                            d2(F.col("qv"), c["centroid"]).alias("d2"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .withColumn(
+            "tables",
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            subdot(
+                                F.slice(F.col("qv"), j * dsub + 1, dsub),
+                                F.array(
+                                    *[F.lit(float(x)) for x in codebooks[j][c]]
+                                ),
+                            )
+                            for c in range(ksub)
+                        ]
+                    )
+                    for j in range(m)
+                ]
+            ),
+        )
+        .select(
+            "query_id", "tables", F.explode("probed").alias("_p")
+        )
+        .select("query_id", "tables", F.col("_p.cell").alias("cell"))
+    )
+
+    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
+        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        coded.join(F.broadcast(q_side), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                lut(F.col("tables"))
+                / F.sqrt(F.greatest(lut(norms_lit), F.lit(1e-12)))
+            ).alias("score"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    rer = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
 def _band_structs(projs_col, planes_per_band: int, num_bands: int):
     """(band_idx, band_key) structs from a staged projection array —
     band b's key is the sign-bit string of planes
@@ -625,6 +983,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Materialize an IVF index: train the coarse quantizer (sampled
     kmeans, same recipe as ivf_topk), assign every corpus vector to its
@@ -687,6 +1046,25 @@ def build_ivf_index(
         "cell",
         F.lit(0).cast("int").alias("batch_id"),
     )
+    if codebooks is not None:
+        # PQ-carrying index: the codebooks are INDEX STATE (written
+        # beside the centroids, read back by appends and the ADC
+        # probe), and every stored row additionally carries its M
+        # codes — the 8-byte column the ADC scan reads INSTEAD of the
+        # embedding column, which parquet then never decodes on the
+        # scan path (column pruning, plan-tested)
+        cb_rows = [
+            (j, c, [float(x) for x in ctr])
+            for j, book in enumerate(codebooks)
+            for c, ctr in enumerate(book)
+        ]
+        spark.createDataFrame(
+            cb_rows, "j INT, c INT, ctr ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        )
+        assigned = pq_encode(assigned, codebooks, vec_col="embedding")
+
     # the cells dir is a pointer-committed generation store (round 7,
     # shared layout with the signature/sketch/span stores): a build is
     # a full (re)create — clear any prior generations, write gen-0,
@@ -772,6 +1150,28 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _read_index_codebooks(spark, path: str) -> list[list[list[float]]] | None:
+    """Load a persisted index's PQ codebooks ({path}/codebooks) back
+    into the nested-list literal form pq_encode consumes, or None for
+    a plain IVF index. The collect is O(M x KSUB) rows (256 for the
+    suite's 16x16 config) — driver-side by design: the codebooks must
+    become PLAN LITERALS so encode/ADC stay whole-stage-codegen'd."""
+    import os
+
+    from . import store_fs
+
+    cb_path = os.path.join(path, "codebooks")
+    if not store_fs.is_dir(cb_path):
+        return None
+    rows = spark.read.parquet(cb_path).collect()
+    m = 1 + max(r.j for r in rows)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        entries = sorted((r for r in rows if r.j == j), key=lambda r: r.c)
+        books.append([[float(x) for x in r.ctr] for r in entries])
+    return books
+
+
 def ivf_index_append(
     spark,
     new_vectors: DataFrame,
@@ -800,7 +1200,12 @@ def ivf_index_append(
     (cell, batch_id) leaves instead of double-appending vectors: the
     same exactly-once contract as append_signature_batch and the
     sketch store. ``batch_id=None`` appends under the next sequential
-    id. Returns the batch_id used."""
+    id. Returns the batch_id used.
+
+    If the index was built WITH PQ codebooks ({path}/codebooks
+    present), the batch's codes are computed here with those exact
+    codebooks — appenders cannot drift from the index's quantizer
+    because the quantizer IS index state, not a caller argument."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
@@ -832,6 +1237,9 @@ def ivf_index_append(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", "norm", "cell")
     )
+    books = _read_index_codebooks(spark, path)
+    if books is not None:
+        assigned = pq_encode(assigned, books, vec_col="embedding")
     from . import store_fs
     from .signature_store import _read_store, ensure_no_orphan_generation
 
@@ -867,6 +1275,154 @@ def ivf_index_append(
     return bid
 
 
+def ivf_index_adc_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PQ-carrying persisted IVF index the way a billion-scale
+    deployment does: the probed cells' scan projects ONLY
+    (vec_id, cell, codes) — parquet never decodes the embedding column
+    on the hot path (column pruning + the partition pruning the cell
+    layout already enforces: nprobe/num_cells of the index at ~8 bytes
+    per row) — scores by ADC over the index's OWN codebooks
+    (read back as plan literals via _read_index_codebooks, so the
+    probe can never drift from what appends encoded), shortlists per
+    query, and re-ranks exactly by fetching true vectors for the
+    shortlist ids alone. The in-plan twin is ivfpq_fixed_topk; this is
+    the same math over the persisted layout, equivalence-tested."""
+    import os
+
+    books = _read_index_codebooks(spark, path)
+    if books is None:
+        raise FileNotFoundError(
+            f"IVF index {path} carries no PQ codebooks — build_ivf_index"
+            " with codebooks=... first (or probe with ivf_index_topk)"
+        )
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+
+    def subdot(sv, ctr):
+        return F.aggregate(
+            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norms_lit = F.array(
+        *[
+            F.array(*[F.lit(float(sum(x * x for x in ctr))) for ctr in books[j]])
+            for j in range(m)
+        ]
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_cells = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "centroid",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .withColumn(
+            "tables",
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            subdot(
+                                F.slice(F.col("qv"), j * dsub + 1, dsub),
+                                F.array(*[F.lit(float(x)) for x in books[j][c]]),
+                            )
+                            for c in range(ksub)
+                        ]
+                    )
+                    for j in range(m)
+                ]
+            ),
+        )
+        .select("query_id", "tables", "cell")
+    )
+
+    from .signature_store import _read_store
+
+    cells = _read_store(spark, os.path.join(path, "cells"))
+    if cells is None:
+        raise FileNotFoundError(
+            f"IVF index {path} has no committed cells generation"
+        )
+
+    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
+        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        cells.select("vec_id", "cell", "codes")  # embedding col PRUNED
+        .join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                lut(F.col("tables"))
+                / F.sqrt(F.greatest(lut(norms_lit), F.lit(1e-12)))
+            ).alias("score"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    rer = (
+        cells.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
 def compact_ivf_cells(spark, path: str) -> int:
     """Maintenance: fold every (cell, batch_id) second-level partition
     of a persisted IVF index into base batch 0 — completing the shared
@@ -893,9 +1449,11 @@ def compact_ivf_cells(spark, path: str) -> int:
     if n_batches <= 1:
         return n_batches
 
-    folded = cells.select(
-        "vec_id", "embedding", "norm", "cell"
-    ).withColumn("batch_id", F.lit(0).cast("int"))
+    # schema-preserving fold (a PQ-carrying index keeps its codes):
+    # only the batch level is rewritten, every data column rides along
+    folded = cells.drop("batch_id").withColumn(
+        "batch_id", F.lit(0).cast("int")
+    )
 
     def _write(tmp: str) -> None:
         folded.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(

@@ -2558,6 +2558,287 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(k: int = 5, shortlist: int = 50) -> str:
+    """DuckDB twin of pq_fixed_topk over the SAME frozen codebook
+    literals (operators/pq_frozen.CODEBOOKS): per-subspace encode =
+    argmin squared L2 (ties to the smaller code), ADC score = M table
+    lookups folded in subspace order over the query's dot table and
+    the shared entry-norm table, shortlist by (score desc, id), exact
+    cosine re-rank — every float fold replays Spark's index-order
+    aggregate, the _ivf_oracle_sql determinism discipline."""
+    from ..operators.pq_frozen import CODEBOOKS, DSUB, KSUB, M
+
+    cb = " UNION ALL ".join(
+        f"SELECT {j} AS j, {c} AS c, ["
+        + ", ".join(str(x) for x in ctr)
+        + "]::DOUBLE[] AS ctr"
+        for j in range(M)
+        for c, ctr in enumerate(CODEBOOKS[j])
+    )
+    rng = f"range(1, {DSUB + 1})"
+    d2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)]) * "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)])))"
+    )
+    dp = (
+        f"list_sum(list_transform({rng}, i -> "
+        "s.sv[CAST(i AS INT)] * cb.ctr[CAST(i AS INT)]))"
+    )
+    n2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "ctr[CAST(i AS INT)] * ctr[CAST(i AS INT)]))"
+    )
+    mrng = f"range(1, {M + 1})"
+    return f"""
+    WITH cb AS ({cb}),
+    js AS (SELECT DISTINCT j FROM cb),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, js.j, v[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
+      FROM corp CROSS JOIN js
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT s.vec_id, s.j, cb.c,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j ORDER BY {d2}, cb.c) AS rn
+        FROM sub s JOIN cb ON cb.j = s.j)
+      WHERE rn = 1
+    ),
+    codes AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+    cbn AS (SELECT j, c, {n2} AS en2 FROM cb),
+    normj AS (SELECT j, list(en2 ORDER BY c) AS n2s FROM cbn GROUP BY j),
+    normtab AS (SELECT list(n2s ORDER BY j) AS norms FROM normj),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id % 100 = 0),
+    qsub AS (
+      SELECT query_id, js.j, qv[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
+      FROM q CROSS JOIN js
+    ),
+    qdot AS (
+      SELECT s.query_id, s.j, cb.c, {dp} AS dpv
+      FROM qsub s JOIN cb ON cb.j = s.j
+    ),
+    qtabj AS (SELECT query_id, j, list(dpv ORDER BY c) AS tj
+              FROM qdot GROUP BY query_id, j),
+    qtab AS (SELECT query_id, list(tj ORDER BY j) AS tables
+             FROM qtabj GROUP BY query_id),
+    adc AS (
+      SELECT qt.query_id, cd.vec_id AS neighbor_id,
+        list_sum(list_transform({mrng}, j ->
+          qt.tables[CAST(j AS INT)][cd.codes[CAST(j AS INT)] + 1]))
+        / sqrt(greatest(list_sum(list_transform({mrng}, j ->
+          nt.norms[CAST(j AS INT)][cd.codes[CAST(j AS INT)] + 1])), 1e-12))
+        AS score
+      FROM qtab qt CROSS JOIN codes cd CROSS JOIN normtab nt
+      WHERE cd.vec_id <> qt.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, c2.v), 6) AS cos_sim
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN corp c2 ON c2.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= {k}
+    """
+
+
+@_register("pq_adc_topk", _pq_oracle_sql())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (round 7) — the third rung of
+    the approximation ladder (sign-LSH bands -> IVF cells -> PQ codes)
+    and the MEMORY answer at 100 TB: the hot scan reads M=16 4-bit codes
+    per vector (8 bytes, 32x below the 256-byte float32 row), scores by
+    ADC table lookups, and only the per-query shortlist of 50 ever
+    touches real vectors for the exact re-rank. Codebooks are trained offline with
+    the seeded per-subspace kmeans recipe (tools/freeze_pq_codebooks)
+    and served as plan literals — the same frozen-quantizer deployment
+    shape, and the same reason the DuckDB oracle can value-check
+    encode, ADC and re-rank end-to-end. Final cos_sim values are EXACT
+    (re-ranked), so quantization error affects candidate selection
+    only, never reported similarities."""
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.pq_fixed_topk(emb, queries_df, CODEBOOKS, k=5, shortlist=50)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 3, shortlist: int = 50) -> str:
+    """DuckDB twin of ivfpq_fixed_topk: _ivf_oracle_sql's cell
+    assignment/probing CTEs composed with _pq_oracle_sql's encode/ADC
+    CTEs — the candidate pool is the probed cells' members, scored by
+    ADC, shortlisted, exactly re-ranked. Same frozen literals, same
+    index-order float folds, so the combined query stays value-checked."""
+    from ..operators.ivf_frozen import CENTROIDS
+    from ..operators.pq_frozen import CODEBOOKS, DSUB, M
+
+    cent = " UNION ALL ".join(
+        f"SELECT {i} AS cell, ["
+        + ", ".join(str(x) for x in c)
+        + "]::DOUBLE[] AS centroid"
+        for i, c in enumerate(CENTROIDS)
+    )
+    cb = " UNION ALL ".join(
+        f"SELECT {j} AS j, {c} AS c, ["
+        + ", ".join(str(x) for x in ctr)
+        + "]::DOUBLE[] AS ctr"
+        for j in range(M)
+        for c, ctr in enumerate(CODEBOOKS[j])
+    )
+    celld2 = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "(v[CAST(i AS INT)] - centroid[CAST(i AS INT)]) * "
+        "(v[CAST(i AS INT)] - centroid[CAST(i AS INT)])))"
+    )
+    rng = f"range(1, {DSUB + 1})"
+    subd2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)]) * "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)])))"
+    )
+    dp = (
+        f"list_sum(list_transform({rng}, i -> "
+        "s.sv[CAST(i AS INT)] * cb.ctr[CAST(i AS INT)]))"
+    )
+    n2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "ctr[CAST(i AS INT)] * ctr[CAST(i AS INT)]))"
+    )
+    mrng = f"range(1, {M + 1})"
+    return f"""
+    WITH cent AS ({cent}),
+    cb AS ({cb}),
+    js AS (SELECT DISTINCT j FROM cb),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id ORDER BY {celld2}, ct.cell) AS rn
+        FROM corp c CROSS JOIN cent ct)
+      WHERE rn = 1
+    ),
+    sub AS (
+      SELECT vec_id, js.j, v[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
+      FROM corp CROSS JOIN js
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT s.vec_id, s.j, cb.c,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j ORDER BY {subd2}, cb.c) AS rn
+        FROM sub s JOIN cb ON cb.j = s.j)
+      WHERE rn = 1
+    ),
+    codes AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+    cbn AS (SELECT j, c, {n2} AS en2 FROM cb),
+    normj AS (SELECT j, list(en2 ORDER BY c) AS n2s FROM cbn GROUP BY j),
+    normtab AS (SELECT list(n2s ORDER BY j) AS norms FROM normj),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id % 100 = 0),
+    qc AS (
+      SELECT query_id, cell FROM (
+        SELECT qq.query_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY qq.query_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i ->
+                   (qq.qv[CAST(i AS INT)] - ct.centroid[CAST(i AS INT)]) *
+                   (qq.qv[CAST(i AS INT)] - ct.centroid[CAST(i AS INT)]))),
+                 ct.cell) AS rn
+        FROM q qq CROSS JOIN cent ct)
+      WHERE rn <= {nprobe}
+    ),
+    qsub AS (
+      SELECT query_id, js.j, qv[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
+      FROM q CROSS JOIN js
+    ),
+    qdot AS (
+      SELECT s.query_id, s.j, cb.c, {dp} AS dpv
+      FROM qsub s JOIN cb ON cb.j = s.j
+    ),
+    qtabj AS (SELECT query_id, j, list(dpv ORDER BY c) AS tj
+              FROM qdot GROUP BY query_id, j),
+    qtab AS (SELECT query_id, list(tj ORDER BY j) AS tables
+             FROM qtabj GROUP BY query_id),
+    adc AS (
+      SELECT qc.query_id, a.vec_id AS neighbor_id,
+        list_sum(list_transform({mrng}, j ->
+          qt.tables[CAST(j AS INT)][cd.codes[CAST(j AS INT)] + 1]))
+        / sqrt(greatest(list_sum(list_transform({mrng}, j ->
+          nt.norms[CAST(j AS INT)][cd.codes[CAST(j AS INT)] + 1])), 1e-12))
+        AS score
+      FROM qc
+      JOIN assign a ON a.cell = qc.cell
+      JOIN qtab qt ON qt.query_id = qc.query_id
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      CROSS JOIN normtab nt
+      WHERE a.vec_id <> qc.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, c2.v), 6) AS cos_sim
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN corp c2 ON c2.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= {k}
+    """
+
+
+@_register("ivfpq_topk", _ivfpq_oracle_sql())
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined ANN serving (round 7) — the billion-scale
+    index layout both prunings compound into: the frozen coarse
+    quantizer (operators/ivf_frozen) decides WHICH vectors a query
+    scans (nprobe of 8 cells) and the frozen PQ codebooks
+    (operators/pq_frozen) decide WHAT the scan reads (8-byte codes,
+    32x below the float row) — at 100 TB that compounds to reading
+    ~nprobe/num_cells of the corpus at 1/32 the bytes per row, with
+    the cell-partitioned store layout ivf_index_append already
+    persists. ADC-scored candidates shortlist per query; only the
+    shortlist of 50 touches true vectors for the exact re-rank, so
+    reported cos_sim values are exact. Value-oracle-checked end-to-end
+    (_ivfpq_oracle_sql replays assignment, encoding, probing, ADC and
+    re-rank over the same frozen literals)."""
+    from ..operators.ivf_frozen import CENTROIDS
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim_ops.ivfpq_fixed_topk(
+        emb, queries_df, CENTROIDS, CODEBOOKS, k=5, nprobe=3, shortlist=50
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @_register(
     "simhash_fingerprints",
     r"""

@@ -1046,6 +1046,156 @@ def test_ann_recall_regression_planted_neighbors(spark, tmp_path):
     assert ivfi_recall >= 0.80, f"persisted-IVF recall@5 collapsed: {ivfi_recall}"
 
 
+def test_pq_adc_recall_planted_neighbors(spark):
+    """PQ recall@5 gate (round 7, same planted-neighbor construction as
+    the LSH/IVF gate): 20 base queries x 5 planted neighbors at tiered
+    similarity among 200 random distractors, every vector UNIT-
+    NORMALIZED — the frozen codebooks are trained on the unit-norm
+    embeddings fixture, and serving a PQ index out of its training
+    scale is a deployment error, not a robustness target. ADC
+    shortlist-50 + exact re-rank must keep recall@5 >= 0.8 (measured
+    1.00 at pin time on this fixture; 0.87 against exact top-5 on the
+    harder near-random sf0.1 embeddings), and because the final scores
+    are EXACT cosines,
+    every returned pair that brute force also returns must carry an
+    IDENTICAL rounded cos_sim — the approximation may only affect
+    which candidates surface, never a reported value."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators import similarity as sim
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS
+
+    rng = np.random.default_rng(7)
+    dim, nq, nd = 64, 20, 200
+    bases = rng.normal(size=(nq, dim))
+
+    def unit(v):
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rows = [(int(i), unit(v)) for i, v in enumerate(bases)]
+    pid = 1000
+    for i in range(nq):
+        for j in range(5):
+            noise = 0.13 * (j + 1)
+            v = bases[i] + noise * np.linalg.norm(bases[i]) / np.sqrt(
+                dim
+            ) * rng.normal(size=dim)
+            rows.append((pid, unit(v)))
+            pid += 1
+    for i, v in enumerate(rng.normal(size=(nd, dim))):
+        rows.append((int(5000 + i), unit(v)))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 20")
+
+    bf = {(r.query_id, r.neighbor_id): r.cos_sim
+          for r in sim.brute_force_topk(corpus, queries, k=5).collect()}
+    assert all(1000 <= n < 5000 for _, n in bf), "fixture broken"
+
+    pq = {(r.query_id, r.neighbor_id): r.cos_sim
+          for r in sim.pq_fixed_topk(
+              corpus, queries, CODEBOOKS, k=5, shortlist=50
+          ).collect()}
+    recall = len(bf.keys() & pq.keys()) / len(bf)
+    assert recall >= 0.80, f"PQ recall@5 collapsed: {recall}"
+    for pair in bf.keys() & pq.keys():
+        assert bf[pair] == pq[pair], (pair, bf[pair], pq[pair])
+
+    # IVF+PQ combined serving on the same fixture (measured 0.99 at pin
+    # time; on the near-random sf0.1 embeddings the combined 0.58 recall
+    # decomposes as IVF probing 0.61 x PQ ~0.97 — the coarse pruning,
+    # not the code quantization, is the recall spender, exactly the
+    # published IVFPQ trade)
+    from pulsar_internal_spark.operators.ivf_frozen import CENTROIDS
+
+    ivfpq = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in sim.ivfpq_fixed_topk(
+                 corpus, queries, CENTROIDS, CODEBOOKS,
+                 k=5, nprobe=3, shortlist=50,
+             ).collect()}
+    recall2 = len(bf.keys() & ivfpq.keys()) / len(bf)
+    assert recall2 >= 0.80, f"IVFPQ recall@5 collapsed: {recall2}"
+    for pair in bf.keys() & ivfpq.keys():
+        assert bf[pair] == ivfpq[pair], (pair, bf[pair], ivfpq[pair])
+
+
+def test_ivf_index_pq_serving_matches_inplan_twin(spark, tmp_path):
+    """Persisted IVF+PQ index (round 7): build an index WITH codebooks,
+    then
+      1. the ADC probe over the persisted layout must return EXACTLY
+         the in-plan twin's rows (ivfpq_fixed_topk over the same
+         centroids read back from the index + the same codebooks) —
+         persistence is a layout change, never a semantics change;
+      2. the hot ADC scan must NOT read the embedding column (its
+         parquet scan's ReadSchema carries only id/codes — the 8-byte
+         column pruning that IS the PQ story at 100 TB);
+      3. an APPEND to a PQ-carrying index encodes the batch with the
+         index's own persisted codebooks (no caller argument to
+         drift) and the probe serves the new vectors;
+      4. compact_ivf_cells folds batches WITHOUT dropping the codes
+         column and the probe serves identical rows after."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators import similarity as sim
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS
+
+    rng = np.random.default_rng(11)
+
+    def unit(v):
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rows = [(int(i), unit(v)) for i, v in enumerate(rng.normal(size=(300, 64)))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 5")
+    idx = str(tmp_path / "ivfpq_idx")
+    sim.build_ivf_index(corpus, idx, num_centroids=8, codebooks=CODEBOOKS)
+
+    got = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+           for r in sim.ivf_index_adc_topk(
+               spark, idx, queries, k=5, nprobe=3, shortlist=50
+           ).collect()}
+    cents = [
+        [float(x) for x in r.centroid]
+        for r in sorted(
+            spark.read.parquet(f"{idx}/centroids").collect(), key=lambda r: r.cell
+        )
+    ]
+    want = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in sim.ivfpq_fixed_topk(
+                corpus, queries, cents, CODEBOOKS, k=5, nprobe=3, shortlist=50
+            ).collect()}
+    assert got == want and got, f"missing={want - got} extra={got - want}"
+
+    # 2. the ADC scan projects only id/cell/codes — embedding pruned
+    df = sim.ivf_index_adc_topk(spark, idx, queries, k=5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln]
+    assert scans and all("embedding" not in ln for ln in scans), plan[:4000]
+
+    # 3. append with auto-encoded codes; new vectors become servable
+    extra = spark.createDataFrame(
+        [(int(9000 + i), unit(v)) for i, v in enumerate(rng.normal(size=(40, 64)))],
+        "vec_id long, embedding array<float>",
+    )
+    sim.ivf_index_append(spark, extra, idx, batch_id=1)
+    after = sim.ivf_index_adc_topk(
+        spark, idx, queries, k=300, nprobe=8, shortlist=400
+    )
+    served = {r.neighbor_id for r in after.collect()}
+    assert any(n >= 9000 for n in served), "appended vectors never served"
+
+    # 4. compaction preserves the codes column and the served rows
+    before = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+              for r in sim.ivf_index_adc_topk(
+                  spark, idx, queries, k=5, nprobe=3, shortlist=50
+              ).collect()}
+    assert sim.compact_ivf_cells(spark, idx) == 2
+    post = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in sim.ivf_index_adc_topk(
+                spark, idx, queries, k=5, nprobe=3, shortlist=50
+            ).collect()}
+    assert post == before
+
+
 def test_image_ahash_banded_pairs_exact_vs_brute_force(spark):
     """Perceptual image dedup exactness: the nibble-banded Hamming join
     must return EXACTLY the brute-force pair set (pigeonhole: hamming

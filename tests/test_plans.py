@@ -471,6 +471,36 @@ def test_ivf_fixed_topk_plan_shape(spark, sf_dir):
     assert plan.count("Window [") == 1, plan  # only the top-k rank
 
 
+def test_pq_adc_topk_plan_shape(spark, sf_dir):
+    """PQ serving with frozen codebooks: the corpus side must encode
+    via a narrow map (argmin over codebook literals — no explode, no
+    Python), the ADC scan is the keyless broadcast of the tiny query
+    table frame onto the coded corpus, the shortlist and final rank
+    are the only two Windows, and the re-rank fetches true vectors
+    through broadcast hash joins — the corpus is never shuffled."""
+    plan = _plan(spark, sf_dir, "pq_adc_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # Q tables onto codes
+    assert "BroadcastHashJoin" in plan, plan  # shortlist vector fetch
+    assert plan.count("Window [") == 2, plan  # shortlist rn + final rank
+
+
+def test_ivfpq_topk_plan_shape(spark, sf_dir):
+    """IVF+PQ combined serving: unlike pq_adc_topk's keyless full-codes
+    scan, the ADC join here is KEYED by probed cell — a
+    BroadcastHashJoin, no nested loop anywhere — and the corpus side
+    stays a narrow map (cell argmin + per-subspace encode over plan
+    literals, no explode). Two windows (shortlist + final rank), true
+    vectors fetched by broadcast-hash joins, corpus never shuffled."""
+    plan = _plan(spark, sf_dir, "ivfpq_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # keyed by cell
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window [") == 2, plan
+
+
 def test_semantic_dedup_keepers_plan_shape(spark, sf_dir):
     """SemDeDup's verdict join must never go cartesian and must stay
     JVM-side end to end (LSH banding + cosine verify + CC + verdict
