@@ -467,49 +467,124 @@ def ivf_fixed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The tiny (j, c, ctr) codebook relation (M x KSUB rows) every PQ
+    plan broadcasts. Distances against it are 4-term UNROLLED column
+    arithmetic — the engine-shaped form: the single-expression
+    alternatives both lose by an order of magnitude (zip_with/aggregate
+    lambdas interpret a closure per element, ~8 s / 5000 encodes; fully
+    unrolling all 256 entries into one projection overflows Janino's
+    64 KB method limit, kills whole-stage codegen for the WHOLE stage
+    and interprets the giant tree, ~20 s). Small per-row expressions
+    over an exploded (row, subspace) grain keep every stage inside
+    codegen: measured 1.1 s for the same 5000 encodes."""
+    rows = [
+        (j, c, [float(x) for x in ctr])
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "j INT, c INT, ctr ARRAY<DOUBLE>")
+
+
+def _unrolled_d2_sv_ctr(dsub: int):
+    """(0.0 + d1*d1) + d2*d2 + ... over sv/ctr item pairs — aggregate's
+    fold order, so the DuckDB oracle twins stay bit-identical."""
+    s = F.lit(0.0)
+    for t in range(dsub):
+        d = F.col("sv").getItem(t).cast("double") - F.col("ctr").getItem(t)
+        s = s + d * d
+    return s
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "codes",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Product-quantization encode: map each vector to M small codes —
+    """Product-quantization encode: attach to every row its M codes —
     code j = argmin over codebook j of squared L2 distance between the
-    j-th contiguous subvector and the codebook entry. One NARROW map
-    over inlined codebook literals (array_min of (d2, code) structs per
-    subspace — struct ordering breaks ties to the smaller code,
-    deterministically), no explode, no shuffle, no UDF. At 100 TB this
-    runs once at ingest and the serving scan stores/reads ONLY the
-    codes: M=16 x 4-bit codes replace 64 float32s (32x), which is the
-    memory story that makes billion-vector ANN fit a cluster."""
+    j-th contiguous subvector and the codebook entry (ties to the
+    smaller code, deterministically, via min over (d2, code) structs).
+
+    Relational shape (see _codebook_frame for why not one giant
+    expression): explode each vector to its M subvectors, broadcast-
+    join the M x KSUB codebook relation, take the per-(row, subspace)
+    struct-min — a map-side-combinable aggregate — and collect the M
+    codes back in subspace order. Two partial aggregates over an
+    M-fold row explosion, all small codegen'd expressions. At 100 TB
+    this runs ONCE at ingest (the serving scan reads only the stored
+    codes: M=16 x 4-bit codes replace 64 float32s, 32x), so the
+    explode+aggregate is ingest cost, never probe cost.
+
+    ``id_col`` must be a unique row key — codes are computed at
+    (id, subspace) grain and joined back onto ``df``."""
     m, dsub = len(codebooks), len(codebooks[0][0])
+    cb = _codebook_frame(df.sparkSession, codebooks)
 
-    def d2(sv, ctr):
-        return F.aggregate(
-            F.zip_with(
-                sv, ctr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    sub = df.select(
+        F.col(id_col).alias("_pq_id"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("j", "sv"),
+    )
+    best = (
+        sub.join(F.broadcast(cb), "j")
+        .select(
+            "_pq_id",
+            "j",
+            F.struct(
+                _unrolled_d2_sv_ctr(dsub).alias("d2"), F.col("c").alias("code")
+            ).alias("s"),
         )
+        .groupBy("_pq_id", "j")
+        .agg(F.min("s").alias("s"))
+        .select("_pq_id", "j", F.col("s.code").alias("code"))
+    )
+    codes = best.groupBy("_pq_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda x: x["code"],
+        ).alias(out_col)
+    )
+    return df.join(codes, F.col(id_col) == F.col("_pq_id")).drop("_pq_id")
 
-    def code_j(j: int):
-        sv = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        cands = F.array(
-            *[
-                F.struct(
-                    d2(
-                        sv,
-                        F.array(*[F.lit(float(x)) for x in ctr]),
-                    ).alias("d2"),
-                    F.lit(c).alias("code"),
-                )
-                for c, ctr in enumerate(codebooks[j])
-            ]
-        )
-        return F.array_min(cands)["code"]
 
-    return df.withColumn(out_col, F.array(*[code_j(j) for j in range(m)]))
+def _pq_query_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC lookup tables as DATA, relationally (same engine
+    rationale as pq_encode): tables[j][c] = dot(query subvector j,
+    codebook entry c), each dot a 4-term unrolled fold in index order
+    (0.0 + q1*c1 + ...), assembled into the M x KSUB nested array by
+    two ordered collects. Returns (out_id, tables)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cb = _codebook_frame(queries.sparkSession, codebooks)
+    qsub = queries.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("j", "sv"),
+    )
+    dp = F.lit(0.0)
+    for t in range(dsub):
+        dp = dp + F.col("sv").getItem(t).cast("double") * F.col("ctr").getItem(t)
+    qdot = qsub.join(F.broadcast(cb), "j").select(
+        out_id, "j", F.struct(F.col("c"), dp.alias("dp")).alias("s")
+    )
+    qtabj = qdot.groupBy(out_id, "j").agg(
+        F.transform(F.array_sort(F.collect_list("s")), lambda x: x["dp"]).alias("tj")
+    )
+    return qtabj.groupBy(out_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "tj"))), lambda x: x["tj"]
+        ).alias("tables")
+    )
 
 
 def pq_fixed_topk(
@@ -526,18 +601,20 @@ def pq_fixed_topk(
     and IVF probing, and the MEMORY answer at 100 TB — the hot scan
     touches only M=16 4-bit codes per vector, never the floats.
 
-    Phases (all JVM-side, codebooks inlined as plan literals exactly
-    like ivf_fixed_topk serves its frozen centroids):
-      1. encode — pq_encode's narrow map (offline at real scale; in
-         this one-plan demo it runs fused into the scan);
+    Phases (all JVM-side; the codebooks ride as a broadcast M x KSUB
+    relation — see _codebook_frame for why that beats literal-inlined
+    expressions in this engine):
+      1. encode — pq_encode's relational argmin (offline at real
+         scale; in this one-plan demo it runs as its own staged
+         subplan);
       2. ADC scan — each query precomputes an M x KSUB lookup table
-         (dot of its j-th subvector with every codebook entry, summed
-         in index order) plus a shared literal table of entry norms;
-         a corpus row's approximate cosine is then M table lookups
-         (zip_with codes x tables), no per-pair float math. Queries
-         are broadcast (small by contract); per-query shortlist of
-         ``shortlist`` by (score desc, id) is the only shuffle, keyed
-         by query id;
+         (_pq_query_tables: dot of its j-th subvector with every
+         codebook entry, summed in index order) plus a shared literal
+         table of entry norms; a corpus row's approximate cosine is
+         then M table lookups (an unrolled j-ordered fold over its
+         codes), no per-pair float math. Queries are broadcast (small
+         by contract); per-query shortlist of ``shortlist`` by
+         (score desc, id) is the only shuffle, keyed by query id;
       3. exact re-rank — the shortlist (Q x shortlist rows, tiny) is
          broadcast back onto the corpus to fetch TRUE vectors for the
          survivors only; exact cosine, top-``k``. Final scores are
@@ -547,16 +624,8 @@ def pq_fixed_topk(
     Every arithmetic step folds in index order over the same literals
     the DuckDB oracle replays, so pq_adc_topk is value-checked
     end-to-end (same discipline as _ivf_oracle_sql)."""
-    m, ksub = len(codebooks), len(codebooks[0])
+    m = len(codebooks)
 
-    def subdot(sv, ctr):
-        return F.aggregate(
-            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dsub = len(codebooks[0][0])
     # literal M x KSUB table of codebook-entry squared norms, folded in
     # index order (matches the oracle's list_sum over list_transform)
     norms_lit = F.array(
@@ -571,37 +640,32 @@ def pq_fixed_topk(
         ]
     )
 
-    coded = pq_encode(
-        spread(corpus).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ),
-        codebooks,
-        vec_col="cv",
-    ).select("neighbor_id", "codes")
+    from ..staging import stage
 
-    q_tabs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.array(
-            *[
-                F.array(
-                    *[
-                        subdot(
-                            F.slice(F.col(vec_col), j * dsub + 1, dsub),
-                            F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
-                        )
-                        for c in range(ksub)
-                    ]
-                )
-                for j in range(m)
-            ]
-        ).alias("tables"),
+    # BOTH join inputs are staged so the encode/tables SUBPLANS run
+    # once, never re-entering the scan join. At real scale the codes
+    # frame isn't even computed here: it is the stored index column
+    # (ivf_index_adc_topk's layout).
+    coded = stage(
+        pq_encode(
+            spread(corpus).select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            codebooks,
+            vec_col="cv",
+            id_col="neighbor_id",
+        ).select("neighbor_id", "codes")
     )
+    q_tabs = stage(_pq_query_tables(queries, codebooks, id_col, vec_col))
 
-    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
-        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    def lut(tabs):  # unrolled M-term fold in j order (= aggregate's)
+        s = F.lit(0.0)
+        for j in range(m):
+            s = s + F.element_at(
+                F.element_at(tabs, j + 1), F.col("codes").getItem(j) + 1
+            )
+        return s
+
     adc = (
         coded.join(F.broadcast(q_tabs))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -665,17 +729,17 @@ def ivfpq_fixed_topk(
     at 8 bytes per row — both prunings compound, which is why this is
     the shape billion-vector deployments actually run.
 
-    Plan: cell assignment AND PQ encode are one narrow map over plan
-    literals (no shuffle); the probed-cells x ADC-tables query frame is
-    broadcast and joined BY CELL (a keyed BroadcastHashJoin — compare
-    pq_fixed_topk's keyless scan of everything); per-query shortlist
-    window, then the tiny shortlist broadcasts back to fetch true
-    vectors for the exact cosine re-rank. Deterministic end to end
+    Plan: cell assignment is a narrow map over the centroid literals;
+    PQ encode is pq_encode's staged relational argmin; the probed-cells
+    x ADC-tables query frame is broadcast and joined BY CELL (a keyed
+    BroadcastHashJoin — compare pq_fixed_topk's keyless scan of
+    everything); per-query shortlist window, then the tiny shortlist
+    broadcasts back to fetch true vectors for the exact cosine
+    re-rank. Deterministic end to end
     over the same frozen literals the DuckDB twin replays
     (_ivfpq_oracle_sql), so the query is value-checked, not
     recall-checked."""
-    m, ksub = len(codebooks), len(codebooks[0])
-    dsub = len(codebooks[0][0])
+    m = len(codebooks)
 
     cent_lit = F.array(
         *[
@@ -696,13 +760,6 @@ def ivfpq_fixed_topk(
             lambda acc, v: acc + v,
         )
 
-    def subdot(sv, ctr):
-        return F.aggregate(
-            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     norms_lit = F.array(
         *[
             F.array(
@@ -712,12 +769,18 @@ def ivfpq_fixed_topk(
         ]
     )
 
+    from ..staging import stage
+
+    # staged so the encode subplan and the probed+tables subplan each
+    # run once, never re-entering the cell join (at real scale this
+    # frame IS the persisted index — see ivf_index_adc_topk)
     coded = pq_encode(
         spread(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         ),
         codebooks,
         vec_col="cv",
+        id_col="neighbor_id",
     ).withColumn(
         "cell",
         F.array_min(
@@ -730,8 +793,9 @@ def ivfpq_fixed_topk(
             )
         )["cell"],
     ).select("neighbor_id", "cell", "codes")
+    coded = stage(coded)
 
-    q_side = (
+    q_probe = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
@@ -751,36 +815,23 @@ def ivfpq_fixed_topk(
                 nprobe,
             ),
         )
-        .withColumn(
-            "tables",
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            subdot(
-                                F.slice(F.col("qv"), j * dsub + 1, dsub),
-                                F.array(
-                                    *[F.lit(float(x)) for x in codebooks[j][c]]
-                                ),
-                            )
-                            for c in range(ksub)
-                        ]
-                    )
-                    for j in range(m)
-                ]
-            ),
+        .select("query_id", F.explode("probed").alias("_p"))
+        .select("query_id", F.col("_p.cell").alias("cell"))
+    )
+    q_side = stage(
+        q_probe.join(
+            _pq_query_tables(queries, codebooks, id_col, vec_col), "query_id"
         )
-        .select(
-            "query_id", "tables", F.explode("probed").alias("_p")
-        )
-        .select("query_id", "tables", F.col("_p.cell").alias("cell"))
     )
 
-    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
-        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    def lut(tabs):  # unrolled M-term fold in j order (= aggregate's)
+        s = F.lit(0.0)
+        for j in range(m):
+            s = s + F.element_at(
+                F.element_at(tabs, j + 1), F.col("codes").getItem(j) + 1
+            )
+        return s
+
     adc = (
         coded.join(F.broadcast(q_side), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1304,17 +1355,9 @@ def ivf_index_adc_topk(
             f"IVF index {path} carries no PQ codebooks — build_ivf_index"
             " with codebooks=... first (or probe with ivf_index_topk)"
         )
-    m, ksub = len(books), len(books[0])
-    dsub = len(books[0][0])
+    m = len(books)
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-
-    def subdot(sv, ctr):
-        return F.aggregate(
-            F.zip_with(sv, ctr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     norms_lit = F.array(
         *[
@@ -1346,24 +1389,17 @@ def ivf_index_adc_topk(
             ),
         )
         .filter(F.col("cell_rank") <= nprobe)
-        .withColumn(
-            "tables",
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            subdot(
-                                F.slice(F.col("qv"), j * dsub + 1, dsub),
-                                F.array(*[F.lit(float(x)) for x in books[j][c]]),
-                            )
-                            for c in range(ksub)
-                        ]
-                    )
-                    for j in range(m)
-                ]
-            ),
+        .select("query_id", "cell")
+    )
+    from ..staging import stage
+
+    # barrier: the probe + relational-tables subplan runs once and
+    # broadcasts; the codes side needs none — it is parquet, already
+    # data
+    q_cells = stage(
+        q_cells.join(
+            _pq_query_tables(queries, books, id_col, vec_col), "query_id"
         )
-        .select("query_id", "tables", "cell")
     )
 
     from .signature_store import _read_store
@@ -1374,11 +1410,14 @@ def ivf_index_adc_topk(
             f"IVF index {path} has no committed cells generation"
         )
 
-    lut = lambda tabs: F.aggregate(  # noqa: E731  (fold in j order)
-        F.zip_with(F.col("codes"), tabs, lambda c, t: F.element_at(t, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    def lut(tabs):  # unrolled M-term fold in j order (= aggregate's)
+        s = F.lit(0.0)
+        for j in range(m):
+            s = s + F.element_at(
+                F.element_at(tabs, j + 1), F.col("codes").getItem(j) + 1
+            )
+        return s
+
     adc = (
         cells.select("vec_id", "cell", "codes")  # embedding col PRUNED
         .join(F.broadcast(q_cells), "cell")

@@ -80,8 +80,8 @@ HEADLINERS: list[tuple[str, str]] = [
     ("bigram_lm_xent", "bigram-LM scoring: two map-side-combined LM aggregates, broadcast V, vocabulary-sized scoring join"),
     ("bigram_lm_xent_interp", "interpolated (Jelinek-Mercer) LM: unigram table joined twice (context + target), 1-row broadcast token mass"),
     ("ivf_cosine_topk", "IVF serving: frozen-quantizer argmin cell assignment (narrow array_min, no corpus explode), broadcast probed cells, one top-k window"),
-    ("pq_adc_topk", "PQ serving: narrow per-subspace argmin encode over codebook literals, keyless broadcast of query ADC tables onto codes, shortlist + rank windows, broadcast-hash re-rank fetch"),
-    ("ivfpq_topk", "IVF+PQ combined serving: one narrow map assigns cell AND encodes codes; probed-cells ADC tables broadcast-hash-join BY CELL (no nested loop); shortlist + rank windows, broadcast re-rank fetch"),
+    ("pq_adc_topk", "PQ serving: staged relational argmin encode against the broadcast codebook relation, keyless broadcast of query ADC tables onto codes, shortlist + rank windows, broadcast-hash re-rank fetch"),
+    ("ivfpq_topk", "IVF+PQ combined serving: narrow cell argmin + staged relational encode; probed-cells ADC tables broadcast-hash-join BY CELL (no nested loop); shortlist + rank windows, broadcast re-rank fetch"),
 ]
 
 
