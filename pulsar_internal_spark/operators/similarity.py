@@ -1543,6 +1543,7 @@ def streaming_ivf_append(
     trigger: dict | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
 ):
     """CONTINUOUS IVF ingestion — the streaming twin of
     streaming_minhash_dedup / streaming_sketch, completing the
@@ -1573,9 +1574,13 @@ def streaming_ivf_append(
         if batch_df.isEmpty():
             return
         if not _store_is_dir(_store_join(path, "centroids")):
+            # codebooks (if given) become INDEX STATE at first build;
+            # appends then read them back and encode every batch, so a
+            # PQ-carrying index streams with the same exactly-once
+            # contract and no extra plumbing
             build_ivf_index(
                 batch_df, path, num_centroids=num_centroids,
-                id_col=id_col, vec_col=vec_col,
+                id_col=id_col, vec_col=vec_col, codebooks=codebooks,
             )
         else:
             ivf_index_append(

@@ -1305,6 +1305,78 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
     assert {r.batch_id for r in got_uri.select("batch_id").distinct().collect()} == {0, 1}
 
 
+def test_streaming_ivfpq_append_matches_batch(spark, tmp_path):
+    """Streaming ingestion into a PQ-CARRYING index (round 7): when the
+    first micro-batch builds with codebooks, they become index state,
+    every later streamed batch auto-encodes against them (the appender
+    has no codebook argument to drift with), and the persisted ADC
+    probe serves EXACTLY what the one-shot build+append twin serves
+    over the same split — the PQ layer inherits the IVF stream's
+    exactly-once contract with zero new streaming machinery."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import similarity as sim
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS
+
+    rng = np.random.default_rng(13)
+
+    def unit(v):
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    vecs = [(int(i), unit(v)) for i, v in enumerate(rng.normal(size=(80, 64)))]
+    half_a, half_b = vecs[:40], vecs[40:]
+
+    inbox = tmp_path / "ivfpq_inbox"
+    inbox.mkdir()
+    for name, chunk in (("0.csv", half_a), ("1.csv", half_b)):
+        (inbox / name).write_text(
+            "\n".join(f"{i}\t{','.join(str(x) for x in v)}" for i, v in chunk)
+        )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("vec_id"),
+            F.transform(
+                F.split(F.split("value", "\t").getItem(1), ","),
+                lambda x: x.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    streamed = str(tmp_path / "ivfpq_streamed")
+    q = sim.streaming_ivf_append(
+        stream, streamed, str(tmp_path / "ivfpq_ckpt"),
+        num_centroids=4, trigger={"availableNow": True},
+        codebooks=CODEBOOKS,
+    )
+    q.awaitTermination(120)
+
+    batch = str(tmp_path / "ivfpq_batch")
+    df_a = spark.createDataFrame(half_a, "vec_id long, embedding array<float>")
+    df_b = spark.createDataFrame(half_b, "vec_id long, embedding array<float>")
+    sim.build_ivf_index(df_a, batch, num_centroids=4, codebooks=CODEBOOKS)
+    assert sim.ivf_index_append(spark, df_b, batch) == 1
+
+    queries = df_a.limit(5)
+    got = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+           for r in sim.ivf_index_adc_topk(
+               spark, streamed, queries, k=3, nprobe=2, shortlist=20
+           ).collect()}
+    want = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in sim.ivf_index_adc_topk(
+                spark, batch, queries, k=3, nprobe=2, shortlist=20
+            ).collect()}
+    assert got == want and got, f"missing={want - got} extra={got - want}"
+    # vectors from BOTH streamed batches must be servable
+    served = {r.neighbor_id for r in sim.ivf_index_adc_topk(
+        spark, streamed, queries, k=80, nprobe=4, shortlist=200
+    ).collect()}
+    assert any(n >= 40 for n in served) and any(n < 40 for n in served)
+
+
 def test_streaming_ivf_skips_empty_first_batch(spark, tmp_path):
     """An EMPTY first micro-batch (empty file / idle source on the
     first trigger) must not train the quantizer — kmeans over zero
