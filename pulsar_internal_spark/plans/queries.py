@@ -2839,6 +2839,73 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_oracle_sql() -> str:
+    """DuckDB twin of ivfpq_recall_eval: exact top-5 (the
+    embedding_cosine_topk convention — rounded cosine desc, id
+    tie-break) LEFT-joined with the full IVFPQ result replayed as a
+    nested subquery (_ivfpq_oracle_sql verbatim), hits counted per
+    query. Exact small-integer arithmetic, so recall hashes exactly."""
+    inner = _ivfpq_oracle_sql()
+    return f"""
+    WITH exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id % 100 = 0
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(
+          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        c.vec_id) <= 5
+    ),
+    appr AS (
+      SELECT query_id, neighbor_id FROM ({inner})
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(a.neighbor_id) / 5.0 AS recall_at_5
+    FROM exact e
+    LEFT JOIN appr a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@_register("ivfpq_recall_eval", _ivfpq_recall_oracle_sql())
+def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact eval for the ANN ladder's top rung (the
+    minhash_accuracy_pairs pattern applied to IVFPQ): per query, how
+    many of the exact cosine top-5 the IVF+PQ serving path returns —
+    the number an operator watches when tuning nprobe/shortlist
+    against scan cost, computed ENGINE-SIDE so the recall measurement
+    itself scales (both arms are bounded: exact is the broadcast
+    brute-force baseline, approx is the probed ADC scan; the join is
+    Q x 5 rows). On the near-random sf fixtures mean recall ~0.6 with
+    nprobe=3 of 8 cells — the coarse-probing trade the recall split in
+    tests documents; the DuckDB oracle replays BOTH arms end-to-end,
+    so even the eval arithmetic is value-checked."""
+    from ..operators.ivf_frozen import CENTROIDS
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim_ops.brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    appr = sim_ops.ivfpq_fixed_topk(
+        emb, queries_df, CENTROIDS, CODEBOOKS, k=5, nprobe=3, shortlist=50
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    j = exact.join(
+        appr,
+        (exact.query_id == appr.query_id)
+        & (F.col("neighbor_id") == F.col("a_neighbor")),
+        "left",
+    ).select(exact.query_id.alias("qid"), "a_neighbor")
+    return j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("a_neighbor").alias("n_hits"),
+        (F.count("a_neighbor") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
 @_register(
     "simhash_fingerprints",
     r"""
