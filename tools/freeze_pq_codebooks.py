@@ -7,10 +7,14 @@ the 64-dim embedding space is split into M=16 contiguous 4-dim subspaces
 and each subspace gets its own pyspark.ml KMeans codebook (k=16,
 seed=42+j, maxIter=8, initMode=random) trained on the sf0.1 embeddings'
 subvectors (5000 vectors — the larger offline training sample; serving
-correctness never depends on where the frozen constants came from). (M=16 x 4-bit codes = 8 bytes per vector, 32x below the
-256-byte float32 row; the coarser M=8/KSUB=8 variant measured only
-~0.4 recall@5 on this fixture vs ~0.86 for this one at shortlist 50.) Run only if the embeddings fixture itself changes; the
-committed constants are otherwise stable by construction.
+correctness never depends on where the frozen constants came from).
+
+Sizing rationale: M=16 x 4-bit codes = 8 bytes per vector, 32x below the
+256-byte float32 row. The coarser M=8/KSUB=8 variant measured only
+~0.4 recall@5 on this fixture vs ~0.86 for this one at shortlist 50.
+
+Run only if the embeddings fixture itself changes; the committed
+constants are otherwise stable by construction.
 """
 
 from __future__ import annotations

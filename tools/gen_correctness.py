@@ -19,6 +19,11 @@ recomputes the hash at import — editing a query or oracle without
 regenerating the artifact fails the suite, so staleness is mechanical
 to detect (same posture as the EXPLAIN.md drift test).
 
+Stamp convention: the artifact is generated BEFORE the commit that
+includes it, so `_meta.commit` names the PARENT of that commit (suffixed
+`+dirty` when the worktree had uncommitted changes at generation time).
+Freshness is guaranteed by the live registry-hash test, not the stamp.
+
 Run: python tools/gen_correctness.py   (default sf0.01, the driver's SF)
 """
 
@@ -98,6 +103,10 @@ def main() -> None:
         text=True,
         cwd=REPO,
     ).stdout.strip()
+    if subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip():
+        commit += "+dirty"
     n_bad = sum(
         1
         for r in result.values()

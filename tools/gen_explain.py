@@ -95,6 +95,11 @@ def normalize_plan(plan: str) -> str:
 
     s = plan
     s = re.sub(r"#\d+[A-Za-z]*", "#N", s)
+    # lambda variables (higher-order functions: transform/filter/aggregate)
+    # are named x_<counter>/y_<counter> with a SESSION-GLOBAL counter, so
+    # the same plan built after other queries carries different names —
+    # canonicalize them or the hash depends on session history
+    s = re.sub(r"\b[a-z]{1,2}_\d+#N", "lv#N", s)
     s = re.sub(r"plan_id=\d+", "plan_id=N", s)
     s = re.sub(r"\[id=#?N?\d*\]", "[id=N]", s)
     s = re.sub(r"\[plan_id=N\]", "[plan_id=N]", s)
@@ -126,16 +131,28 @@ def plan_hash(df) -> str:
     ).hexdigest()[:16]
 
 
-def main() -> None:
+def head_stamp(repo: str) -> str:
+    """`<short-sha>` of HEAD, suffixed `+dirty` when the worktree has
+    uncommitted changes. Convention: the artifact is generated BEFORE the
+    commit that includes it, so `_meta.commit` names the PARENT of that
+    commit — staleness is enforced by live tests, not by this stamp."""
     import subprocess
 
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.strip() or "unknown"
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.strip()
+    return sha + ("+dirty" if dirty else "")
+
+
+def main() -> None:
     spark = get_spark(app_name="gen_explain")
     spark.sparkContext.setLogLevel("ERROR")
-    head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ).stdout.strip() or "unknown"
+    head = head_stamp(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = [
         "# EXPLAIN — headline query plans (sf0.01, final AQE plans)",
         "",
