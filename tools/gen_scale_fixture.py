@@ -32,7 +32,12 @@ are scale-invariant):
   EXACTLY the original corpus's while cross-copy shingle/k-gram overlap
   is zero. n_chars recomputed.
 - embeddings: vec_id shifted; vector circularly rotated by copy index
-  (norm-preserving, decorrelates cross-copy cosine); label kept.
+  MOD 64 (the fixture dim), NEGATED on the second lap (copies 64-127) —
+  rotation by 64 is the identity, so without the sign flip copy 64+j
+  would be content-identical to copy j and every sign-LSH bucket a
+  cross-copy clique (the exact pathology this fixture exists to avoid).
+  Both transforms are norm-preserving and within-copy-cosine-preserving
+  (cos(-a,-b)=cos(a,b)); factors above 128 are rejected. Label kept.
 
 Output mirrors the driver layout (<out>/<table>.parquet single files) so
 load_table() and the DuckDB oracle harness both read it unchanged.
@@ -88,10 +93,18 @@ def copy_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
             # same invariant the key STRIDE enforces for id moduli.
             parts.append(f"ts + INTERVAL {i * 64} DAY AS ts")
         elif table == "embeddings" and name == "embedding" and i > 0:
-            # circular rotate by i: norm-preserving, kills cross-copy cosine
-            parts.append(
-                f"(embedding[{i + 1}:] || embedding[1:{i}])::FLOAT[] AS embedding"
+            # circular rotate by i%64 (norm-preserving, kills cross-copy
+            # cosine); rotation by 64 on a 64-dim vector is the IDENTITY,
+            # so the second lap (i in 64..127) additionally negates —
+            # within-copy cosine structure is untouched (cos(-a,-b)=
+            # cos(a,b)) while copy 64+j stays decorrelated from copy j
+            r = i % 64
+            base = (
+                f"(embedding[{r + 1}:] || embedding[1:{r}])" if r else "embedding"
             )
+            if (i // 64) % 2:
+                base = f"list_transform({base}, v -> -v)"
+            parts.append(f"{base}::FLOAT[] AS embedding")
         else:
             parts.append(name)
     return ", ".join(parts)
@@ -103,6 +116,11 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="default: <repo>/.scale/sf1.0")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
+    if args.factor > 128:
+        raise SystemExit(
+            "factor > 128 needs a third embedding decorrelation lap "
+            "(rotate+negate covers 128 copies of the 64-dim fixture)"
+        )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = args.out or os.path.join(repo, ".scale", "sf1.0")
     os.makedirs(out, exist_ok=True)

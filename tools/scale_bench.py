@@ -1,20 +1,45 @@
 #!/usr/bin/env python
-"""Empirical scale-up proof (VERDICT r6 #1): run the heavy-tail queries
-at sf0.1 AND at the 10x fixture (tools/gen_scale_fixture.py -> .scale/
-sf1.0) and record per-query wall seconds + the sf1.0/sf0.1 scaling
-factor. A plan whose cost is ~linear in input lands near 10x WORK at 10x
-data; on local[32] with fixed parallelism that bounds wall-clock factor
-at ~10 (fixed per-query overhead — session/jobs/codegen reuse, the
-driver-side loop rounds in CC/BPE — pulls it BELOW 10). Factors well
-above 10 flag super-linear plans (pair-join blowup, window memory,
-skew); those get diagnosed, not explained away.
+"""Empirical scale-up proof, round 8: wall time AND work metrics for the
+heavy-tail queries across two decades of data.
+
+Round 7 (VERDICT r6 #1) measured the first decade — sf0.1 vs the 10x
+decorrelated fixture — by wall clock alone, so "nothing super-linear"
+was an inference from seconds. Round 8 closes both gaps the r7 verdict
+named (#1, #2, #3):
+
+- WORK metrics, not just wall time: per query per sf this records
+  shuffle-write bytes, scan input bytes and memory/disk spill, sampled
+  from the Spark status REST API (cumulative completed-stage sums,
+  diffed around each materialization). A wall factor now decomposes
+  mechanically into (work growth) x (overhead amortization): linear
+  work shows shuffle_factor ~= data factor with wall factor below it;
+  super-linear work shows shuffle_factor ABOVE the data factor
+  regardless of how flat the wall looks.
+- The SECOND decade: the six worst first-decade scalers (factors
+  3.05-5.15, which sf1.0-in-memory could not decompose) plus the q3/q9
+  linear controls and the PQ serving tier run additionally at sf10
+  (100x = ~60M lineitem rows, ~2.4 GB), the first fixture big enough to
+  exercise shuffle spill and multi-GB exchanges on this box.
+- The PQ tier (pq_adc_topk / ivfpq_topk / ivfpq_recall_eval) is now IN
+  the recorded HEAVY list, so its scale datapoints survive regeneration
+  instead of living as prose in BASELINE.md.
+
+Interpretation contract (same as r7, now with the work axis): on
+local[32] with fixed parallelism, ~linear work at 10x data bounds the
+wall factor at ~10 with fixed overheads pulling it below; a SECOND-
+decade wall factor materially above the FIRST-decade factor flags
+super-linear growth that amortization was masking — diagnose, don't
+explain away. Factors are per-decade (sf1.0/sf0.1 and sf10/sf1.0), both
+over 10x data steps, so they are directly comparable.
 
 Methodology matches bench.py: noop-sink materialization (full plan
-execution, no collect), warmups for JVM/codegen/UDF-pool/MLlib, then
-N interleaved passes per sf with the per-query MEDIAN recorded.
+execution, no collect), warmups for JVM/codegen/UDF-pool/MLlib, N
+interleaved passes per sf with per-query MEDIANs recorded (bytes too —
+AQE can re-plan, so bytes are sampled per pass, not assumed constant).
 
-Writes SCALE_r07.json at the repo root:
-  {"queries": {name: {"sf01": s, "sf10": s, "factor": f}}, ...}
+Writes SCALE_r08.json at the repo root. Fixtures:
+  python tools/gen_scale_fixture.py                              # sf1.0
+  python tools/gen_scale_fixture.py --factor 100 --out .scale/sf10
 """
 
 from __future__ import annotations
@@ -24,14 +49,16 @@ import os
 import statistics
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
 from pulsar_internal_spark.session import get_spark  # noqa: E402
 
-# The ~24 heaviest queries from BENCH_r06 (everything >= ~1.5 s at
-# sf0.1) + two classic-join controls (q3/q9) as a linear yardstick.
+# The heaviest queries from the r6/r7 benches (everything >= ~1.5 s at
+# sf0.1), two classic-join controls (q3/q9) as a linear yardstick, and —
+# new in r8 — the PQ ANN serving tier (VERDICT r7 #3).
 HEAVY = [
     "semantic_dedup_keepers",
     "bpe_encode_tokens",
@@ -61,23 +88,109 @@ HEAVY = [
     "q21_sole_late_supplier",
     "q3_shipping_priority",
     "q9_nation_year_revenue",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "ivfpq_recall_eval",
 ]
+
+# Second-decade tier (VERDICT r7 #1): the >=3x first-decade scalers whose
+# factors could not yet be decomposed into work vs amortization, the two
+# linear controls, and the PQ serving pair (the flattest scalers — their
+# code-width scan should stay flat through the second decade too).
+SECOND_DECADE = [
+    "simhash_near_dup",
+    "image_near_dup",
+    "incremental_substring_spans",
+    "user_triangle_counts",
+    "substring_dup_spans",
+    "winnowing_matches",
+    "q3_shipping_priority",
+    "q9_nation_year_revenue",
+    "pq_adc_topk",
+    "ivfpq_topk",
+]
+
+UI_PORT = 4077
+
+
+class StageMetrics:
+    """Cumulative completed-stage metric sums from the status REST API.
+
+    The UI's AppStatusStore keeps per-stage totals for the life of the
+    app; summing over ALL stages and diffing around a query gives that
+    query's work. Retention is raised far above what a full run creates
+    (see extra_conf below) so eviction can't shrink the cumulative sum
+    mid-run (which would show up as a negative diff — asserted against).
+    """
+
+    FIELDS = {
+        "shuffle_bytes": "shuffleWriteBytes",
+        "input_bytes": "inputBytes",
+        "spill_bytes": "memoryBytesSpilled",
+        "disk_spill_bytes": "diskBytesSpilled",
+    }
+
+    def __init__(self, app_id: str, port: int = UI_PORT) -> None:
+        self.url = f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+
+    def snapshot(self) -> dict[str, int]:
+        with urllib.request.urlopen(self.url, timeout=30) as r:
+            stages = json.loads(r.read())
+        out = dict.fromkeys(self.FIELDS, 0)
+        for st in stages:
+            for k, field in self.FIELDS.items():
+                out[k] += st.get(field, 0) or 0
+        return out
+
+    def diff(self, before: dict[str, int]) -> dict[str, int]:
+        after = self.snapshot()
+        d = {k: after[k] - before[k] for k in before}
+        neg = {k: v for k, v in d.items() if v < 0}
+        assert not neg, f"stage eviction corrupted cumulative sums: {neg}"
+        return d
 
 
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _mb(b: int) -> float:
+    return round(b / (1024 * 1024), 2)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf10 = os.environ.get(
-        "SPARK_GRAFT_SF10_DIR", os.path.join(repo, ".scale", "sf1.0")
-    )
+    sf_dirs = {
+        "sf0.1": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "sf1.0": os.environ.get(
+            "SPARK_GRAFT_SF10_DIR", os.path.join(repo, ".scale", "sf1.0")
+        ),
+        "sf10": os.environ.get(
+            "SPARK_GRAFT_SF100_DIR", os.path.join(repo, ".scale", "sf10")
+        ),
+    }
+    have_sf10 = os.path.isdir(sf_dirs["sf10"])
+    if not have_sf10:
+        print(
+            f"sf10 fixture missing at {sf_dirs['sf10']} — second decade skipped",
+            file=sys.stderr,
+        )
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    spark = get_spark(app_name="pulsar_internal_spark_scale_bench")
+    spark = get_spark(
+        app_name="pulsar_internal_spark_scale_bench",
+        extra_conf={
+            # status REST API is the work-metrics source (r7 verdict #2)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # a full run creates ~3k stages; keep every one so cumulative
+            # sums never shrink under the differ
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    metrics = StageMetrics(spark.sparkContext.applicationId)
 
     # same warmup set as bench.py: JVM, codegen units for the n-gram/HOF
     # family, the UDF worker pool, MLlib classes, the CC loop, and the
@@ -92,38 +205,68 @@ def main() -> None:
         "near_dup_jaccard",
         "near_dup_clusters",
         "multimodal_real_decode",
+        "pq_adc_topk",
     ):
         _materialize(QUERIES[q](spark, warm))
 
-    samples: dict[str, dict[str, list[float]]] = {
-        n: {"sf01": [], "sf10": []} for n in HEAVY
+    def plan(name: str) -> list[str]:
+        sfs = ["sf0.1", "sf1.0"]
+        if have_sf10 and name in SECOND_DECADE:
+            sfs.append("sf10")
+        return sfs
+
+    samples: dict[str, dict[str, dict[str, list]]] = {
+        n: {sf: {"secs": [], "bytes": []} for sf in plan(n)} for n in HEAVY
     }
     for r in range(n_runs):
         for name in HEAVY:
-            for key, d in (("sf01", sf01), ("sf10", sf10)):
+            line = [f"pass {r + 1}/{n_runs} {name}:"]
+            for sf in plan(name):
+                before = metrics.snapshot()
                 t0 = time.perf_counter()
-                _materialize(QUERIES[name](spark, d))
-                samples[name][key].append(time.perf_counter() - t0)
-            print(
-                f"pass {r + 1}/{n_runs} {name}: "
-                f"sf0.1={samples[name]['sf01'][-1]:.2f}s "
-                f"sf1.0={samples[name]['sf10'][-1]:.2f}s",
-                file=sys.stderr,
-                flush=True,
-            )
+                _materialize(QUERIES[name](spark, sf_dirs[sf]))
+                secs = time.perf_counter() - t0
+                samples[name][sf]["secs"].append(secs)
+                samples[name][sf]["bytes"].append(metrics.diff(before))
+                line.append(f"{sf}={secs:.2f}s")
+            print(" ".join(line), file=sys.stderr, flush=True)
 
-    out = {"queries": {}, "runs": n_runs, "sf01_dir": sf01, "sf10_dir": sf10}
+    def med(vals: list[float]) -> float:
+        return statistics.median(vals)
+
+    out: dict = {
+        "runs": n_runs,
+        "sf_dirs": {k: v for k, v in sf_dirs.items() if k != "sf10" or have_sf10},
+        "second_decade": sorted(SECOND_DECADE) if have_sf10 else [],
+        "queries": {},
+    }
     for name in HEAVY:
-        a = round(statistics.median(samples[name]["sf01"]), 3)
-        b = round(statistics.median(samples[name]["sf10"]), 3)
-        out["queries"][name] = {
-            "sf01": a,
-            "sf10": b,
-            "factor": round(b / a, 2) if a > 0 else None,
-        }
-    out["total_sf01"] = round(sum(v["sf01"] for v in out["queries"].values()), 2)
-    out["total_sf10"] = round(sum(v["sf10"] for v in out["queries"].values()), 2)
-    path = os.path.join(repo, "SCALE_r07.json")
+        q: dict = {"secs": {}, "shuffle_mb": {}, "input_mb": {}, "spill_mb": {}}
+        for sf, s in samples[name].items():
+            q["secs"][sf] = round(med(s["secs"]), 3)
+            for key, field in (
+                ("shuffle_mb", "shuffle_bytes"),
+                ("input_mb", "input_bytes"),
+                ("spill_mb", "spill_bytes"),
+            ):
+                q[key][sf] = _mb(med([b[field] for b in s["bytes"]]))
+            disk = med([b["disk_spill_bytes"] for b in s["bytes"]])
+            if disk:
+                q.setdefault("disk_spill_mb", {})[sf] = _mb(disk)
+        for fk, a, b in (("factor_10x", "sf0.1", "sf1.0"), ("factor_100x", "sf1.0", "sf10")):
+            if b in q["secs"] and q["secs"][a] > 0:
+                q[fk] = round(q["secs"][b] / q["secs"][a], 2)
+                if q["shuffle_mb"][a] > 0:
+                    q["shuffle_" + fk] = round(
+                        q["shuffle_mb"][b] / q["shuffle_mb"][a], 2
+                    )
+        out["queries"][name] = q
+    for sf in ("sf0.1", "sf1.0", "sf10"):
+        tot = [q["secs"][sf] for q in out["queries"].values() if sf in q["secs"]]
+        if tot:
+            out[f"total_{sf}"] = round(sum(tot), 2)
+            out[f"n_{sf}"] = len(tot)
+    path = os.path.join(repo, "SCALE_r08.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
