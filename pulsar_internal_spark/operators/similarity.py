@@ -1035,6 +1035,7 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 4,
     codebooks: list[list[list[float]]] | None = None,
+    health_sample_mod: int = 1,
 ) -> None:
     """Materialize an IVF index: train the coarse quantizer (sampled
     kmeans, same recipe as ivf_topk), assign every corpus vector to its
@@ -1046,6 +1047,10 @@ def build_ivf_index(
                            live generation holds (vec_id, embedding,
                            norm) partitioned by (cell, batch_id); the
                            build is batch_id=0
+      {path}/health/     — (PQ-carrying only, round 8) one row per
+                           ingested batch: sampled mean quantization
+                           residual vs the frozen codebooks; batch 0 is
+                           the drift baseline (see ivf_index_health)
 
     The build pays the assignment scan once; every subsequent probe
     reads ONLY its nprobe cell directories (dynamic partition pruning,
@@ -1128,6 +1133,14 @@ def build_ivf_index(
     root, _ = _begin_store_write(cells_base)
     assigned.write.mode("overwrite").partitionBy("cell", "batch_id").parquet(root)
     _commit_store_init(cells_base)
+    if codebooks is not None:
+        # batch-0 health row: the codebooks' residual on the BUILD data
+        # is the drift baseline every later batch is compared against
+        store_fs.delete_dir(os.path.join(path, "health"), ignore_missing=True)
+        _write_index_health(
+            assigned, path, codebooks, batch_id=0, replace=False,
+            sample_mod=health_sample_mod,
+        )
 
 
 def ivf_index_topk(
@@ -1230,6 +1243,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    health_sample_mod: int = 1,
 ) -> int:
     """Append a vector batch to a persisted IVF index WITHOUT
     retraining or rewriting history: assign each new vector to its
@@ -1322,6 +1336,14 @@ def ivf_index_append(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "batch_id")
             .parquet(root)
+        )
+    if books is not None:
+        # per-batch health row with the batch's own exactly-once
+        # contract: a replayed explicit batch_id replaces its own
+        # health partition instead of double-counting
+        _write_index_health(
+            assigned, path, books, batch_id=bid,
+            replace=batch_id is not None, sample_mod=health_sample_mod,
         )
     return bid
 
@@ -1533,6 +1555,174 @@ def expire_ivf_batches(path: str, keep_from_batch: int) -> list[str]:
             )
             removed.extend(f"{cell_dir}/{d}" for d in got)
     return removed
+
+
+def pq_residuals(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "residual_micro",
+) -> DataFrame:
+    """Per-vector PQ quantization residual in exact integer micro-units:
+    FLOOR((1 - cos(v, reconstruction(v))) * 1e6) — 0 means the codebooks
+    represent the vector perfectly; the index-health signal that RISES
+    when ingest drifts away from the frozen quantizer's training
+    distribution (the one failure mode of frozen-quantizer serving).
+
+    Same relational grain as pq_encode (explode to (id, subspace),
+    broadcast the M x KSUB codebook relation, struct-min argmin) but the
+    winning struct carries the entry's dot/norm terms, so reconstruction
+    cosine needs NO second codebook pass: because subspaces are disjoint,
+    dot(v, v_hat) = sum_j dot(sv_j, ctr_code_j) and |v_hat|^2 =
+    sum_j |ctr_code_j|^2. Folds run in subspace order over a j-sorted
+    collect (matching the DuckDB twin's list_sum order) and the residual
+    is floored to integer micro-units, so downstream SUMs are
+    order-independent and engine-exact — no float tolerance anywhere.
+    """
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cb = _codebook_frame(df.sparkSession, codebooks)
+
+    sub = df.select(
+        F.col(id_col).alias("_pq_id"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("j", "sv"),
+    )
+    dp = F.lit(0.0)
+    sv2 = F.lit(0.0)
+    n2 = F.lit(0.0)
+    for t in range(dsub):
+        sv_t = F.col("sv").getItem(t).cast("double")
+        ctr_t = F.col("ctr").getItem(t)
+        dp = dp + sv_t * ctr_t
+        sv2 = sv2 + sv_t * sv_t
+        n2 = n2 + ctr_t * ctr_t
+    best = (
+        sub.join(F.broadcast(cb), "j")
+        .select(
+            "_pq_id",
+            "j",
+            F.struct(
+                _unrolled_d2_sv_ctr(dsub).alias("d2"),
+                F.col("c").alias("code"),
+                dp.alias("dp"),
+                n2.alias("n2"),
+                sv2.alias("sv2"),
+            ).alias("s"),
+        )
+        .groupBy("_pq_id", "j")
+        .agg(F.min("s").alias("s"))
+    )
+    terms = best.groupBy("_pq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "s.dp", "s.n2", "s.sv2"))
+        ).alias("ts")
+    )
+    dot_v = F.lit(0.0)
+    n2_r = F.lit(0.0)
+    n2_v = F.lit(0.0)
+    for j in range(m):
+        dot_v = dot_v + F.col("ts").getItem(j)["dp"]
+        n2_r = n2_r + F.col("ts").getItem(j)["n2"]
+        n2_v = n2_v + F.col("ts").getItem(j)["sv2"]
+    res = terms.select(
+        "_pq_id",
+        F.floor(
+            (
+                F.lit(1.0)
+                - dot_v / F.sqrt(F.greatest(n2_v * n2_r, F.lit(1e-12)))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias(out_col),
+    )
+    return df.join(res, F.col(id_col) == F.col("_pq_id")).drop("_pq_id")
+
+
+def _write_index_health(
+    assigned: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    batch_id: int,
+    replace: bool,
+    sample_mod: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Append one per-batch health row to {path}/health: mean PQ
+    quantization residual over a deterministic hash-sample of the
+    batch's vectors (vec_id % sample_mod == 0 — at production scale the
+    sample keeps health cost a fraction of ingest cost; the residual is
+    recomputed on the sample only, so cost is sample-sized, not
+    batch-sized). ``replace`` follows the batch's own exactly-once
+    contract: an explicit (replayed) batch_id dynamically overwrites its
+    own health partition instead of double-counting."""
+    import os
+
+    sample = assigned.filter(F.col("vec_id") % sample_mod == 0)
+    stats = (
+        pq_residuals(sample, codebooks, vec_col=vec_col)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.coalesce(F.sum("residual_micro"), F.lit(0)).alias(
+                "sum_residual_micro"
+            ),
+        )
+        .select(
+            F.lit(batch_id).cast("int").alias("batch_id"),
+            "n_sampled",
+            "sum_residual_micro",
+            F.round(
+                F.col("sum_residual_micro")
+                / (F.greatest(F.col("n_sampled"), F.lit(1)) * F.lit(1e6)),
+                6,
+            ).alias("mean_residual"),
+        )
+    )
+    health = os.path.join(path, "health")
+    w = stats.coalesce(1).write
+    if replace:
+        (
+            w.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(health)
+        )
+    else:
+        w.mode("append").partitionBy("batch_id").parquet(health)
+
+
+def ivf_index_health(spark, path: str) -> DataFrame:
+    """Residual-drift report for a persisted PQ-carrying IVF index: one
+    row per ingested batch with its sampled mean quantization residual
+    and the drift ratio vs the BUILD batch (batch_id 0, the codebooks'
+    own training-era data). A ratio climbing across batches says the
+    ingest distribution is walking away from the frozen quantizer —
+    recall at fixed shortlist decays silently — and the fix is an
+    offline codebook re-train + reindex (OPERATIONS.md runbook), never
+    blocking ingest. Returns (batch_id, n_sampled, mean_residual,
+    drift_vs_build)."""
+    import os
+
+    h = spark.read.parquet(os.path.join(path, "health"))
+    base = h.filter(F.col("batch_id") == 0).select(
+        F.col("mean_residual").alias("_base")
+    )
+    return (
+        h.crossJoin(F.broadcast(base))
+        .select(
+            "batch_id",
+            "n_sampled",
+            "mean_residual",
+            F.round(
+                F.col("mean_residual")
+                / F.greatest(F.col("_base"), F.lit(1e-9)),
+                4,
+            ).alias("drift_vs_build"),
+        )
+        .orderBy("batch_id")
+    )
 
 
 def streaming_ivf_append(

@@ -2871,7 +2871,9 @@ def _ivfpq_recall_oracle_sql() -> str:
 
 
 @_register("ivfpq_recall_eval", _ivfpq_recall_oracle_sql())
-def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_recall_eval(
+    spark: SparkSession, sf_dir: str, sample_mod: int = 1
+) -> DataFrame:
     """Estimate-vs-exact eval for the ANN ladder's top rung (the
     minhash_accuracy_pairs pattern applied to IVFPQ): per query, how
     many of the exact cosine top-5 the IVF+PQ serving path returns —
@@ -2882,12 +2884,22 @@ def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q x 5 rows). On the near-random sf fixtures mean recall ~0.6 with
     nprobe=3 of 8 cells — the coarse-probing trade the recall split in
     tests documents; the DuckDB oracle replays BOTH arms end-to-end,
-    so even the eval arithmetic is value-checked."""
+    so even the eval arithmetic is value-checked.
+
+    ``sample_mod`` (round 8, VERDICT r7 #5) is the production knob for
+    the eval's one inherent cost — the exact arm's brute-force
+    baseline: a deterministic hash-sample keeps every sample_mod-th
+    query (query_id % (100 * sample_mod) == 0), and because BOTH arms
+    are per-query independent the sampled rows are IDENTICAL to the
+    full eval's rows for those queries (tested exactly), so sampled
+    recall is an unbiased read at 1/sample_mod of the baseline cost.
+    The registry entry stays at the default full Q=50 for oracle
+    parity."""
     from ..operators.ivf_frozen import CENTROIDS
     from ..operators.pq_frozen import CODEBOOKS
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    queries_df = emb.filter(F.col("vec_id") % (100 * sample_mod) == 0)
     exact = sim_ops.brute_force_topk(emb, queries_df, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -2903,6 +2915,152 @@ def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("qid").alias("query_id")).agg(
         F.count("a_neighbor").alias("n_hits"),
         (F.count("a_neighbor") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+def _pq_residual_drift_oracle_sql(n_batches: int = 4, drift_step: float = 0.25) -> str:
+    """DuckDB twin of pq_residual_drift: replay the planted per-batch
+    drift (batch-scaled deterministic pseudo-noise per dimension —
+    integer-hash based, so both engines compute bit-identical inputs
+    with no transcendentals near argmin boundaries), the
+    frozen-codebook encode (argmin squared L2, ties to the smaller
+    code), the disjoint-subspace reconstruction identities
+    (dot(v, v_hat) = sum_j dot(sv_j, ctr_j), |v_hat|^2 = sum_j |ctr_j|^2)
+    with j-ordered list_sum folds matching Spark's unrolled index-order
+    folds, and the FLOOR-to-integer-micro-units residual — so the
+    per-batch SUMs are order-independent exact integers and the whole
+    drift report hashes exactly, no float tolerance."""
+    from ..operators.pq_frozen import CODEBOOKS, DSUB, M
+
+    cb = " UNION ALL ".join(
+        f"SELECT {j} AS j, {c} AS c, ["
+        + ", ".join(str(x) for x in ctr)
+        + "]::DOUBLE[] AS ctr"
+        for j in range(M)
+        for c, ctr in enumerate(CODEBOOKS[j])
+    )
+    rng = f"range(1, {DSUB + 1})"
+    d2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)]) * "
+        "(s.sv[CAST(i AS INT)] - cb.ctr[CAST(i AS INT)])))"
+    )
+    dp = (
+        f"list_sum(list_transform({rng}, i -> "
+        "s.sv[CAST(i AS INT)] * cb.ctr[CAST(i AS INT)]))"
+    )
+    n2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "cb.ctr[CAST(i AS INT)] * cb.ctr[CAST(i AS INT)]))"
+    )
+    sv2 = (
+        f"list_sum(list_transform({rng}, i -> "
+        "s.sv[CAST(i AS INT)] * s.sv[CAST(i AS INT)]))"
+    )
+    return f"""
+    WITH cb AS ({cb}),
+    js AS (SELECT DISTINCT j FROM cb),
+    corp AS (
+      SELECT vec_id, CAST(vec_id % {n_batches} AS INT) AS batch_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> embedding[CAST(i AS INT)]::DOUBLE
+                 + {drift_step} * CAST(vec_id % {n_batches} AS DOUBLE)
+                 * (CAST((vec_id * 8191 + (i - 1) * 127) % 2001 AS DOUBLE)
+                    - 1000.0) / 1000.0) AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, batch_id, js.j,
+             v[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
+      FROM corp CROSS JOIN js
+    ),
+    best AS (
+      SELECT vec_id, batch_id, j, dpv, n2v, sv2v FROM (
+        SELECT s.vec_id, s.batch_id, s.j,
+               {dp} AS dpv, {n2} AS n2v, {sv2} AS sv2v,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j ORDER BY {d2}, cb.c) AS rn
+        FROM sub s JOIN cb ON cb.j = s.j)
+      WHERE rn = 1
+    ),
+    terms AS (
+      SELECT vec_id, batch_id,
+             list_sum(list(dpv ORDER BY j)) AS dotv,
+             list_sum(list(n2v ORDER BY j)) AS n2r,
+             list_sum(list(sv2v ORDER BY j)) AS n2q
+      FROM best GROUP BY vec_id, batch_id
+    ),
+    res AS (
+      SELECT batch_id,
+             CAST(FLOOR((1.0 - dotv / sqrt(greatest(n2q * n2r, 1e-12)))
+                        * 1000000.0) AS BIGINT) AS residual_micro
+      FROM terms
+    )
+    SELECT batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(residual_micro) AS BIGINT) AS sum_residual_micro,
+           ROUND(CAST(SUM(residual_micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_residual
+    FROM res GROUP BY batch_id
+    """
+
+
+@_register("pq_residual_drift", _pq_residual_drift_oracle_sql())
+def pq_residual_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health drift monitor for frozen-quantizer serving (round 8,
+    VERDICT r7 #4): per ingest batch, the mean PQ quantization residual
+    (1 - cos(v, reconstruction)) against the FROZEN codebooks — the
+    signal that says "re-train the quantizer" when the ingest
+    distribution walks away from what the codebooks were trained on,
+    which is frozen-quantizer deployment's one failure mode (recall at
+    fixed shortlist decays silently while serving stays fast). Batches
+    are planted deterministically (batch = vec_id % 4) with a growing
+    distribution shift — batch-scaled per-dimension pseudo-noise from
+    an exact integer hash ((vec_id*8191 + dim*127) % 2001 mapped to
+    [-1, 1]; high-dimensional noise is exactly what a trained codebook
+    CANNOT reconstruct, where a constant bias would collapse vectors
+    toward one easy-to-quantize direction and HIDE drift) — so the
+    report shows what production drift looks like: batch 0 is
+    in-distribution (the baseline the persisted index writes at build
+    time — see operators/similarity.ivf_index_health) and the mean
+    residual rises monotonically with the planted shift.
+
+    Engine shape: pq_residuals' relational grain — explode to
+    (id, subspace), broadcast the M x KSUB codebook relation, struct-min
+    argmin carrying the winner's dot/norm terms, j-ordered folds — then
+    ONE exact-integer aggregate per batch: residuals are floored to
+    integer micro-units, so the per-batch SUM is order-independent and
+    the whole report value-hashes exactly against the DuckDB twin. At
+    100 TB this is the sampled per-batch health write ivf_index_append
+    performs at ingest time (cost = sample-sized, never corpus-sized)."""
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_batches, drift_step = 4, 0.25
+    drifted = emb.select(
+        "vec_id",
+        (F.col("vec_id") % n_batches).cast("int").alias("batch_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.lit(drift_step)
+            * (F.col("vec_id") % n_batches).cast("double")
+            * (
+                (
+                    (F.col("vec_id") * 8191 + i.cast("bigint") * 127) % 2001
+                ).cast("double")
+                - F.lit(1000.0)
+            )
+            / F.lit(1000.0),
+        ).alias("dv"),
+    )
+    res = sim_ops.pq_residuals(drifted, CODEBOOKS, vec_col="dv", id_col="vec_id")
+    return res.groupBy("batch_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("residual_micro").alias("sum_residual_micro"),
+        F.round(
+            F.sum("residual_micro") / (F.count("*") * F.lit(1e6)), 6
+        ).alias("mean_residual"),
     )
 
 

@@ -2148,3 +2148,168 @@ def test_histogram_quantile_invariants(spark, sf_dir):
         assert r.n_values == e.n, et
         assert r.p50_est <= r.p90_est <= r.p99_est, (et, r)
         assert e.mn <= r.p50_est and r.p99_est <= e.mx, (et, r, e)
+
+
+# ------------------------------------------------- PQ index health (r8)
+
+
+def test_pq_residuals_zero_for_codebook_vectors(spark):
+    """A vector that IS its own reconstruction (concatenated codebook
+    entries) must carry a ~zero residual: cos(v, v_hat) = 1 up to one
+    ulp of sqrt rounding, so the floored micro-residual is 0 or -1 —
+    anything larger means the argmin or the fold is wrong."""
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS, DSUB, M
+
+    perfect = []
+    for pick in (0, 3, 7):
+        v: list[float] = []
+        for j in range(M):
+            v.extend(float(x) for x in CODEBOOKS[j][pick])
+        perfect.append((pick, v))
+    df = spark.createDataFrame(perfect, "vec_id long, embedding array<float>")
+    # float32 storage rounds the double codebook constants — rebuild the
+    # exact doubles the codebooks hold, as the index stores them
+    df = spark.createDataFrame(perfect, "vec_id long, embedding array<double>")
+    rows = sim.pq_residuals(df, CODEBOOKS).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1 <= r.residual_micro <= 0, (r.vec_id, r.residual_micro)
+
+
+def test_ivf_index_health_tracks_planted_drift(spark, tmp_path):
+    """The persisted PQ-carrying index writes one health row per batch
+    (sampled mean quantization residual vs the frozen codebooks) and
+    ivf_index_health reports drift vs the build baseline: an
+    in-distribution append stays near ratio 1, a planted off-
+    distribution batch (heavy per-dim noise the codebooks never saw)
+    rises clearly above it, and a REPLAYED explicit batch_id replaces
+    its own health partition instead of double-counting — the same
+    exactly-once contract as the cells write."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS
+
+    rng = np.random.default_rng(11)
+
+    def unit_rows(start, n, noise=0.0):
+        out = []
+        for i in range(n):
+            v = rng.normal(size=64)
+            if noise:
+                v = v + noise * rng.normal(size=64)
+            v = v / np.linalg.norm(v)
+            out.append((start + i, [float(x) for x in v]))
+        return out
+
+    idx = str(tmp_path / "pq_health_idx")
+    base = spark.createDataFrame(
+        unit_rows(0, 120), "vec_id long, embedding array<float>"
+    )
+    sim.build_ivf_index(base, idx, num_centroids=4, codebooks=CODEBOOKS)
+
+    # batch 1: in-distribution (same generator) — residual ~ baseline
+    sim.ivf_index_append(
+        spark,
+        spark.createDataFrame(
+            unit_rows(1000, 80), "vec_id long, embedding array<float>"
+        ),
+        idx,
+        batch_id=1,
+    )
+    # batch 2: planted drift — spiky sparse vectors the smooth gaussian-
+    # trained codebooks cannot reconstruct (mass concentrated on a few
+    # dims), well off the training distribution
+    spiky = []
+    for i in range(80):
+        v = np.zeros(64)
+        hot = rng.choice(64, size=4, replace=False)
+        v[hot] = rng.normal(size=4) * 5.0
+        v = v / np.linalg.norm(v)
+        spiky.append((2000 + i, [float(x) for x in v]))
+    drift_df = spark.createDataFrame(spiky, "vec_id long, embedding array<float>")
+    sim.ivf_index_append(spark, drift_df, idx, batch_id=2)
+
+    h = {r.batch_id: r for r in sim.ivf_index_health(spark, idx).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[0].drift_vs_build == 1.0
+    assert h[0].n_sampled == 120 and h[1].n_sampled == 80
+    assert 0.7 <= h[1].drift_vs_build <= 1.3, (
+        f"in-distribution batch drifted: {h[1]}"
+    )
+    assert h[2].drift_vs_build > 1.5 * h[1].drift_vs_build, (
+        f"planted drift not detected: {h[1]} vs {h[2]}"
+    )
+
+    # replay batch 2 (crash-recovery path): still exactly one health row
+    # per batch, identical values — no double-count
+    sim.ivf_index_append(spark, drift_df, idx, batch_id=2)
+    h2 = sim.ivf_index_health(spark, idx).collect()
+    assert len(h2) == 3
+    again = {r.batch_id: r for r in h2}
+    assert again[2].n_sampled == h[2].n_sampled
+    assert again[2].mean_residual == h[2].mean_residual
+
+
+def test_ivf_index_health_sampling_is_deterministic_subset(spark, tmp_path):
+    """health_sample_mod samples vec_id % mod == 0 — the sampled batch
+    row must equal a full-rate health run restricted to those ids (the
+    unbiased-at-1/mod-cost contract the 100 TB posture claims)."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(90):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full_idx = str(tmp_path / "h_full")
+    samp_idx = str(tmp_path / "h_samp")
+    sim.build_ivf_index(df, full_idx, num_centroids=4, codebooks=CODEBOOKS)
+    sim.build_ivf_index(
+        df, samp_idx, num_centroids=4, codebooks=CODEBOOKS, health_sample_mod=3
+    )
+    samp = spark.read.parquet(samp_idx + "/health").collect()[0]
+    assert samp.n_sampled == 30
+    # recompute the expected sampled mean from the operator directly
+    sub = df.filter("vec_id % 3 = 0")
+    expect = (
+        sim.pq_residuals(sub, CODEBOOKS)
+        .agg(F.sum("residual_micro").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert samp.sum_residual_micro == expect.s
+    assert samp.mean_residual == round(expect.s / (expect.n * 1e6), 6)
+    # the full-rate index agrees with the operator over ALL ids too
+    full = spark.read.parquet(full_idx + "/health").collect()[0]
+    exp_full = (
+        sim.pq_residuals(df, CODEBOOKS)
+        .agg(F.sum("residual_micro").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert full.n_sampled == 90
+    assert full.sum_residual_micro == exp_full.s
+
+
+def test_ivfpq_recall_eval_sample_mod_is_exact_subset(spark):
+    """Sampled eval mode (r8): because both eval arms are per-query
+    independent, sample_mod=5 must return EXACTLY the full eval's rows
+    for the sampled queries (query_id % 500 == 0) — sampling changes
+    the baseline's cost, never any returned value."""
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    full = {
+        r.query_id: (r.n_hits, r.recall_at_5)
+        for r in QUERIES["ivfpq_recall_eval"](spark, sf).collect()
+    }
+    sampled = {
+        r.query_id: (r.n_hits, r.recall_at_5)
+        for r in QUERIES["ivfpq_recall_eval"](spark, sf, sample_mod=5).collect()
+    }
+    assert sampled, "sample must be non-empty at sf0.01"
+    assert set(sampled) == {q for q in full if q % 500 == 0}
+    for q, v in sampled.items():
+        assert v == full[q], (q, v, full[q])
