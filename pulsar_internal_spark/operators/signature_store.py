@@ -54,10 +54,11 @@ STORE_SCHEMA = "id BIGINT, band_idx INT, band_key STRING, batch_id INT"
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """Plain parquet read that treats ONLY path-absence as 'nothing
-    yet' — the read primitive for streaming SINKS (candidates/spans),
-    which stay flat parquet dirs: they have no compaction, so they
-    carry no generation layer. Any other analysis failure (schema
-    lost, empty dir from a corrupt sink) must propagate."""
+    yet'. Any other analysis failure (schema lost, empty dir from a
+    corrupt sink) must propagate. Since round 8 the streaming sinks are
+    generation stores too (they gained compaction/retention — VERDICT
+    r7 #6), so sink reads go through _read_store; this primitive
+    remains for the legacy flat-sink detection in _read_sink."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -280,6 +281,65 @@ def streaming_minhash_dedup(
     )
 
 
+def _sink_write_batch(frame: DataFrame, sink_path: str) -> None:
+    """Land a micro-batch's output rows (already carrying their
+    batch_id column) in a streaming SINK — since round 8 a pointer-
+    committed generation store like the signature/sketch/span/cells
+    stores, so sinks get the same compaction/retention machinery
+    (VERDICT r7 #6: at streaming cadence a flat batch_id=N dir accrues
+    thousands of tiny partitions between consumers). Dynamic partition
+    overwrite keyed on batch_id keeps the exactly-once replay
+    contract unchanged."""
+    sink = sink_path.rstrip("/")
+    ensure_no_orphan_generation(sink)
+    root, init = _begin_store_write(sink)
+    (
+        frame.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(root)
+    )
+    if init:
+        _commit_store_init(sink)
+
+
+def _sink_delete_batch(sink_path: str, batch_id: int) -> None:
+    """Strict replace-on-replay for a zero-row replayed batch: remove
+    the partition a pre-crash attempt may have left in the sink's live
+    generation (no-op for an uncommitted sink)."""
+    from . import store_fs
+
+    root = store_fs.resolve_current(sink_path.rstrip("/"))
+    if root is not None:
+        store_fs.delete_dir(
+            store_fs.join(root, f"batch_id={batch_id}"), ignore_missing=True
+        )
+
+
+def _read_sink(spark: SparkSession, sink_path: str) -> DataFrame | None:
+    """Generation-aware sink read: None until the first non-empty batch
+    commits gen-0. A PRE-round-8 flat sink (batch_id=N dirs with no
+    pointer) must fail loudly instead of silently serving an empty
+    frame — recover by moving the batch_id=* dirs under
+    {sink}/gen-00000000/ and writing the pointer."""
+    from . import store_fs
+
+    sink = sink_path.rstrip("/")
+    got = _read_store(spark, sink)
+    if got is not None:
+        return got
+    if store_fs.is_dir(sink) and any(
+        d.startswith("batch_id=") for d in store_fs.list_subdirs(sink)
+    ):
+        raise RuntimeError(
+            f"sink {sink} holds flat batch_id=* partitions but no "
+            f"{store_fs.POINTER} pointer — a pre-generation (round <8) "
+            "sink layout; migrate by moving the batch_id=* dirs under "
+            f"{store_fs.FIRST_GEN}/ and writing the pointer"
+        )
+    return None
+
+
 def streaming_banded_dedup(
     stream: DataFrame,
     bander,
@@ -309,9 +369,10 @@ def streaming_banded_dedup(
     the sink exists. The candidates frame is STAGED before the
     emptiness probe so the batch-vs-history join — the dominant
     per-micro-batch work — executes once, not once for the probe and
-    again for the write."""
+    again for the write. The sink is a pointer-committed generation
+    store (round 8) so it shares the stores' compaction/retention —
+    see compact_sink_batches / expire_sink_batches."""
     from ..staging import stage as stage_frame
-    from . import store_fs
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -324,17 +385,9 @@ def streaming_banded_dedup(
             .transform(stage_frame)
         )
         if cands.isEmpty():
-            store_fs.delete_dir(
-                store_fs.join(candidates_path, f"batch_id={batch_id}"),
-                ignore_missing=True,
-            )
+            _sink_delete_batch(candidates_path, batch_id)
             return
-        (
-            cands.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(candidates_path)
-        )
+        _sink_write_batch(cands, candidates_path)
 
     writer = stream.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_dir
@@ -355,7 +408,7 @@ def read_candidates_sink(
     NAMES, so a bander emitting non-bigint ids (string content hashes,
     uuids) declares its type here and the pre-sink empty frame agrees
     with the sink once created — mirroring read_span_sink's id_col."""
-    got = _read_parquet_or_none(spark, candidates_path)
+    got = _read_sink(spark, candidates_path)
     if got is not None:
         return got
     return spark.createDataFrame(
@@ -568,7 +621,22 @@ def swap_in_generation(store_path: str, write_tmp) -> None:
     just documented: a second concurrent compaction fails loudly on
     the lease instead of racing the pointer (maintainer-vs-APPEND
     exclusion remains the operator's scheduling responsibility —
-    appends are not leased by design; see compact_store)."""
+    appends are not leased by design; see compact_store).
+
+    LEASE FENCING (round 8, VERDICT r7 #7): on S3 the lease's
+    create-exclusive is only best-effort, so two maintainers CAN both
+    enter the window under a lost lease. Two mechanisms remove every
+    SILENT failure path: (a) each attempt stages into its OWN
+    generation dir (per-attempt nonce — store_fs.next_generation), so
+    concurrent maintainers never interleave parquet writes in one
+    directory; (b) the swap re-reads the pointer immediately before
+    its flip and ABORTS loudly if it no longer names the generation
+    read at window start — the loser's half-built dir stays
+    unreferenced (inert, swept later) and the winner's commit is never
+    silently overwritten. The residue without a CAS primitive is the
+    ~20-byte PUT race between the fence check and the flip, and a
+    concurrent sweep deleting an in-progress staging dir — both of
+    which surface as loud job failures, never as silently wrong data."""
     from . import store_fs
 
     base = store_path.rstrip("/")
@@ -582,6 +650,16 @@ def swap_in_generation(store_path: str, write_tmp) -> None:
         store_fs.sweep_stale_generations(base, keep=cur)
         nxt = store_fs.next_generation(cur)
         write_tmp(store_fs.join(base, nxt))
+        fence = store_fs.read_pointer(base)
+        if fence != cur:
+            raise RuntimeError(
+                f"store {base} pointer moved {cur} -> {fence} during the "
+                "maintenance window — a concurrent maintainer committed "
+                "under a lost lease. Aborting WITHOUT flipping: the other "
+                "maintainer's generation stays live; this window's "
+                f"half-built {nxt} is unreferenced and will be swept by "
+                "the next successful window."
+            )
         store_fs.write_pointer(base, nxt)
         store_fs.delete_dir(store_fs.join(base, cur))
 
@@ -644,3 +722,55 @@ def expire_batches(store_path: str, keep_from_batch: int) -> list[int]:
             root, "batch_id=", lambda v: int(v) < keep_from_batch
         )
     return [int(d.split("=", 1)[1]) for d in removed]
+
+
+def compact_sink_batches(
+    spark: SparkSession, sink_path: str, upto_batch: int
+) -> int:
+    """Maintenance for streaming SINKS (candidates/spans — VERDICT r7
+    #6): fold every CONSUMED batch partition (batch_id <= upto_batch)
+    into a single base partition (id 0), leaving unconsumed batches
+    untouched. At streaming cadence a sink otherwise accrues one tiny
+    hive partition per micro-batch between consumers — the same
+    small-file pathology compact_store fixes for the stores, with the
+    same pointer-committed swap (crash windows benign, readers never
+    see a torn sink). Schema-agnostic: both sinks differ only in their
+    payload columns, and the fold rewrites batch_id alone.
+
+    ``upto_batch`` is the CONSUMPTION WATERMARK and doubles as the
+    replay-safety boundary: the streaming engine only ever replays the
+    latest uncommitted batch, so a consumed batch can never be
+    dynamically re-overwritten — folding it into id 0 cannot collide
+    with a replay. Never pass a watermark at or above a batch that may
+    still replay. Same maintenance-window contract as compact_store:
+    single maintainer, not concurrent with the streaming writer.
+    Returns the number of partitions folded (0 or 1 = nothing to do)."""
+    sink = _read_sink(spark, sink_path)
+    if sink is None:
+        return 0
+    folded = sink.filter(F.col("batch_id") <= upto_batch)
+    n = folded.select("batch_id").distinct().count()
+    if n <= 1:
+        return n
+
+    def _write(tmp: str) -> None:
+        (
+            folded.withColumn("batch_id", F.lit(0))
+            .unionByName(sink.filter(F.col("batch_id") > upto_batch))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+
+    swap_in_generation(sink_path, _write)
+    return n
+
+
+def expire_sink_batches(sink_path: str, keep_from_batch: int) -> list[int]:
+    """Retention for streaming sinks: drop batch partitions strictly
+    below ``keep_from_batch`` (output already consumed AND past any
+    replay horizon — after a compaction the folded base partition is
+    batch 0, so expiring it requires keep_from_batch >= 1 on purpose).
+    Same leased directory-level delete as expire_batches; the sink and
+    store layouts are identical since round 8."""
+    return expire_batches(sink_path, keep_from_batch)

@@ -50,8 +50,10 @@ from ..staging import stage
 from .signature_store import (
     _begin_store_write,
     _commit_store_init,
-    _read_parquet_or_none,
+    _read_sink,
     _read_store,
+    _sink_delete_batch,
+    _sink_write_batch,
     ensure_no_orphan_generation,
 )
 
@@ -374,20 +376,12 @@ def streaming_substring_dedup(
         # point consumers at read_span_sink, which returns a TYPED
         # empty frame for a not-yet-created sink. A pre-crash attempt's
         # non-empty partition is deleted (strict replace-on-replay).
+        # The sink is a generation store since round 8 — it shares the
+        # stores' compaction/retention (compact_sink_batches).
         if spans.isEmpty():
-            from . import store_fs
-
-            store_fs.delete_dir(
-                store_fs.join(spans_path, f"batch_id={batch_id}"),
-                ignore_missing=True,
-            )
+            _sink_delete_batch(spans_path, batch_id)
             return
-        (
-            spans.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(spans_path)
-        )
+        _sink_write_batch(spans, spans_path)
 
     writer = docs_stream.writeStream.queryName("substring_dedup").option(
         "checkpointLocation", checkpoint_dir
@@ -408,5 +402,5 @@ def read_span_sink(
     schema = (
         f"{id_col} BIGINT, span_start BIGINT, span_end BIGINT, batch_id INT"
     )
-    got = _read_parquet_or_none(spark, spans_path)
+    got = _read_sink(spark, spans_path)
     return got if got is not None else spark.createDataFrame([], schema)

@@ -274,8 +274,21 @@ def resolve_current(base: str) -> str | None:
 
 
 def next_generation(cur: str) -> str:
-    """gen-00000007 -> gen-00000008."""
-    return f"{GEN_PREFIX}{int(cur[len(GEN_PREFIX):]) + 1:08d}"
+    """gen-00000007 -> gen-00000008-<nonce>. The 8-digit counter orders
+    generations; the per-ATTEMPT nonce (round 8, lease-fencing work)
+    makes every maintenance attempt stage into its OWN directory: under
+    a lost lease on S3 (create_exclusive is best-effort there) two
+    maintainers previously computed the SAME next name and interleaved
+    parquet writes into one dir — silent corruption whichever flipped
+    first. With unique staging dirs the loser either aborts on the
+    pointer fence (swap_in_generation) or fails loudly when the
+    winner's sweep removes its in-progress dir; no silent path remains.
+    gen-00000000 (FIRST_GEN) keeps its fixed nonce-less name — the
+    crashed-first-append replay contract rebuilds it deterministically."""
+    import uuid
+
+    counter = int(cur[len(GEN_PREFIX):].split("-", 1)[0])
+    return f"{GEN_PREFIX}{counter + 1:08d}-{uuid.uuid4().hex[:6]}"
 
 
 def list_generations(base: str) -> list[str]:

@@ -1866,7 +1866,8 @@ def test_store_maintenance_routes_uris_via_hadoop_fs(spark, tmp_path):
     # FS, pointer create-overwritten, superseded generation deleted
     assert S.compact_store(spark, uri) == 2
     cur = store_fs.read_pointer(uri)
-    assert cur == store_fs.next_generation(store_fs.FIRST_GEN)
+    # counter advanced to 1; the suffix is the per-attempt nonce (r8)
+    assert cur.startswith("gen-00000001"), cur
     assert store_fs.list_generations(local) == [cur], (
         "superseded generation must be cleaned up"
     )
@@ -2313,3 +2314,135 @@ def test_ivfpq_recall_eval_sample_mod_is_exact_subset(spark):
     assert set(sampled) == {q for q in full if q % 500 == 0}
     for q, v in sampled.items():
         assert v == full[q], (q, v, full[q])
+
+
+# ------------------------------------- sink maintenance + fencing (r8)
+
+
+def test_sink_compaction_and_retention(spark, tmp_path):
+    """Streaming sinks are generation stores since round 8:
+    compact_sink_batches folds CONSUMED batch partitions into base id 0
+    (leaving unconsumed batches untouched, rows preserved exactly) and
+    expire_sink_batches drops aged partitions — closing the
+    thousands-of-tiny-partitions accrual between consumers (VERDICT r7
+    #6). Crash windows mirror the stores': an unreferenced stale
+    generation never affects reads and is swept by the next window."""
+    import os
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import store_fs
+
+    sink = str(tmp_path / "cand_sink")
+    for b in range(4):
+        frame = spark.createDataFrame(
+            [(10 * b + i, 10 * b + i + 1, b) for i in range(3)],
+            "id_a BIGINT, id_b BIGINT, batch_id INT",
+        )
+        S._sink_write_batch(frame, sink)
+
+    before = {
+        (r.id_a, r.id_b) for r in S.read_candidates_sink(spark, sink).collect()
+    }
+    assert len(before) == 12
+
+    # plant a pre-flip crash leftover: unreferenced generation dir
+    stale = os.path.join(sink, store_fs.next_generation(store_fs.FIRST_GEN))
+    os.makedirs(stale, exist_ok=True)
+    open(os.path.join(stale, "_garbage"), "w").write("partial")
+    assert {
+        (r.id_a, r.id_b) for r in S.read_candidates_sink(spark, sink).collect()
+    } == before, "unreferenced generation must not affect sink reads"
+
+    # fold consumed batches 0..2; batch 3 is unconsumed and untouched
+    assert S.compact_sink_batches(spark, sink, upto_batch=2) == 3
+    assert not os.path.exists(stale), "window must sweep stale leftovers"
+    after = S.read_candidates_sink(spark, sink)
+    assert {
+        (r.id_a, r.id_b) for r in after.collect()
+    } == before, "compaction must preserve every sink row"
+    got_batches = {r.batch_id for r in after.select("batch_id").distinct().collect()}
+    assert got_batches == {0, 3}, got_batches
+
+    # idempotent: nothing left to fold below the watermark
+    assert S.compact_sink_batches(spark, sink, upto_batch=2) == 1
+
+    # retention: expire the folded base, keep the live batch
+    assert S.expire_sink_batches(sink, keep_from_batch=1) == [0]
+    left = S.read_candidates_sink(spark, sink)
+    assert {r.batch_id for r in left.select("batch_id").distinct().collect()} == {3}
+    assert left.count() == 3
+
+
+def test_sink_read_refuses_legacy_flat_layout(spark, tmp_path):
+    """A pre-round-8 flat sink (batch_id=* dirs, no pointer) must fail
+    loudly with migration guidance, never silently serve empty."""
+    import pytest as _pytest
+
+    from pulsar_internal_spark.operators import signature_store as S
+
+    legacy = str(tmp_path / "flat_sink")
+    spark.createDataFrame(
+        [(1, 2, 0)], "id_a BIGINT, id_b BIGINT, batch_id INT"
+    ).write.partitionBy("batch_id").parquet(legacy)
+    with _pytest.raises(RuntimeError, match="pre-generation"):
+        S.read_candidates_sink(spark, legacy)
+
+
+def test_swap_fence_aborts_loser_under_lost_lease(spark, tmp_path):
+    """Lease fencing (VERDICT r7 #7): two maintainers in the window
+    under a LOST lease (simulated — local create_exclusive is actually
+    atomic, S3's is not) must produce ONE winner and one LOUD abort,
+    never a silent overwrite: the loser's pre-flip fence re-read sees
+    the winner's pointer and raises; the winner's generation keeps
+    serving; the loser's uniquely-named staging dir (per-attempt nonce)
+    is inert and swept by the next window."""
+    import os
+
+    import pytest as _pytest
+
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import store_fs
+
+    store = str(tmp_path / "fence_store")
+    for b in range(3):
+        frame = spark.createDataFrame(
+            [(100 + 10 * b + i, b % 4, f"k{i}") for i in range(4)],
+            "id BIGINT, band_idx INT, band_key STRING",
+        )
+        S.append_banded_batch(spark, frame, store, batch_id=b)
+    want = {
+        (r.id, r.band_idx, r.band_key, 0)
+        for r in S._read_store(spark, store).drop("batch_id").collect()
+    }
+
+    loser_dirs: list[str] = []
+
+    def loser_write(tmp: str) -> None:
+        loser_dirs.append(tmp)
+        # stage the loser's generation in full...
+        S._read_store(spark, store).withColumn(
+            "batch_id", F.lit(0)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        # ...then simulate the lost lease: the marker evaporates (S3
+        # best-effort) and a second maintainer runs a full window
+        os.remove(store + ".lease")
+        assert S.compact_store(spark, store) == 3  # the winner commits
+
+    with _pytest.raises(RuntimeError, match="pointer moved"):
+        S.swap_in_generation(store, loser_write)
+
+    # winner serves; loser never flipped
+    cur = store_fs.read_pointer(store)
+    assert cur is not None and os.path.join(store, cur) != loser_dirs[0]
+    got = {
+        (r.id, r.band_idx, r.band_key, r.batch_id)
+        for r in S._read_store(spark, store).collect()
+    }
+    assert got == want, "winner's compacted store must serve identically"
+    # the loser's uniquely-named staging dir was unreferenced from the
+    # moment it was written, and the WINNER's window-start sweep already
+    # reclaimed it — no manual cleanup, no second window needed
+    assert not os.path.isdir(loser_dirs[0]), (
+        "loser staging dir must be swept, never referenced"
+    )
+    assert store_fs.list_generations(store) == [cur]

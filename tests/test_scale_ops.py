@@ -855,7 +855,8 @@ def test_sketch_compact_pointer_crash_windows(spark, sf_dir, tmp_path):
         "re-run must sweep the stale generation before rebuilding it"
     )
     cur = store_fs.read_pointer(store)
-    assert cur == store_fs.next_generation(store_fs.FIRST_GEN)
+    # counter advanced to 1; the suffix is the per-attempt nonce (r8)
+    assert cur.startswith("gen-00000001"), cur
     got2 = {(r.r, r.bucket): r.cell for r in sketches.serve_sketch(spark, store).collect()}
     assert got2 == want, "re-run compaction must serve identical cells"
 

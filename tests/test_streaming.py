@@ -950,7 +950,7 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
 
     got = {
         (r.id_a, r.id_b)
-        for r in spark.read.parquet(cands).select("id_a", "id_b").collect()
+        for r in S.read_candidates_sink(spark, cands).select("id_a", "id_b").collect()
     }
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     want = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs).collect()}
@@ -1020,7 +1020,7 @@ def test_streaming_substring_dedup_matches_batch(spark, tmp_path):
 
     got = {
         (r.doc_id, r.span_start, r.span_end)
-        for r in spark.read.parquet(spans)
+        for r in SS.read_span_sink(spark, spans)
         .select("doc_id", "span_start", "span_end")
         .collect()
     }
@@ -1163,7 +1163,7 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
 
     got = {
         (r.id_a, r.id_b)
-        for r in spark.read.parquet(cands).select("id_a", "id_b").collect()
+        for r in S.read_candidates_sink(spark, cands).select("id_a", "id_b").collect()
     }
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     want = {
