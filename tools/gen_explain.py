@@ -82,6 +82,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("ivf_cosine_topk", "IVF serving: frozen-quantizer argmin cell assignment (narrow array_min, no corpus explode), broadcast probed cells, one top-k window"),
     ("pq_adc_topk", "PQ serving: staged relational argmin encode against the broadcast codebook relation, keyless broadcast of query ADC tables onto codes, shortlist + rank windows, broadcast-hash re-rank fetch"),
     ("ivfpq_topk", "IVF+PQ combined serving: narrow cell argmin + staged relational encode; probed-cells ADC tables broadcast-hash-join BY CELL (no nested loop); shortlist + rank windows, broadcast re-rank fetch"),
+    ("pq_residual_drift", "index health: planted per-batch drift, relational argmin carrying winner dot/norm terms, exact-integer residual aggregate per batch"),
 ]
 
 
