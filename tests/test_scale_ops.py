@@ -1015,3 +1015,62 @@ def test_banded_join_under_planted_power_law_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scale_fixture_embedding_decorrelation_survives_second_lap(tmp_path):
+    """The scale fixture's embedding decorrelation must survive factors
+    past the 64-dim rotation period: rotation by 64 is the IDENTITY, so
+    without the second-lap sign flip copy 64+j would be content-
+    identical to copy j and every sign-LSH bucket a cross-copy clique —
+    the exact pathology the fixture exists to avoid (same class as the
+    time-bucket densification bug r7 diagnosed). Runs the generator's
+    own SQL at factor 66 over the tiny sf0.001 embeddings and asserts:
+    copy 64 is the exact NEGATION of copy 0 (cos -1, never +1), copy 65
+    of copy 1, norms preserved per copy, and the vec_id % 100 query
+    fraction is scale-invariant."""
+    import duckdb
+
+    import tools.gen_scale_fixture as G
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{src}')")
+    cols = [(r[0], r[1]) for r in con.execute("DESCRIBE src").fetchall()]
+    sel = " UNION ALL ".join(
+        f"SELECT {G.copy_select('embeddings', cols, i)} FROM src"
+        for i in range(66)
+    )
+    con.execute(f"CREATE TABLE scaled AS {sel}")
+
+    stride = G.STRIDE
+    for a, b in ((0, 64), (1, 65)):
+        lo, hi = con.execute(
+            f"""
+            WITH x AS (SELECT vec_id % {stride} AS base, embedding e
+                       FROM scaled WHERE vec_id // {stride} = {a}),
+                 y AS (SELECT vec_id % {stride} AS base, embedding e
+                       FROM scaled WHERE vec_id // {stride} = {b})
+            SELECT min(list_cosine_similarity(x.e, y.e)),
+                   max(list_cosine_similarity(x.e, y.e))
+            FROM x JOIN y USING (base)
+            """
+        ).fetchone()
+        assert lo == -1.0 and hi == -1.0, (a, b, lo, hi)
+
+    n_norms = con.execute(
+        """
+        SELECT count(DISTINCT round(avgn, 4)) FROM (
+          SELECT vec_id // 1000000000 c,
+                 avg(sqrt(list_sum(list_transform(embedding, v -> v*v)))) avgn
+          FROM scaled GROUP BY 1)
+        """
+    ).fetchone()[0]
+    assert n_norms == 1, "per-copy average norm must be preserved"
+
+    src_frac = con.execute(
+        "SELECT avg(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END) FROM src"
+    ).fetchone()[0]
+    scaled_frac = con.execute(
+        "SELECT avg(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END) FROM scaled"
+    ).fetchone()[0]
+    assert src_frac == scaled_frac, "query-side modulus fraction must be scale-invariant"
