@@ -472,7 +472,7 @@ def hamming_banded_pairs(
     bits: int = 16,
     band_bits: int = 4,
     max_hamming: int = 2,
-    max_df: int = 100_000,
+    max_df: int = 4096,
     stage: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs under Hamming distance over an integer
@@ -482,10 +482,21 @@ def hamming_banded_pairs(
     distance < #bands shares at least one identical band, so for
     ``max_hamming < bands`` the banded result EQUALS the brute-force
     result (exactness is unit-tested against a Python mirror).
-    ``max_df`` caps degenerate fingerprint buckets via drop_hot_keys
-    (a mono-color mega-cluster would otherwise go quadratic); at the
-    default it is a pure scale guard that never fires on healthy data.
-    Returns (id_a, id_b, hamming), id_a < id_b, distinct.
+    ``max_df`` caps degenerate fingerprint buckets via drop_hot_keys —
+    pair work per band bucket is bounded at max_df^2, so the cap IS the
+    operator's worst-case work budget, not a formality. The round-8
+    second-decade measurement made that concrete: the old 100k default
+    admitted 10^10-pair buckets, and at 100x data the planted
+    %40-group clusters (12,500 identical hashes each) blew a ~25e9-row
+    join through 77 GB of shuffle spill and killed the JVM. The 4096
+    default bounds any bucket at ~17M pairs (comfortably a single
+    task) while never firing on healthy near-dup structure at any test
+    SF (group sizes 12-1250 through sf1.0). A bucket ABOVE the cap is
+    a mega-cluster, and pair enumeration is the wrong tool for it
+    anyway — identical-hash membership is linear work via groupBy
+    (keep-one semantics, see dedup_keep_best's cluster path); the cap
+    routes it out of the quadratic join rather than pretending to
+    enumerate it. Returns (id_a, id_b, hamming), id_a < id_b, distinct.
 
     ``hashes`` feeds THREE lineages (drop_hot_keys' count plus both
     self-join sides); when it is expensive upstream — the perceptual
