@@ -468,16 +468,11 @@ def ivf_fixed_topk(
 
 
 def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
-    """The tiny (j, c, ctr) codebook relation (M x KSUB rows) every PQ
-    plan broadcasts. Distances against it are 4-term UNROLLED column
-    arithmetic — the engine-shaped form: the single-expression
-    alternatives both lose by an order of magnitude (zip_with/aggregate
-    lambdas interpret a closure per element, ~8 s / 5000 encodes; fully
-    unrolling all 256 entries into one projection overflows Janino's
-    64 KB method limit, kills whole-stage codegen for the WHOLE stage
-    and interprets the giant tree, ~20 s). Small per-row expressions
-    over an exploded (row, subspace) grain keep every stage inside
-    codegen: measured 1.1 s for the same 5000 encodes."""
+    """The tiny (j, c, ctr) codebook relation (M x KSUB rows) the
+    per-QUERY table builder broadcasts (Q x M x KSUB rows is trivial).
+    The CORPUS-side encode does NOT use this relation any more — see
+    pq_encode for the narrow-map argmin and the round-8 scale lesson
+    that forced it."""
     rows = [
         (j, c, [float(x) for x in ctr])
         for j, book in enumerate(codebooks)
@@ -486,12 +481,28 @@ def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     return spark.createDataFrame(rows, "j INT, c INT, ctr ARRAY<DOUBLE>")
 
 
-def _unrolled_d2_sv_ctr(dsub: int):
+def _books_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The M-row (j, _book: KSUB x dsub) per-subspace codebook relation
+    the encode broadcast-joins on j. Why a 16-row JOIN and not a nested
+    literal: the argmin expression references the book ~8 x KSUB times,
+    and CollapseProject inlines an ALIASED literal into every reference
+    — a 1024-literal CreateArray tree replicated ~128x made analysis
+    alone take ~14 s per plan build (measured). A join output ATTRIBUTE
+    is an O(1) reference, so the tree stays small; the build side is 16
+    rows, the probe side streams, and there is still no aggregate."""
+    rows = [
+        (j, [[float(x) for x in ctr] for ctr in book])
+        for j, book in enumerate(codebooks)
+    ]
+    return spark.createDataFrame(rows, "j INT, _book ARRAY<ARRAY<DOUBLE>>")
+
+
+def _unrolled_d2(sv, ctr, dsub: int):
     """(0.0 + d1*d1) + d2*d2 + ... over sv/ctr item pairs — aggregate's
     fold order, so the DuckDB oracle twins stay bit-identical."""
     s = F.lit(0.0)
     for t in range(dsub):
-        d = F.col("sv").getItem(t).cast("double") - F.col("ctr").getItem(t)
+        d = sv.getItem(t).cast("double") - F.element_at(ctr, t + 1)
         s = s + d * d
     return s
 
@@ -506,41 +517,59 @@ def pq_encode(
     """Product-quantization encode: attach to every row its M codes —
     code j = argmin over codebook j of squared L2 distance between the
     j-th contiguous subvector and the codebook entry (ties to the
-    smaller code, deterministically, via min over (d2, code) structs).
+    smaller code, deterministically, via array_min over (d2, code)
+    structs — struct ordering is field order).
 
-    Relational shape (see _codebook_frame for why not one giant
-    expression): explode each vector to its M subvectors, broadcast-
-    join the M x KSUB codebook relation, take the per-(row, subspace)
-    struct-min — a map-side-combinable aggregate — and collect the M
-    codes back in subspace order. Two partial aggregates over an
-    M-fold row explosion, all small codegen'd expressions. At 100 TB
-    this runs ONCE at ingest (the serving scan reads only the stored
-    codes: M=16 x 4-bit codes replace 64 float32s, 32x), so the
-    explode+aggregate is ingest cost, never probe cost.
+    Shape (round-8 scale lesson): explode each vector to its M
+    subvectors, broadcast-join the 16-row per-subspace book relation
+    (_books_frame — see it for why a join beats an inlined literal),
+    and take the per-(row, subspace) argmin as a NARROW MAP — array_min
+    of KSUB small unrolled-d2 structs, ivf_fixed_topk's cell-assign
+    discipline. The previous form (broadcast-join the M x KSUB
+    relation, then min(struct) over the KSUB-times-larger grain)
+    planned the argmin as a SortAggregate — min over a struct has no
+    mutable agg buffer, so Spark SORTS the exploded grain: at 200k
+    vectors that sort burned ~7,300 CPU-seconds and spilled 14 GB
+    memory / 5 GB disk (SCALE_r08 diagnosis), a 13x wall factor at 10x
+    data. The narrow map needs no c-explosion and no argmin aggregate:
+    per-row expressions stay small (KSUB x dsub = 64 fused
+    multiply-adds), so whole-stage codegen keeps them, and the only
+    remaining aggregate is the codes collect (ObjectHashAggregate —
+    hash-based, measured spill-free). The fold order of each d2 and
+    the (d2, code) tie-break are unchanged, so results are
+    bit-identical to the old shape and to the DuckDB oracle twins.
+
+    The giant-expression alternatives both still lose (measured in
+    round 7): zip_with/aggregate lambdas interpret a closure per
+    element (~8 s / 5000 encodes); fully unrolling all M x KSUB
+    entries into ONE projection overflows Janino's 64 KB method limit
+    and kills codegen for the whole stage (~20 s). The exploded
+    (row, subspace) grain with per-row KSUB-way argmin is the sweet
+    spot. At 100 TB this runs ONCE at ingest (the serving scan reads
+    only the stored codes: M=16 x 4-bit codes replace 64 float32s,
+    32x), so even the explode is ingest cost, never probe cost.
 
     ``id_col`` must be a unique row key — codes are computed at
     (id, subspace) grain and joined back onto ``df``."""
-    m, dsub = len(codebooks), len(codebooks[0][0])
-    cb = _codebook_frame(df.sparkSession, codebooks)
+    m, dsub, ksub = len(codebooks), len(codebooks[0][0]), len(codebooks[0])
 
     sub = df.select(
         F.col(id_col).alias("_pq_id"),
         F.posexplode(
             F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
         ).alias("j", "sv"),
-    )
-    best = (
-        sub.join(F.broadcast(cb), "j")
-        .select(
-            "_pq_id",
-            "j",
-            F.struct(
-                _unrolled_d2_sv_ctr(dsub).alias("d2"), F.col("c").alias("code")
-            ).alias("s"),
+    ).join(F.broadcast(_books_frame(df.sparkSession, codebooks)), "j")
+    entries = [
+        F.struct(
+            _unrolled_d2(
+                F.col("sv"), F.element_at(F.col("_book"), c + 1), dsub
+            ).alias("d2"),
+            F.lit(c).alias("code"),
         )
-        .groupBy("_pq_id", "j")
-        .agg(F.min("s").alias("s"))
-        .select("_pq_id", "j", F.col("s.code").alias("code"))
+        for c in range(ksub)
+    ]
+    best = sub.select(
+        "_pq_id", "j", F.array_min(F.array(*entries))["code"].alias("code")
     )
     codes = best.groupBy("_pq_id").agg(
         F.transform(
@@ -601,10 +630,10 @@ def pq_fixed_topk(
     and IVF probing, and the MEMORY answer at 100 TB — the hot scan
     touches only M=16 4-bit codes per vector, never the floats.
 
-    Phases (all JVM-side; the codebooks ride as a broadcast M x KSUB
-    relation — see _codebook_frame for why that beats literal-inlined
-    expressions in this engine):
-      1. encode — pq_encode's relational argmin (offline at real
+    Phases (all JVM-side; the corpus-side encode inlines the codebooks
+    as a literal, the query-side table builder broadcasts the M x KSUB
+    relation — see pq_encode for the codegen/spill tradeoffs):
+      1. encode — pq_encode's narrow-map argmin (offline at real
          scale; in this one-plan demo it runs as its own staged
          subplan);
       2. ADC scan — each query precomputes an M x KSUB lookup table
@@ -1571,52 +1600,61 @@ def pq_residuals(
     distribution (the one failure mode of frozen-quantizer serving).
 
     Same relational grain as pq_encode (explode to (id, subspace),
-    broadcast the M x KSUB codebook relation, struct-min argmin) but the
-    winning struct carries the entry's dot/norm terms, so reconstruction
-    cosine needs NO second codebook pass: because subspaces are disjoint,
-    dot(v, v_hat) = sum_j dot(sv_j, ctr_code_j) and |v_hat|^2 =
-    sum_j |ctr_code_j|^2. Folds run in subspace order over a j-sorted
-    collect (matching the DuckDB twin's list_sum order) and the residual
-    is floored to integer micro-units, so downstream SUMs are
-    order-independent and engine-exact — no float tolerance anywhere.
+    join the 16-row book relation, narrow-map argmin — the round-8
+    SortAggregate-spill lesson in pq_encode's docstring applies here
+    identically) but the winning struct carries the entry's dot/norm
+    terms, so reconstruction cosine needs NO second codebook pass:
+    because subspaces are disjoint, dot(v, v_hat) =
+    sum_j dot(sv_j, ctr_code_j) and |v_hat|^2 = sum_j |ctr_code_j|^2.
+    Folds run in subspace order over a j-sorted collect (matching the
+    DuckDB twin's list_sum order) and the residual is floored to
+    integer micro-units, so downstream SUMs are order-independent and
+    engine-exact — no float tolerance anywhere.
     """
-    m, dsub = len(codebooks), len(codebooks[0][0])
-    cb = _codebook_frame(df.sparkSession, codebooks)
+    m, dsub, ksub = len(codebooks), len(codebooks[0][0]), len(codebooks[0])
 
-    sub = df.select(
-        F.col(id_col).alias("_pq_id"),
-        F.posexplode(
-            F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
-        ).alias("j", "sv"),
-    )
-    dp = F.lit(0.0)
     sv2 = F.lit(0.0)
-    n2 = F.lit(0.0)
     for t in range(dsub):
         sv_t = F.col("sv").getItem(t).cast("double")
-        ctr_t = F.col("ctr").getItem(t)
-        dp = dp + sv_t * ctr_t
         sv2 = sv2 + sv_t * sv_t
-        n2 = n2 + ctr_t * ctr_t
-    best = (
-        sub.join(F.broadcast(cb), "j")
-        .select(
-            "_pq_id",
-            "j",
-            F.struct(
-                _unrolled_d2_sv_ctr(dsub).alias("d2"),
-                F.col("c").alias("code"),
-                dp.alias("dp"),
-                n2.alias("n2"),
-                sv2.alias("sv2"),
-            ).alias("s"),
+    sub = (
+        df.select(
+            F.col(id_col).alias("_pq_id"),
+            F.posexplode(
+                F.array(
+                    *[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)]
+                )
+            ).alias("j", "sv"),
         )
-        .groupBy("_pq_id", "j")
-        .agg(F.min("s").alias("s"))
+        .join(F.broadcast(_books_frame(df.sparkSession, codebooks)), "j")
+        .withColumn("_sv2", sv2)
+    )
+
+    def entry(c: int):
+        ctr = F.element_at(F.col("_book"), c + 1)
+        dp = F.lit(0.0)
+        n2 = F.lit(0.0)
+        for t in range(dsub):
+            sv_t = F.col("sv").getItem(t).cast("double")
+            ctr_t = F.element_at(ctr, t + 1)
+            dp = dp + sv_t * ctr_t
+            n2 = n2 + ctr_t * ctr_t
+        return F.struct(
+            _unrolled_d2(F.col("sv"), ctr, dsub).alias("d2"),
+            F.lit(c).alias("code"),
+            dp.alias("dp"),
+            n2.alias("n2"),
+        )
+
+    best = sub.select(
+        "_pq_id",
+        "j",
+        F.array_min(F.array(*[entry(c) for c in range(ksub)])).alias("s"),
+        F.col("_sv2").alias("sv2"),
     )
     terms = best.groupBy("_pq_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("j", "s.dp", "s.n2", "s.sv2"))
+            F.collect_list(F.struct("j", "s.dp", "s.n2", "sv2"))
         ).alias("ts")
     )
     dot_v = F.lit(0.0)
