@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import dup_span_intervals, tokenized
+from ..sources.tables import spread
 from ..staging import stage
 from .signature_store import (
     _begin_store_write,
@@ -63,8 +64,12 @@ SPAN_STORE_SCHEMA = "kh STRING, owner_doc BIGINT, batch_id INT"
 def _kgram_occurrences(docs: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, kh) for every k-gram position in ``docs`` — the same
     signing expression the batch operator uses (dedup.py), so batch and
-    incremental paths can never disagree on a hash."""
-    toks = docs.select(id_col, tokenized(text_col).alias("w"))
+    incremental paths can never disagree on a hash. spread() first:
+    signing is one sha2 per token position, and a bytes-sized scan puts
+    a 2 GB document file in ~15 tasks — the SCALE_r08 sf10 profile
+    showed the signing stages at half the core count of every other
+    stage (dedup.py's one-shot signer already spreads)."""
+    toks = spread(docs).select(id_col, tokenized(text_col).alias("w"))
     wcol = F.col("w")
     return (
         toks.filter(F.size(wcol) >= k)

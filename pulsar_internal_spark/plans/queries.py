@@ -2558,7 +2558,9 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql(k: int = 5, shortlist: int = 50) -> str:
+def _pq_oracle_sql(
+    k: int = 5, shortlist: int = 50, qfilter: str = "vec_id % 100 = 0"
+) -> str:
     """DuckDB twin of pq_fixed_topk over the SAME frozen codebook
     literals (operators/pq_frozen.CODEBOOKS): per-subspace encode =
     argmin squared L2 (ties to the smaller code), ADC score = M table
@@ -2610,7 +2612,7 @@ def _pq_oracle_sql(k: int = 5, shortlist: int = 50) -> str:
     cbn AS (SELECT j, c, {n2} AS en2 FROM cb),
     normj AS (SELECT j, list(en2 ORDER BY c) AS n2s FROM cbn GROUP BY j),
     normtab AS (SELECT list(n2s ORDER BY j) AS norms FROM normj),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE {qfilter}),
     qsub AS (
       SELECT query_id, js.j, qv[(js.j * {DSUB} + 1):(js.j * {DSUB} + {DSUB})] AS sv
       FROM q CROSS JOIN js
@@ -2679,7 +2681,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 3, shortlist: int = 50) -> str:
+def _ivfpq_oracle_sql(
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    qfilter: str = "vec_id % 100 = 0",
+) -> str:
     """DuckDB twin of ivfpq_fixed_topk: _ivf_oracle_sql's cell
     assignment/probing CTEs composed with _pq_oracle_sql's encode/ADC
     CTEs — the candidate pool is the probed cells' members, scored by
@@ -2750,7 +2757,7 @@ def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 3, shortlist: int = 50) -> str:
     cbn AS (SELECT j, c, {n2} AS en2 FROM cb),
     normj AS (SELECT j, list(en2 ORDER BY c) AS n2s FROM cbn GROUP BY j),
     normtab AS (SELECT list(n2s ORDER BY j) AS norms FROM normj),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE {qfilter}),
     qc AS (
       SELECT query_id, cell FROM (
         SELECT qq.query_id, ct.cell,
@@ -2833,6 +2840,64 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     out = sim_ops.ivfpq_fixed_topk(
         emb, queries_df, CENTROIDS, CODEBOOKS, k=5, nprobe=3, shortlist=50
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_FIXEDQ_SQL = "vec_id % 100 = 0 AND vec_id < 2000"
+
+
+def _fixedq_spark():
+    """Column-construction needs a live SparkContext — keep it lazy."""
+    return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+
+
+@_register("pq_adc_topk_fixedq", _pq_oracle_sql(qfilter=_FIXEDQ_SQL))
+def pq_adc_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_adc_topk with a FIXED query set (round 8): the base-copy ids
+    `vec_id % 100 = 0 AND vec_id < 2000` — at most 20 queries at every
+    SF, identical to pq_adc_topk at sf0.1 and below. The fraction-Q
+    original (1% of the corpus as queries) is the right correctness
+    workload, but its ADC scan is Q x N = 0.01 N^2 — at the sf10 scale
+    fixture that quadratic WORKLOAD definition dominated the
+    measurement (400M scored pairs, 13 GB shortlist-sort spill —
+    SCALE_r08 diagnosis), saying nothing about serving cost. Real ANN
+    serving is per-query cost at a given corpus size, which is what a
+    fixed Q isolates: the scan is 20 x N codes-only rows, linear per
+    decade. This is the variant the two-decade scale artifact records
+    for the PQ tier."""
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.pq_fixed_topk(
+        emb, emb.filter(_fixedq_spark()), CODEBOOKS, k=5, shortlist=50
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@_register("ivfpq_topk_fixedq", _ivfpq_oracle_sql(qfilter=_FIXEDQ_SQL))
+def ivfpq_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_topk with the same FIXED query set as pq_adc_topk_fixedq
+    (see it for why fraction-Q workloads measure Q x N, not serving
+    cost). With Q pinned, this is the per-query 100 TB serving claim
+    in measurable form: nprobe/num_cells of the corpus scanned at
+    8 bytes per vector, linear per decade."""
+    from ..operators.ivf_frozen import CENTROIDS
+    from ..operators.pq_frozen import CODEBOOKS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.ivfpq_fixed_topk(
+        emb,
+        emb.filter(_fixedq_spark()),
+        CENTROIDS,
+        CODEBOOKS,
+        k=5,
+        nprobe=3,
+        shortlist=50,
     )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")

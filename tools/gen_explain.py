@@ -80,8 +80,10 @@ HEADLINERS: list[tuple[str, str]] = [
     ("bigram_lm_xent", "bigram-LM scoring: two map-side-combined LM aggregates, broadcast V, vocabulary-sized scoring join"),
     ("bigram_lm_xent_interp", "interpolated (Jelinek-Mercer) LM: unigram table joined twice (context + target), 1-row broadcast token mass"),
     ("ivf_cosine_topk", "IVF serving: frozen-quantizer argmin cell assignment (narrow array_min, no corpus explode), broadcast probed cells, one top-k window"),
-    ("pq_adc_topk", "PQ serving: staged relational argmin encode against the broadcast codebook relation, keyless broadcast of query ADC tables onto codes, shortlist + rank windows, broadcast-hash re-rank fetch"),
-    ("ivfpq_topk", "IVF+PQ combined serving: narrow cell argmin + staged relational encode; probed-cells ADC tables broadcast-hash-join BY CELL (no nested loop); shortlist + rank windows, broadcast re-rank fetch"),
+    ("pq_adc_topk", "PQ serving: staged narrow-map argmin encode (array_min over the per-subspace book join — no SortAggregate), keyless broadcast of query ADC tables onto codes, shortlist + rank windows, broadcast-hash re-rank fetch"),
+    ("ivfpq_topk", "IVF+PQ combined serving: narrow cell argmin + staged narrow-map encode; probed-cells ADC tables broadcast-hash-join BY CELL (no nested loop); shortlist + rank windows, broadcast re-rank fetch"),
+    ("pq_adc_topk_fixedq", "PQ serving at FIXED query count (the scale-artifact variant: per-query cost vs corpus size, not the fraction-Q quadratic workload) — same plan shape as pq_adc_topk"),
+    ("ivfpq_topk_fixedq", "IVF+PQ serving at FIXED query count — the second-decade scale datapoint for compound pruning (nprobe/num_cells of the corpus at 8 bytes/vector)"),
     ("pq_residual_drift", "index health: planted per-batch drift, relational argmin carrying winner dot/norm terms, exact-integer residual aggregate per batch"),
 ]
 

@@ -91,12 +91,20 @@ HEAVY = [
     "pq_adc_topk",
     "ivfpq_topk",
     "ivfpq_recall_eval",
+    "pq_adc_topk_fixedq",
+    "ivfpq_topk_fixedq",
 ]
 
 # Second-decade tier (VERDICT r7 #1): the >=3x first-decade scalers whose
 # factors could not yet be decomposed into work vs amortization, the two
-# linear controls, and the PQ serving pair (the flattest scalers — their
-# code-width scan should stay flat through the second decade too).
+# linear controls, and the PQ serving pair. The PQ tier runs its FIXEDQ
+# variants here: the fraction-Q originals define the query set as 1% of
+# the corpus, so their scan is 0.01 N^2 — at sf10 that quadratic
+# WORKLOAD definition (400M scored pairs, 13 GB shortlist-sort spill)
+# drowns the serving-cost signal the second decade exists to measure.
+# Fixed Q isolates per-query cost vs corpus size, the production
+# serving question; the fraction-Q forms still run both first-decade
+# SFs above for r7 comparability.
 SECOND_DECADE = [
     "simhash_near_dup",
     "image_near_dup",
@@ -106,8 +114,8 @@ SECOND_DECADE = [
     "winnowing_matches",
     "q3_shipping_priority",
     "q9_nation_year_revenue",
-    "pq_adc_topk",
-    "ivfpq_topk",
+    "pq_adc_topk_fixedq",
+    "ivfpq_topk_fixedq",
 ]
 
 UI_PORT = 4077
