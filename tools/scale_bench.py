@@ -93,6 +93,7 @@ HEAVY = [
     "ivfpq_recall_eval",
     "pq_adc_topk_fixedq",
     "ivfpq_topk_fixedq",
+    "image_near_dup_scaled",
 ]
 
 # Second-decade tier (VERDICT r7 #1): the >=3x first-decade scalers whose
@@ -116,6 +117,7 @@ SECOND_DECADE = [
     "q9_nation_year_revenue",
     "pq_adc_topk_fixedq",
     "ivfpq_topk_fixedq",
+    "image_near_dup_scaled",
 ]
 
 UI_PORT = 4077
