@@ -108,6 +108,15 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            # staged frames are eager localCheckpoints — without a
+            # release the block manager accumulates every measured
+            # query's intermediates across the whole suite and later
+            # queries run storage-starved (see scale_bench
+            # _release_persisted for the measured pathology)
+            for jrdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).values():
+                jrdd.unpersist(False)
 
     # statistics.median averages the middle pair for even run counts —
     # sorted(ts)[n//2] would record the MAX when SPARK_GRAFT_BENCH_RUNS=2

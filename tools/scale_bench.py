@@ -164,6 +164,26 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _release_persisted(spark) -> None:
+    """Unpersist every persisted RDD (the staged frames are eager
+    localCheckpoints, so each measured query leaves its intermediates
+    pinned in the block manager). Without this the session accumulates
+    the WHOLE RUN's staged frames — multi-GB at sf10 — and later
+    queries run with storage-starved execution memory: measured as
+    pq_adc_topk at sf0.1 degrading 5.9 s (pass 1) -> 27.1 s (pass 2)
+    in-bench while a clean-session loop of the same query holds a flat
+    ~3.9 s. Queries never reuse another query's staged frames, so
+    releasing between measurements is free."""
+    for jrdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+        jrdd.unpersist(False)
+    # settle before the next timed window: unpersist is async, and a
+    # 48g heap full of a giant query's garbage otherwise bills its GC
+    # to whichever measurement runs next (pass-2 sf0.1 numbers 3x
+    # pass-1 for queries scheduled right after the sf10 runs — an
+    # ASYMMETRIC inflation that deflates that query's scale factor).
+    spark.sparkContext._jvm.System.gc()
+
+
 def _mb(b: int) -> float:
     return round(b / (1024 * 1024), 2)
 
@@ -187,37 +207,45 @@ def main() -> None:
         )
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    spark = get_spark(
-        app_name="pulsar_internal_spark_scale_bench",
-        extra_conf={
-            # status REST API is the work-metrics source (r7 verdict #2)
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-            # a full run creates ~3k stages; keep every one so cumulative
-            # sums never shrink under the differ
-            "spark.ui.retainedStages": "100000",
-            "spark.ui.retainedJobs": "100000",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    metrics = StageMetrics(spark.sparkContext.applicationId)
-
-    # same warmup set as bench.py: JVM, codegen units for the n-gram/HOF
-    # family, the UDF worker pool, MLlib classes, the CC loop, and the
-    # mapInPandas decode path
-    warm = "/root/testdata/sf0.001"
-    for q in (
-        "class_filter_scan",
-        "distinct_users_by_type",
-        "blake2_lookalike_nation",
-        "ivf_cosine_topk",
-        "benchmark_contamination",
-        "near_dup_jaccard",
-        "near_dup_clusters",
-        "multimodal_real_decode",
-        "pq_adc_topk",
-    ):
-        _materialize(QUERIES[q](spark, warm))
+    def fresh_session():
+        """One SESSION PER PASS: each pass is an independent trial with
+        a fresh heap and a fresh status store. A single long-lived
+        session accumulates unreclaimable driver/JVM state across ~300
+        heavy materializations (listener stores, shuffle/broadcast
+        cleanup backlogs) — measured as a pass-3 executor OOM on the
+        13-GB-spill sf10 query that passes 1-2 ran fine, even with the
+        per-measurement unpersist+GC settle in place."""
+        spark = get_spark(
+            app_name="pulsar_internal_spark_scale_bench",
+            extra_conf={
+                # status REST API is the work-metrics source (r7 verdict #2)
+                "spark.ui.enabled": "true",
+                "spark.ui.port": str(UI_PORT),
+                # one pass creates a few thousand stages; keep every one
+                # so cumulative sums never shrink under the differ
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "100000",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # same warmup set as bench.py: JVM, codegen units for the
+        # n-gram/HOF family, the UDF worker pool, MLlib classes, the CC
+        # loop, and the mapInPandas decode path
+        warm = "/root/testdata/sf0.001"
+        for q in (
+            "class_filter_scan",
+            "distinct_users_by_type",
+            "blake2_lookalike_nation",
+            "ivf_cosine_topk",
+            "benchmark_contamination",
+            "near_dup_jaccard",
+            "near_dup_clusters",
+            "multimodal_real_decode",
+            "pq_adc_topk",
+        ):
+            _materialize(QUERIES[q](spark, warm))
+        _release_persisted(spark)
+        return spark, StageMetrics(spark.sparkContext.applicationId)
 
     def plan(name: str) -> list[str]:
         sfs = ["sf0.1", "sf1.0"]
@@ -229,6 +257,7 @@ def main() -> None:
         n: {sf: {"secs": [], "bytes": []} for sf in plan(n)} for n in HEAVY
     }
     for r in range(n_runs):
+        spark, metrics = fresh_session()
         for name in HEAVY:
             line = [f"pass {r + 1}/{n_runs} {name}:"]
             for sf in plan(name):
@@ -239,7 +268,9 @@ def main() -> None:
                 samples[name][sf]["secs"].append(secs)
                 samples[name][sf]["bytes"].append(metrics.diff(before))
                 line.append(f"{sf}={secs:.2f}s")
+                _release_persisted(spark)
             print(" ".join(line), file=sys.stderr, flush=True)
+        spark.stop()
 
     def med(vals: list[float]) -> float:
         return statistics.median(vals)
