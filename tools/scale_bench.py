@@ -275,16 +275,35 @@ def main() -> None:
     def med(vals: list[float]) -> float:
         return statistics.median(vals)
 
+    # WALL factors are computed from the MIN of the interleaved passes,
+    # not the median: this shared host lands multi-second CPU-steal
+    # pauses on random passes (measured: the same query at the same SF
+    # swinging 1.8 s / 5.2 s / 8.7 s across an otherwise-idle run), and
+    # with 3 passes a median absorbs only ONE hit. Steal is strictly
+    # ADDITIVE noise, so min is the consistent estimator of the true
+    # cost at each SF — and an inflated small-SF denominator would
+    # FLATTER the factor, which is the dishonest direction for a scale
+    # proof. Every pass's raw seconds are recorded (secs_all) so any
+    # other statistic can be recomputed from the artifact. Byte metrics
+    # are medians: they are engine-deterministic, not steal-sensitive.
     out: dict = {
         "runs": n_runs,
+        "wall_stat": "min of passes (steal-robust); secs_all = raw passes",
         "sf_dirs": {k: v for k, v in sf_dirs.items() if k != "sf10" or have_sf10},
         "second_decade": sorted(SECOND_DECADE) if have_sf10 else [],
         "queries": {},
     }
     for name in HEAVY:
-        q: dict = {"secs": {}, "shuffle_mb": {}, "input_mb": {}, "spill_mb": {}}
+        q: dict = {
+            "secs": {},
+            "secs_all": {},
+            "shuffle_mb": {},
+            "input_mb": {},
+            "spill_mb": {},
+        }
         for sf, s in samples[name].items():
-            q["secs"][sf] = round(med(s["secs"]), 3)
+            q["secs"][sf] = round(min(s["secs"]), 3)
+            q["secs_all"][sf] = [round(x, 3) for x in s["secs"]]
             for key, field in (
                 ("shuffle_mb", "shuffle_bytes"),
                 ("input_mb", "input_bytes"),
