@@ -783,6 +783,46 @@ def attach_group_images(
     return df.select(id_col).mapInPandas(gen, _group_payload_schema(id_col))
 
 
+def attach_group_images_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 40,
+) -> DataFrame:
+    """8x8 twin of attach_group_images, for the WIDE-fingerprint
+    perceptual tier: 64 pixels give a 63-bit average hash (the int64
+    cap in ahash_bits), which is what perceptual banding needs to
+    actually scale — a 16-bit hash nibble-bands into only 4 x 16 = 64
+    buckets TOTAL, so past ~64 x max_df documents every bucket exceeds
+    the hot-key cap and the join excises everything (measured at the
+    sf10 fixture: shuffle collapsed to ~1% — the FINGERPRINT saturated,
+    not the join). 64 bits banded as 4 x 16 gives 65,536 values per
+    band: sha256-uniform fingerprints keep bucket occupancy ~N/#hashes,
+    linear headroom to ~270M docs under the default cap. Pixels are 6
+    chained sha256 digests of the group key (192 bytes = 64 RGB px),
+    one low-amplitude perturbation per doc (byte ``group % 192`` +=
+    ``doc_id % 3``) — same planted near-dup model, every byte
+    recomputable by an independent oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % groups
+                px = bytearray(
+                    b"".join(
+                        hashlib.sha256(f"img8:{g}:{t}".encode()).digest()
+                        for t in range(6)
+                    )
+                )
+                idx = g % 192
+                px[idx] = (px[idx] + int(doc_id) % 3) % 256
+                ids.append(doc_id)
+                payloads.append(make_bmp(8, 8, bytes(px)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, _group_payload_schema(id_col))
+
+
 def ahash_bits(pixels: bytes, n_px: int) -> int:
     """Average hash of decoded RGB pixels, all-integer: gray_i =
     r+g+b; bit i set iff n*gray_i > sum(gray) (strict, so ties clear

@@ -3579,6 +3579,80 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_near_dup_wide",
+    """
+    WITH gm AS (
+      SELECT GREATEST(40, COUNT(*) // 125) AS gmod FROM documents
+    ), img AS (
+      SELECT doc_id, doc_id % gm.gmod AS g, doc_id % 3 AS v
+      FROM documents CROSS JOIN gm
+    ), hx AS (
+      SELECT doc_id, g, v,
+             [sha256('img8:' || g || ':0'), sha256('img8:' || g || ':1'),
+              sha256('img8:' || g || ':2'), sha256('img8:' || g || ':3'),
+              sha256('img8:' || g || ':4'), sha256('img8:' || g || ':5')] AS hs
+      FROM img
+    ), px0 AS (
+      SELECT doc_id, g, v, list_transform(range(192), i ->
+        (strpos('0123456789abcdef',
+                substr(hs[CAST(i // 32 AS INT) + 1],
+                       2*CAST(i % 32 AS INT)+1, 1))-1)*16
+        + (strpos('0123456789abcdef',
+                  substr(hs[CAST(i // 32 AS INT) + 1],
+                         2*CAST(i % 32 AS INT)+2, 1))-1)) AS px
+      FROM hx
+    ), pxp AS (
+      SELECT doc_id, list_transform(range(192), i ->
+        CASE WHEN i = g % 192 THEN (px[CAST(i AS INT)+1] + v) % 256
+             ELSE px[CAST(i AS INT)+1] END) AS px
+      FROM px0
+    ), gr AS (
+      SELECT doc_id, list_transform(range(64), j ->
+        px[3*CAST(j AS INT)+1] + px[3*CAST(j AS INT)+2] + px[3*CAST(j AS INT)+3]) AS grays
+      FROM pxp
+    ), ah AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(63), j ->
+               CASE WHEN 64 * grays[CAST(j AS INT)+1] > list_sum(grays)
+                    THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS ahash
+      FROM gr
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """,
+)
+def image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-fingerprint perceptual tier (round 8) — the form that
+    actually scales. image_near_dup's 16-bit hash nibble-bands into
+    4 x 16 = 64 buckets TOTAL, so the banding saturates at ~64 x max_df
+    documents: at the sf10 fixture every bucket exceeded the hot-key
+    cap and the join excised everything (shuffle collapsed to ~1% —
+    the FINGERPRINT stopped scaling, not the join). Here each doc
+    carries a real 8x8 BMP (attach_group_images_wide), the decoder
+    produces a 63-bit average hash, and the banded join runs 4 bands
+    of 16 bits — 65,536 values per band, bucket occupancy ~N/#distinct
+    hashes, linear headroom to ~270M docs under the default cap.
+    Cluster count derives from corpus size (GREATEST(40, n//125), the
+    image_near_dup_scaled model), so pair output is linear in N too.
+    Pigeonhole exactness: hamming <= 2 < 4 bands. The oracle
+    recomputes all 192 pixel bytes from the 6 chained sha256 digests,
+    the same 63-bit hash (capped by ahash_bits' int64 guard), and an
+    all-pairs Hamming join."""
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    groups = max(40, docs.count() // 125)
+    hashes = mm.image_ahash(mm.attach_group_images_wide(docs, groups=groups))
+    return dedup_ops.hamming_banded_pairs(
+        hashes, hash_col="ahash", id_col="doc_id", bits=64, band_bits=16,
+        max_hamming=2,
+    )
+
+
+@_register(
     "audio_near_dup",
     """
     WITH aud AS (

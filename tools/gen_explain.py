@@ -85,6 +85,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("pq_adc_topk_fixedq", "PQ serving at FIXED query count (the scale-artifact variant: per-query cost vs corpus size, not the fraction-Q quadratic workload) — same plan shape as pq_adc_topk"),
     ("ivfpq_topk_fixedq", "IVF+PQ serving at FIXED query count — the second-decade scale datapoint for compound pruning (nprobe/num_cells of the corpus at 8 bytes/vector)"),
     ("image_near_dup_scaled", "perceptual dedup with corpus-derived cluster count (constant ~125-doc clusters): decode + ahash mapInPandas, nibble-banded equi-join, hot-key cap — the linear-output scale variant"),
+    ("image_near_dup_wide", "WIDE-fingerprint perceptual dedup (8x8 BMP -> 63-bit ahash, 4 bands x 16 bits = 65k values/band): the form whose banding scales — the 16-bit tier saturates at 64 total buckets"),
     ("pq_residual_drift", "index health: planted per-batch drift, relational argmin carrying winner dot/norm terms, exact-integer residual aggregate per batch"),
 ]
 
