@@ -2867,7 +2867,7 @@ def pq_adc_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving is per-query cost at a given corpus size, which is what a
     fixed Q isolates: the scan is 20 x N codes-only rows, linear per
     decade. This is the variant the two-decade scale artifact records
-    for the PQ tier."""
+    for the PQ tier (SURVEY.md round-8 section)."""
     from ..operators.pq_frozen import CODEBOOKS
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2885,7 +2885,8 @@ def ivfpq_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see it for why fraction-Q workloads measure Q x N, not serving
     cost). With Q pinned, this is the per-query 100 TB serving claim
     in measurable form: nprobe/num_cells of the corpus scanned at
-    8 bytes per vector, linear per decade."""
+    8 bytes per vector, linear per decade (SURVEY.md round-8
+    section)."""
     from ..operators.ivf_frozen import CENTROIDS
     from ..operators.pq_frozen import CODEBOOKS
 
@@ -3073,7 +3074,8 @@ def _pq_residual_drift_oracle_sql(n_batches: int = 4, drift_step: float = 0.25) 
 @_register("pq_residual_drift", _pq_residual_drift_oracle_sql())
 def pq_residual_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-health drift monitor for frozen-quantizer serving (round 8,
-    VERDICT r7 #4): per ingest batch, the mean PQ quantization residual
+    VERDICT r7 #4, SURVEY.md round-8 section): per ingest batch, the
+    mean PQ quantization residual
     (1 - cos(v, reconstruction)) against the FROZEN codebooks — the
     signal that says "re-train the quantizer" when the ingest
     distribution walks away from what the codebooks were trained on,
@@ -3565,7 +3567,8 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     output linear in N, and keeps every band bucket under the cap —
     this is the variant the two-decade scale artifact records for the
     perceptual family. Both engines derive the modulus from COUNT(*),
-    so one static oracle text is exact at every SF."""
+    so one static oracle text is exact at every SF (SURVEY.md round-8
+    section: the perceptual scale ladder)."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
@@ -3639,7 +3642,8 @@ def image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole exactness: hamming <= 2 < 4 bands. The oracle
     recomputes all 192 pixel bytes from the 6 chained sha256 digests,
     the same 63-bit hash (capped by ahash_bits' int64 guard), and an
-    all-pairs Hamming join."""
+    all-pairs Hamming join (SURVEY.md round-8 section: the perceptual
+    scale ladder)."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
