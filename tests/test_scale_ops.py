@@ -1074,3 +1074,57 @@ def test_scale_fixture_embedding_decorrelation_survives_second_lap(tmp_path):
         "SELECT avg(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END) FROM scaled"
     ).fetchone()[0]
     assert src_frac == scaled_frac, "query-side modulus fraction must be scale-invariant"
+
+
+def test_fingerprint_width_sets_banding_capacity(spark):
+    """The round-8 capacity lesson as a regression pin (BASELINE.md
+    round 8; OPERATIONS.md 'Sizing perceptual fingerprints'): banded
+    Hamming dedup has #bands x 2^band_bits buckets, so a SATURATED
+    16-bit corpus (every one of the 64 nibble buckets over max_df)
+    returns NOTHING — the cap excises every bucket — while 16-bit
+    bands over a 63-bit hash of the same corpus keep bucket occupancy
+    at cluster size and return exactly the planted pairs."""
+    from pulsar_internal_spark.operators.dedup import hamming_banded_pairs
+
+    # 1,200 docs in 40 clusters of 30; cluster members share a hash
+    # exactly (hamming 0 — planted pairs = 40 * C(30,2) = 17,400).
+    # deterministic 63-bit spread via a splitmix-ish integer hash.
+    n, groups = 1200, 40
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % groups).alias("g")
+    )
+    h64 = F.expr(
+        "CAST(xxhash64(CAST(g AS STRING)) AS BIGINT) & 9223372036854775807"
+    )
+    wide = rows.select("doc_id", h64.alias("ahash"))
+    narrow = rows.select(
+        "doc_id", (h64.bitwiseAND(F.lit(65535))).alias("ahash")
+    )
+    planted = groups * (30 * 29) // 2
+
+    # max_df=20 < cluster-size 30: the 16-bit form's 64 buckets each
+    # hold >= one 30-member cluster -> every bucket over cap -> empty.
+    out16 = hamming_banded_pairs(
+        narrow, bits=16, band_bits=4, max_hamming=2, max_df=20, stage=False
+    )
+    assert out16.count() == 0, "saturated 16-bit banding must excise all"
+
+    # At a cap ABOVE cluster size (64 > 30), the wide form is EXACT:
+    # 63 bits spread 40 clusters across 65,536 values per band, so
+    # each bucket holds ~one cluster and nothing is excised.
+    out64 = hamming_banded_pairs(
+        wide, bits=64, band_bits=16, max_hamming=2, max_df=64, stage=False
+    )
+    assert out64.count() == planted, "wide banding must keep planted pairs"
+
+    # The 16-bit form at the SAME cap is already lossy: 40 clusters
+    # share only 16 nibble values per band, so multi-cluster buckets
+    # (75 docs) exceed the cap and their pairs are excised — strictly
+    # fewer results than the wide form finds on the same corpus.
+    out16b = hamming_banded_pairs(
+        narrow, bits=16, band_bits=4, max_hamming=2, max_df=64, stage=False
+    )
+    n16 = out16b.count()
+    assert n16 < planted, (
+        f"16-bit banding at the same cap must lose pairs: {n16} >= {planted}"
+    )
