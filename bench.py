@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
 from pulsar_internal_spark.session import get_spark  # noqa: E402
+from pulsar_internal_spark.staging import release_staged  # noqa: E402
 
 
 def _materialize(df) -> None:
@@ -113,10 +114,7 @@ def main() -> None:
             # query's intermediates across the whole suite and later
             # queries run storage-starved (see scale_bench
             # _release_persisted for the measured pathology)
-            for jrdd in dict(
-                spark.sparkContext._jsc.getPersistentRDDs()
-            ).values():
-                jrdd.unpersist(False)
+            release_staged(spark)
 
     # statistics.median averages the middle pair for even run counts —
     # sorted(ts)[n//2] would record the MAX when SPARK_GRAFT_BENCH_RUNS=2

@@ -630,9 +630,11 @@ def pq_fixed_topk(
     and IVF probing, and the MEMORY answer at 100 TB — the hot scan
     touches only M=16 4-bit codes per vector, never the floats.
 
-    Phases (all JVM-side; the corpus-side encode inlines the codebooks
-    as a literal, the query-side table builder broadcasts the M x KSUB
-    relation — see pq_encode for the codegen/spill tradeoffs):
+    Phases (all JVM-side; the corpus-side encode broadcast-joins the
+    16-row per-subspace book relation — literal inlining was rejected,
+    see _books_frame's CollapseProject note — and the query-side table
+    builder broadcasts the same M x KSUB relation; see pq_encode for
+    the codegen/spill tradeoffs):
       1. encode — pq_encode's narrow-map argmin (offline at real
          scale; in this one-plan demo it runs as its own staged
          subplan);

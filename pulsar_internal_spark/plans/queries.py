@@ -3493,8 +3493,10 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact by pigeonhole for max_hamming < #bands. The oracle recomputes
     pixels from sha256 arithmetic, the same hash, and an all-pairs
     Hamming join (equivalent by the pigeonhole guarantee; oracle size
-    is fixture-bounded). At 100 TB the banded join is the only shuffle
-    and its worst bucket is capped."""
+    is fixture-bounded). CORRECTNESS/LADDER RUNG: the 16-bit hash
+    saturates banding capacity at ~64 x max_df docs — the scale
+    default is image_near_dup_wide(_keepers); sizing rule in
+    docs/OPERATIONS.md "Sizing perceptual fingerprints"."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
@@ -3568,7 +3570,11 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the variant the two-decade scale artifact records for the
     perceptual family. Both engines derive the modulus from COUNT(*),
     so one static oracle text is exact at every SF (SURVEY.md round-8
-    section: the perceptual scale ladder)."""
+    section: the perceptual scale ladder). LADDER RUNG: still carries
+    the 16-bit fingerprint, which saturates banding capacity at
+    ~64 x max_df docs — the scale default is
+    image_near_dup_wide(_keepers); sizing rule in docs/OPERATIONS.md
+    "Sizing perceptual fingerprints"."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
@@ -3581,10 +3587,11 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "image_near_dup_wide",
-    """
-    WITH gm AS (
+# The wide (63-bit) perceptual hash pipeline as DuckDB CTEs, shared by
+# image_near_dup_wide (emits the pairs) and image_near_dup_wide_keepers
+# (clusters them into verdict rows) — same sharing pattern as
+# _lsh_verified_pairs_cte for the embedding family.
+_WIDE_AHASH_CTE = """gm AS (
       SELECT GREATEST(40, COUNT(*) // 125) AS gmod FROM documents
     ), img AS (
       SELECT doc_id, doc_id % gm.gmod AS g, doc_id % 3 AS v
@@ -3619,7 +3626,14 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN 64 * grays[CAST(j AS INT)+1] > list_sum(grays)
                     THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS ahash
       FROM gr
-    )
+    )"""
+
+
+@_register(
+    "image_near_dup_wide",
+    "WITH "
+    + _WIDE_AHASH_CTE
+    + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
     FROM ah a JOIN ah b ON a.doc_id < b.doc_id
@@ -3653,6 +3667,74 @@ def image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.hamming_banded_pairs(
         hashes, hash_col="ahash", id_col="doc_id", bits=64, band_bits=16,
         max_hamming=2,
+    )
+
+
+@_register(
+    "image_near_dup_wide_keepers",
+    "WITH RECURSIVE "
+    + _WIDE_AHASH_CTE
+    + r""",
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+                AS BIGINT) AS n_members
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def image_near_dup_wide_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-EMISSION form of wide perceptual dedup (round 9, VERDICT
+    r8 #3) — the form a 100 TB pipeline actually WRITES. The pair list
+    image_near_dup_wide emits is an intermediate, and at scale it is
+    the output bottleneck (34.7M pairs at the 100x fixture, 39.7x
+    shuffle — each ~125-doc cluster emits ~7,750 pairs): this query
+    consumes those pairs inside the plan (banded Hamming candidates ->
+    min-label pointer-jumping connected components, the
+    semantic_dedup_keepers machinery) and emits ONE VERDICT ROW PER
+    DOCUMENT — (doc_id, cluster_id, keep, n_members), singletons keep
+    themselves — so the deduped corpus is `WHERE keep` and output is
+    linear in N regardless of cluster size. Keep rule is min doc_id per
+    cluster (the CC label), deterministic. The oracle replays the same
+    63-bit hash pipeline (shared _WIDE_AHASH_CTE), an all-pairs Hamming
+    join (pigeonhole-equivalent to the banded form at oracle scale),
+    recursive-CTE components, and the same verdict projection. Scale
+    posture: pair frames exist only between the banded equi-join and
+    the first CC aggregate; the final exchanges are keyed by doc_id /
+    cluster_id, so nothing pair-grained crosses the output boundary."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = image_near_dup_wide(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
+    labeled = docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
     )
 
 
@@ -3710,7 +3792,12 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the same nibble-banded equi-join as the image path
     (hamming_banded_pairs; pigeonhole-exact). Oracle recomputes the
     int16 samples from sha256 arithmetic, the same wraparound
-    perturbation, fingerprint and all-pairs Hamming join."""
+    perturbation, fingerprint and all-pairs Hamming join.
+    CORRECTNESS/LADDER RUNG: a 16-bit fingerprint saturates banding
+    capacity at ~64 x max_df docs — size production audio fingerprints
+    by the rule in docs/OPERATIONS.md "Sizing perceptual fingerprints"
+    (the image family's 63-bit wide form is the pattern) and emit
+    verdict rows (image_near_dup_wide_keepers), not pairs."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)
@@ -3783,7 +3870,12 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes keep the packed value signed-int64-safe): the banding is
     semantically the 'any shared unedited frame' rule, and pigeonhole
     keeps it exact for max_hamming < 4. Oracle recomputes all four
-    frames from sha256 arithmetic and the same fingerprint."""
+    frames from sha256 arithmetic and the same fingerprint. Its 15-bit
+    per-frame bands give 4 x 32768 buckets — two decades of headroom
+    beyond the 16-bit image tier, but the same capacity rule applies:
+    size by docs/OPERATIONS.md "Sizing perceptual fingerprints", and
+    at scale emit verdict rows (the image_near_dup_wide_keepers
+    pattern), not pairs."""
     from ..operators import multimodal as mm
 
     ensure_shipped(spark)

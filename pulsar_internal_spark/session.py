@@ -35,6 +35,26 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    # Input-scaled shuffle partitioning (round 9). A fixed partition
+    # count is wrong in BOTH directions across data scales: at sf0.1 a
+    # high count wastes task overhead, and at sf10 a low count puts
+    # gigabytes of sort/aggregate state in each task — measured as
+    # user_triangle_counts spilling 13.3 GB memory + 2.8 GB disk at
+    # sf10 on fixed 32 partitions (SCALE_r08). The Spark-native fix is
+    # to let AQE size partitions by BYTES: every exchange STARTS at
+    # initialPartitionNum reducers and coalesces down to the advisory
+    # partition size (64 MB default, parallelism-first at small data),
+    # so the effective partition count scales with each exchange's
+    # actual shuffle bytes — ~cores at sf0.1, hundreds at sf10, with
+    # per-task state bounded by the advisory size either way. The
+    # ceiling covers initial*advisory = 64 GB per exchange before
+    # per-task state grows again; raise SPARK_GRAFT_INITIAL_PARTITIONS
+    # (or pass extra_conf) beyond that. shuffle.partitions stays low as
+    # the non-AQE floor (streaming state stores and any plan AQE cannot
+    # coalesce still use it).
+    initial_partitions = int(
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(cpus * 32, 1024)))
+    )
 
     # Python workers must import this package (pandas UDFs pickle by
     # reference). Exporting PYTHONPATH before the JVM launches covers
@@ -52,6 +72,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -56,3 +56,21 @@ def stage(df: DataFrame) -> DataFrame:
         # set it once per context, not per stage()
         sc.setCheckpointDir(d)
     return df.checkpoint()
+
+
+def release_staged(spark) -> None:
+    """Unpersist every persisted RDD in the context — the counterpart
+    of stage(): staged frames are eager localCheckpoints pinned in the
+    block manager, and a long-running process that measures many
+    queries back-to-back (bench.py, tools/scale_bench.py) must release
+    each query's intermediates or later queries run storage-starved
+    (see scale_bench for the measured pathology). Queries never reuse
+    another query's staged frames, so releasing between measurements
+    is always safe.
+
+    This is the ONE call site for the private py4j handle
+    ``_jsc.getPersistentRDDs`` (there is no public PySpark enumeration
+    of persisted RDDs); a Spark upgrade that moves it needs exactly
+    this helper fixed."""
+    for jrdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+        jrdd.unpersist(False)

@@ -155,6 +155,7 @@ def test_reindex_long_offsets_no_int32_wrap(spark):
     broadcast branch also yields bigint)."""
     df = spark.range(0, 2000).repartition(7).selectExpr("id AS k")
     # force the broadcast-offset branch by range-partitioning wide
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "80")
     try:
         wide = tree_ops.reindex(df, ["k"], idx_name="gidx")
@@ -162,7 +163,54 @@ def test_reindex_long_offsets_no_int32_wrap(spark):
         vals = sorted(r.gidx for r in wide.collect())
         assert vals == list(range(1, 2001))
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_input_scaled_shuffle_partitioning(spark):
+    """Round 9 (VERDICT r8 #2): the session must size post-shuffle
+    partitions by BYTES, not by the fixed shuffle.partitions floor —
+    fixed-32 put gigabytes of sort/agg state in each task at sf10
+    (user_triangle_counts: 13.3 GB memory + 2.8 GB disk spill,
+    SCALE_r08). The mechanism is AQE coalescing from a high
+    initialPartitionNum down to the advisory partition size, so this
+    test pins BOTH halves: (a) the session carries an
+    initialPartitionNum far above the floor, (b) an identical plan's
+    post-shuffle partition count actually GROWS past the floor when the
+    shuffled bytes grow — impossible unless initialPartitionNum governs
+    the exchange, since shuffle.partitions here is 8."""
+    conf = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    assert int(spark.conf.get(conf)) >= 512
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert floor <= 32  # the test session's fixed floor
+
+    def post_shuffle_parts(n_rows: int) -> int:
+        df = (
+            spark.range(0, n_rows)
+            .select(
+                (F.col("id") % (n_rows // 4)).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("pad").alias("m"))
+        )
+        return df.rdd.getNumPartitions()
+
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    pfirst = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    old = {k: spark.conf.get(k) for k in (advisory, pfirst)}
+    try:
+        # a small advisory target makes the byte-scaling observable at
+        # unit-test sizes; parallelismFirst off so the target is the
+        # advisory size alone, not max-parallelism
+        spark.conf.set(advisory, "262144")
+        spark.conf.set(pfirst, "false")
+        small = post_shuffle_parts(20_000)
+        big = post_shuffle_parts(800_000)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert big > floor, f"big shuffle stuck at the floor: {big} <= {floor}"
+    assert small < big, (small, big)
 
 
 # ------------------------------------------------------------ multimodal

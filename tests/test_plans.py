@@ -510,6 +510,44 @@ def test_semantic_dedup_keepers_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_image_near_dup_wide_keepers_plan_shape(spark, sf_dir):
+    """The cluster-emission form of wide perceptual dedup (round 9) must
+    keep pair frames INTERNAL: pairs exist only between the banded
+    Hamming equi-join and the connected-components aggregate (the CC
+    engine stages its frontier, cutting the pair lineage), so the final
+    exchanges are keyed by doc_id / cluster_id and output is one verdict
+    row per document — nothing pair-grained crosses the output boundary.
+    At the 100x fixture the pair list is 34.7M rows while the verdict
+    output is 500k; this shape is WHY the keeper form is the scale
+    default."""
+    plan = _plan(spark, sf_dir, "image_near_dup_wide_keepers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # pair columns never appear in the final (post-CC) plan: the staged
+    # component labels enter as an ExistingRDD scan, pairs are upstream
+    assert "id_a" not in plan and "id_b" not in plan, plan
+    assert "hamming" not in plan, plan
+    # the verdict window runs at cluster grain
+    assert "hashpartitioning(cluster_id" in plan, plan
+
+
+def test_image_near_dup_wide_keepers_consistent_with_pairs(spark, sf_dir):
+    """Every pair the pairs-form emits must land in one cluster of the
+    keeper form, and exactly one member per cluster keeps."""
+    pairs = QUERIES["image_near_dup_wide"](spark, sf_dir).collect()
+    verd = QUERIES["image_near_dup_wide_keepers"](spark, sf_dir).collect()
+    cluster = {r.doc_id: r.cluster_id for r in verd}
+    for p in pairs:
+        assert cluster[p.id_a] == cluster[p.id_b], p
+    keeps: dict[int, int] = {}
+    for r in verd:
+        keeps[r.cluster_id] = keeps.get(r.cluster_id, 0) + (1 if r.keep else 0)
+    assert all(k == 1 for k in keeps.values()), keeps
+    # output is doc-linear: one verdict row per document
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(verd) == n_docs
+
+
 def test_incremental_semantic_pairs_reads_store_not_corpus(spark, sf_dir):
     """The incremental semantic increment must read banded signatures
     from the persisted store (parquet scans of the demo store), with

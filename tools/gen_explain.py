@@ -86,6 +86,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("ivfpq_topk_fixedq", "IVF+PQ serving at FIXED query count — the second-decade scale datapoint for compound pruning (nprobe/num_cells of the corpus at 8 bytes/vector)"),
     ("image_near_dup_scaled", "perceptual dedup with corpus-derived cluster count (constant ~125-doc clusters): decode + ahash mapInPandas, nibble-banded equi-join, hot-key cap — the linear-output scale variant"),
     ("image_near_dup_wide", "WIDE-fingerprint perceptual dedup (8x8 BMP -> 63-bit ahash, 4 bands x 16 bits = 65k values/band): the form whose banding scales — the 16-bit tier saturates at 64 total buckets"),
+    ("image_near_dup_wide_keepers", "cluster-emission perceptual dedup: banded pairs consumed by pointer-jumping CC inside the plan, one verdict row per doc — pair frames never reach the output exchange"),
     ("pq_residual_drift", "index health: planted per-batch drift, relational argmin carrying winner dot/norm terms, exact-integer residual aggregate per batch"),
 ]
 

@@ -42,7 +42,18 @@ as secs_all). Byte metrics are per-pass MEDIANs — engine-deterministic,
 and AQE can re-plan, so bytes are sampled per pass, not assumed
 constant.
 
-Writes SCALE_r08.json at the repo root. Fixtures:
+Round 9 closes the two loose ends the r8 verdict named: the five
+largest first-decade shuffle transitions (35-81x) join SECOND_DECADE so
+their "one-time broadcast->SMJ transition" diagnosis becomes a
+measurement, and the whole suite now runs under input-scaled shuffle
+partitioning (session.py initialPartitionNum + AQE advisory sizing),
+the mitigation for the 13.3+2.8 GB user_triangle_counts spill that
+fixed-32 partitions caused at sf10. The artifact records the
+partitioning regime (initial_partitions) so spill numbers stay
+comparable across rounds.
+
+Writes SCALE_r09.json at the repo root (override: SPARK_GRAFT_SCALE_OUT).
+Fixtures:
   python tools/gen_scale_fixture.py                              # sf1.0
   python tools/gen_scale_fixture.py --factor 100 --out .scale/sf10
 """
@@ -60,6 +71,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
 from pulsar_internal_spark.session import get_spark  # noqa: E402
+from pulsar_internal_spark.staging import release_staged  # noqa: E402
 
 # The heaviest queries from the r6/r7 benches (everything >= ~1.5 s at
 # sf0.1), two classic-join controls (q3/q9) as a linear yardstick, and —
@@ -100,6 +112,7 @@ HEAVY = [
     "ivfpq_topk_fixedq",
     "image_near_dup_scaled",
     "image_near_dup_wide",
+    "image_near_dup_wide_keepers",
 ]
 
 # Second-decade tier (VERDICT r7 #1): the >=3x first-decade scalers whose
@@ -112,6 +125,11 @@ HEAVY = [
 # Fixed Q isolates per-query cost vs corpus size, the production
 # serving question; the fraction-Q forms still run both first-decade
 # SFs above for r7 comparability.
+#
+# Round 9 (VERDICT r8 #1) adds the five queries whose first-decade
+# shuffle factors (35-81x) were still explained only by ANALOGY to the
+# q3 broadcast->SMJ-transition control: if any of them does NOT flatten
+# to ~10x in the second decade, that is a real super-linear plan.
 SECOND_DECADE = [
     "simhash_near_dup",
     "image_near_dup",
@@ -125,6 +143,12 @@ SECOND_DECADE = [
     "ivfpq_topk_fixedq",
     "image_near_dup_scaled",
     "image_near_dup_wide",
+    "semantic_dedup_keepers",
+    "video_near_dup",
+    "audio_near_dup",
+    "embedding_near_dup",
+    "incremental_semantic_pairs",
+    "image_near_dup_wide_keepers",
 ]
 
 UI_PORT = 4077
@@ -147,8 +171,15 @@ class StageMetrics:
         "disk_spill_bytes": "diskBytesSpilled",
     }
 
-    def __init__(self, app_id: str, port: int = UI_PORT) -> None:
-        self.url = f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+    def __init__(self, spark) -> None:
+        # read the BOUND ui url from the live context rather than
+        # assuming UI_PORT: one-session-per-pass restarts Spark each
+        # pass, and if the previous pass's UI socket lingers Spark
+        # silently rebinds to port+1 — a hardcoded port would then 404
+        # every snapshot mid-run
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        self.url = f"{base}/api/v1/applications/{app_id}/stages"
 
     def snapshot(self) -> dict[str, int]:
         with urllib.request.urlopen(self.url, timeout=30) as r:
@@ -181,8 +212,7 @@ def _release_persisted(spark) -> None:
     in-bench while a clean-session loop of the same query holds a flat
     ~3.9 s. Queries never reuse another query's staged frames, so
     releasing between measurements is free."""
-    for jrdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-        jrdd.unpersist(False)
+    release_staged(spark)
     # settle before the next timed window: unpersist is async, and a
     # 48g heap full of a giant query's garbage otherwise bills its GC
     # to whichever measurement runs next (pass-2 sf0.1 numbers 3x
@@ -195,24 +225,22 @@ def _release_persisted(spark) -> None:
     # window (audio_near_dup measured 6.5-10.5 s in-bench vs 1.6-2.3 s
     # isolated — it follows the sf10 spill giant; image_near_dup right
     # after it was clean because audio had already respawned the pool).
-    # Cost when the pool is alive: ~100 ms.
+    # Cost when the pool is alive: ~100 ms. The pandas_udf is created
+    # FRESH per call, never cached across sessions: a UserDefinedFunction
+    # binds its _judf to the first session's SparkContext, and
+    # one-session-per-pass stops/recreates the context — reuse after
+    # spark.stop() would wrap dead accumulator/broadcast refs. The wrap
+    # cost is negligible next to the warm job itself.
     from pyspark.sql.functions import pandas_udf
 
-    global _WARM_IDENT
-    if _WARM_IDENT is None:
+    @pandas_udf("long")
+    def _ident(s):
+        return s
 
-        @pandas_udf("long")
-        def _ident(s):
-            return s
-
-        _WARM_IDENT = _ident
     cpus = spark.sparkContext.defaultParallelism
     _materialize(
-        spark.range(0, cpus * 4, 1, cpus).select(_WARM_IDENT("id"))
+        spark.range(0, cpus * 4, 1, cpus).select(_ident("id"))
     )
-
-
-_WARM_IDENT = None
 
 
 def _mb(b: int) -> float:
@@ -276,7 +304,7 @@ def main() -> None:
         ):
             _materialize(QUERIES[q](spark, warm))
         _release_persisted(spark)
-        return spark, StageMetrics(spark.sparkContext.applicationId)
+        return spark, StageMetrics(spark)
 
     def plan(name: str) -> list[str]:
         sfs = ["sf0.1", "sf1.0"]
@@ -287,8 +315,15 @@ def main() -> None:
     samples: dict[str, dict[str, dict[str, list]]] = {
         n: {sf: {"secs": [], "bytes": []} for sf in plan(n)} for n in HEAVY
     }
+    initial_partitions = None
     for r in range(n_runs):
         spark, metrics = fresh_session()
+        # record the round-9 input-scaled partitioning conf in the
+        # artifact: spill numbers are only comparable across rounds
+        # with the partitioning regime they ran under
+        initial_partitions = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
         for name in HEAVY:
             line = [f"pass {r + 1}/{n_runs} {name}:"]
             for sf in plan(name):
@@ -320,6 +355,7 @@ def main() -> None:
     out: dict = {
         "runs": n_runs,
         "wall_stat": "min of passes (steal-robust); secs_all = raw passes",
+        "initial_partitions": initial_partitions,
         "sf_dirs": {k: v for k, v in sf_dirs.items() if k != "sf10" or have_sf10},
         "second_decade": sorted(SECOND_DECADE) if have_sf10 else [],
         "queries": {},
@@ -357,7 +393,9 @@ def main() -> None:
         if tot:
             out[f"total_{sf}"] = round(sum(tot), 2)
             out[f"n_{sf}"] = len(tot)
-    path = os.path.join(repo, "SCALE_r08.json")
+    path = os.path.join(
+        repo, os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
