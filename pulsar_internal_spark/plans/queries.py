@@ -2131,18 +2131,20 @@ def _lsh_pairs_oracle_sql(
     )
 
 
-@_register("embedding_near_dup", _lsh_pairs_oracle_sql())
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked on banded sign-LSH
-    buckets (sim_ops.lsh_blocked_pairs) — the production blocking key:
-    NO ground-truth column participates in the plan. Candidates are
-    pairs sharing any band signature (OR-amplified, 2 bands x 6
-    planes), so the pair join is sum-of-buckets quadratic, never
-    corpus-quadratic; exact cosine + threshold on candidates only. The
-    oracle replicates the same plane constants end-to-end
-    (_lsh_pairs_oracle_sql)."""
+def _lsh_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    planes_per_band: int,
+    num_bands: int,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Banded sign-LSH blocking + exact-cosine verification — the Spark
+    twin of _lsh_verified_pairs_cte, shared by the narrow (2x6) and wide
+    (8x12) embedding near-dup tiers."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim_ops.lsh_blocked_pairs(emb, planes_per_band=6, num_bands=2)
+    pairs = sim_ops.lsh_blocked_pairs(
+        emb, planes_per_band=planes_per_band, num_bands=num_bands
+    )
     v = spread(emb).select(
         F.col("vec_id"),
         F.col("embedding"),
@@ -2168,8 +2170,48 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ops._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return jb.select("id_a", "id_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= 0.35
+        F.col("cos_sim") >= threshold
     )
+
+
+@_register("embedding_near_dup", _lsh_pairs_oracle_sql())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on banded sign-LSH
+    buckets (sim_ops.lsh_blocked_pairs) — the production blocking key:
+    NO ground-truth column participates in the plan. Candidates are
+    pairs sharing any band signature (OR-amplified, 2 bands x 6
+    planes), so the pair join is sum-of-buckets quadratic, never
+    corpus-quadratic; exact cosine + threshold on candidates only. The
+    oracle replicates the same plane constants end-to-end
+    (_lsh_pairs_oracle_sql). CORRECTNESS/LADDER RUNG (round 9): 6-bit
+    bands give 2 x 64 = 128 buckets TOTAL, so past ~128 x occupancy-cap
+    vectors the candidate volume is quadratic in N — MEASURED at the
+    100x fixture, where the verify join's shuffle exhausted the box's
+    60 GB free disk (linear behavior predicts ~3 GB). The scale tier is
+    embedding_near_dup_wide; the sizing formula is the same
+    banding-capacity rule as the perceptual family
+    (docs/OPERATIONS.md)."""
+    return _lsh_verified_pairs(spark, sf_dir, planes_per_band=6, num_bands=2)
+
+
+@_register("embedding_near_dup_wide", _lsh_pairs_oracle_sql(12, 8))
+def embedding_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-banded embedding near-dup tier (round 9) — sign-LSH
+    banding sized by the capacity rule: 8 bands x 12 planes = 32,768
+    band-buckets (vs the narrow tier's 128), so candidate volume stays
+    bucket-bounded two decades further (occupancy N/4096 per band).
+    Found the same way the image family found its wide form: the
+    narrow banding's candidate join measurably exhausted disk at the
+    100x fixture. The capacity/recall trade is explicit and the same
+    one MinHash banding makes (r rows x b bands): longer bands recall
+    fewer LOW-cosine pairs (at cos 0.35, each 12-plane band collides
+    with p~0.003; production semantic-dedup thresholds of ~0.9+ sit in
+    the high-recall regime), so this tier is the production blocking
+    key and the narrow tier remains the small-corpus/low-threshold
+    correctness rung. Verification is unchanged: exact cosine >= 0.35
+    over candidates only; the oracle replays all 96 plane constants
+    end-to-end (_lsh_pairs_oracle_sql(12, 8))."""
+    return _lsh_verified_pairs(spark, sf_dir, planes_per_band=12, num_bands=8)
 
 
 @_register(
@@ -2209,8 +2251,11 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases and re-encodings that share no k-gram still collide in
     embedding space. Every stage is the scalable form (sum-of-buckets
     pair join, candidates-only cosine, O(log n) pointer-jumping CC,
-    broadcast components join back to the corpus) — at 100 TB nothing
-    here is corpus-quadratic."""
+    broadcast components join back to the corpus). CORRECTNESS/LADDER
+    RUNG (round 9): sum-of-buckets is bounded only while the banding
+    has headroom — the narrow 2 x 6-plane banding saturates its 128
+    buckets at the 100x fixture (measured: disk exhaustion in the
+    verify join); the scale default is semantic_dedup_keepers_wide."""
     from ..operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2220,6 +2265,62 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no broadcast hint: the clustered-vector set is corpus-fraction
     # sized at high duplication rates — let AQE pick the strategy
+    labeled = emb.select("vec_id").join(
+        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+    )
+
+
+@_register(
+    "semantic_dedup_keepers_wide",
+    "WITH RECURSIVE "
+    + _lsh_verified_pairs_cte(12, 8)
+    + r""",
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM vpairs
+      UNION SELECT id_b, id_a FROM vpairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+           e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, e.vec_id))
+                AS BIGINT) AS n_members
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+)
+def semantic_dedup_keepers_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_keepers on the WIDE banding (round 9) — the
+    SCALE DEFAULT for semantic dedup. Identical verdict semantics (LSH
+    candidates -> cosine >= 0.35 verify -> pointer-jumping CC -> one
+    verdict row per vector, keep = min vec_id), but blocked on
+    embedding_near_dup_wide's 8 x 12-plane banding, whose candidate
+    volume is bucket-bounded where the narrow 2 x 6 banding measurably
+    exhausted disk at the 100x fixture (BASELINE.md round-9 section).
+    This pairs-stay-internal + verdict-rows emission is the same shape
+    as image_near_dup_wide_keepers — nothing pair-grained crosses the
+    output boundary, output is linear in N."""
+    from ..operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_wide(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
     labeled = emb.select("vec_id").join(
         comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
     ).select(

@@ -548,6 +548,35 @@ def test_image_near_dup_wide_keepers_consistent_with_pairs(spark, sf_dir):
     assert len(verd) == n_docs
 
 
+def test_semantic_dedup_keepers_wide_plan_shape(spark, sf_dir):
+    """The wide (8 x 12-plane) semantic tier keeps the narrow tier's
+    guarantees — no cartesian, JVM-side end to end — and, like the
+    image keeper form, pair frames stay internal: the staged component
+    labels enter the final plan as an ExistingRDD and the verdict
+    window runs at cluster grain."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_keepers_wide")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "id_a" not in plan and "id_b" not in plan, plan
+    assert "hashpartitioning(cluster_id" in plan, plan
+
+
+def test_wide_embedding_tier_consistency(spark, sf_dir):
+    """Wide-banded pairs must be a SUBSET of the exhaustive >=0.35 pair
+    set (banding prunes candidates, never invents them), non-empty on
+    the fixture, and every wide pair must land in one keeper cluster."""
+    pairs = QUERIES["embedding_near_dup_wide"](spark, sf_dir).collect()
+    assert pairs, "wide banding found no pairs on the fixture"
+    for p in pairs:
+        assert p.cos_sim >= 0.35
+    verd = {
+        r.vec_id: r.cluster_id
+        for r in QUERIES["semantic_dedup_keepers_wide"](spark, sf_dir).collect()
+    }
+    for p in pairs:
+        assert verd[p.id_a] == verd[p.id_b], p
+
+
 def test_incremental_semantic_pairs_reads_store_not_corpus(spark, sf_dir):
     """The incremental semantic increment must read banded signatures
     from the persisted store (parquet scans of the demo store), with

@@ -87,6 +87,8 @@ HEADLINERS: list[tuple[str, str]] = [
     ("image_near_dup_scaled", "perceptual dedup with corpus-derived cluster count (constant ~125-doc clusters): decode + ahash mapInPandas, nibble-banded equi-join, hot-key cap — the linear-output scale variant"),
     ("image_near_dup_wide", "WIDE-fingerprint perceptual dedup (8x8 BMP -> 63-bit ahash, 4 bands x 16 bits = 65k values/band): the form whose banding scales — the 16-bit tier saturates at 64 total buckets"),
     ("image_near_dup_wide_keepers", "cluster-emission perceptual dedup: banded pairs consumed by pointer-jumping CC inside the plan, one verdict row per doc — pair frames never reach the output exchange"),
+    ("embedding_near_dup_wide", "wide sign-LSH blocking (8 bands x 12 planes = 32k buckets): candidate volume bucket-bounded where the 2x6 narrow tier measurably exhausted disk at 100x"),
+    ("semantic_dedup_keepers_wide", "SemDeDup on the wide banding: capacity-sized candidates -> cosine verify -> CC -> verdict rows, the semantic scale default"),
     ("pq_residual_drift", "index health: planted per-batch drift, relational argmin carrying winner dot/norm terms, exact-integer residual aggregate per batch"),
 ]
 

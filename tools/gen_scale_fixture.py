@@ -36,8 +36,11 @@ are scale-invariant):
   rotation by 64 is the identity, so without the sign flip copy 64+j
   would be content-identical to copy j and every sign-LSH bucket a
   cross-copy clique (the exact pathology this fixture exists to avoid).
-  Both transforms are norm-preserving and within-copy-cosine-preserving
-  (cos(-a,-b)=cos(a,b)); factors above 128 are rejected. Label kept.
+  Copies 128+ (round 9, the sf100 regime) compose the rotation with a
+  per-copy SEEDED +-1 diagonal sign mask — still orthogonal, so norms
+  and within-copy cosines stay exact while distinct masks decorrelate
+  copies. All transforms are norm- and within-copy-cosine-preserving;
+  copies below 128 regenerate byte-identically to round 8. Label kept.
 
 Output mirrors the driver layout (<out>/<table>.parquet single files) so
 load_table() and the DuckDB oracle harness both read it unchanged.
@@ -97,14 +100,38 @@ def copy_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
             # cosine); rotation by 64 on a 64-dim vector is the IDENTITY,
             # so the second lap (i in 64..127) additionally negates —
             # within-copy cosine structure is untouched (cos(-a,-b)=
-            # cos(a,b)) while copy 64+j stays decorrelated from copy j
+            # cos(a,b)) while copy 64+j stays decorrelated from copy j.
+            # Laps >= 2 (i >= 128, the sf100 regime) compose the rotation
+            # with a PER-COPY seeded +-1 diagonal (random sign mask):
+            # any diagonal-sign x rotation is orthogonal, so norms and
+            # within-copy cosines are still exact, while distinct masks
+            # decorrelate copies (collision odds 2^-64 per pair; laps 0/1
+            # are the identity/all-minus masks, which seeded masks can
+            # only hit at those same odds). Copies i < 128 keep their
+            # BYTE-IDENTICAL round-8 transform — sf1.0/sf10 regenerate
+            # unchanged.
             r = i % 64
             base = (
                 f"(embedding[{r + 1}:] || embedding[1:{r}])" if r else "embedding"
             )
-            if (i // 64) % 2:
+            lap = i // 64
+            if lap == 1:
                 base = f"list_transform({base}, v -> -v)"
-            parts.append(f"{base}::FLOAT[] AS embedding")
+                parts.append(f"{base}::FLOAT[] AS embedding")
+            elif lap >= 2:
+                import numpy as np
+
+                signs = np.random.default_rng(10_000 + i).choice(
+                    [-1.0, 1.0], size=64
+                )
+                assert (signs > 0).any() and (signs < 0).any(), i
+                mask = ", ".join("-1.0" if s < 0 else "1.0" for s in signs)
+                parts.append(
+                    f"list_transform(list_zip({base}, [{mask}]), "
+                    "p -> p[1] * p[2])::FLOAT[] AS embedding"
+                )
+            else:
+                parts.append(f"{base}::FLOAT[] AS embedding")
         else:
             parts.append(name)
     return ", ".join(parts)
@@ -115,19 +142,23 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None, help="default: <repo>/.scale/sf1.0")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of TABLES (default: all — a sf100 "
+        "scouting fixture can skip tables its control queries never read)",
+    )
     args = ap.parse_args()
-    if args.factor > 128:
-        raise SystemExit(
-            "factor > 128 needs a third embedding decorrelation lap "
-            "(rotate+negate covers 128 copies of the 64-dim fixture)"
-        )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = args.out or os.path.join(repo, ".scale", "sf1.0")
     os.makedirs(out, exist_ok=True)
+    tables = args.tables.split(",") if args.tables else TABLES
+    unknown = set(tables) - set(TABLES)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
-    for t in TABLES:
+    for t in tables:
         src = os.path.join(args.src, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         con.execute(

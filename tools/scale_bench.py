@@ -113,6 +113,8 @@ HEAVY = [
     "image_near_dup_scaled",
     "image_near_dup_wide",
     "image_near_dup_wide_keepers",
+    "embedding_near_dup_wide",
+    "semantic_dedup_keepers_wide",
 ]
 
 # Second-decade tier (VERDICT r7 #1): the >=3x first-decade scalers whose
@@ -126,10 +128,21 @@ HEAVY = [
 # serving question; the fraction-Q forms still run both first-decade
 # SFs above for r7 comparability.
 #
-# Round 9 (VERDICT r8 #1) adds the five queries whose first-decade
-# shuffle factors (35-81x) were still explained only by ANALOGY to the
-# q3 broadcast->SMJ-transition control: if any of them does NOT flatten
-# to ~10x in the second decade, that is a real super-linear plan.
+# Round 9 (VERDICT r8 #1) asked for second-decade datapoints on the
+# five queries whose first-decade shuffle factors (35-81x) were still
+# explained only by ANALOGY to the q3 broadcast->SMJ-transition
+# control. The perceptual pair (video/audio) joined the tier below.
+# The three EMBEDDING-family queries (semantic_dedup_keepers,
+# embedding_near_dup, incremental_semantic_pairs) got their answer the
+# hard way: their 2 x 6-plane sign-LSH banding has 128 buckets total,
+# candidate volume is quadratic once buckets saturate, and the sf10
+# verify join EXHAUSTED THE BOX'S FREE DISK (~60 GB written where
+# linear behavior predicts ~3 GB) — a REAL super-linear plan, the
+# fingerprint-capacity lesson in embedding space. They are therefore
+# measured at the first decade only (still in HEAVY), and the tier
+# carries their scale replacements: the wide 8 x 12-plane forms
+# (embedding_near_dup_wide / semantic_dedup_keepers_wide), whose
+# banding is sized by the OPERATIONS.md capacity rule.
 SECOND_DECADE = [
     "simhash_near_dup",
     "image_near_dup",
@@ -143,12 +156,11 @@ SECOND_DECADE = [
     "ivfpq_topk_fixedq",
     "image_near_dup_scaled",
     "image_near_dup_wide",
-    "semantic_dedup_keepers",
     "video_near_dup",
     "audio_near_dup",
-    "embedding_near_dup",
-    "incremental_semantic_pairs",
     "image_near_dup_wide_keepers",
+    "embedding_near_dup_wide",
+    "semantic_dedup_keepers_wide",
 ]
 
 UI_PORT = 4077
