@@ -1128,3 +1128,46 @@ def test_fingerprint_width_sets_banding_capacity(spark):
     assert n16 < planted, (
         f"16-bit banding at the same cap must lose pairs: {n16} >= {planted}"
     )
+
+
+def test_lsh_band_width_sets_candidate_capacity(spark):
+    """The round-9 EMBEDDING twin of the fingerprint-capacity pin
+    (BASELINE.md round 9; OPERATIONS.md capacity rule): a banded
+    sign-LSH self-join has #bands x 2^planes buckets, so candidate
+    volume is quadratic in N once buckets saturate. On 4,000
+    deterministic pseudo-random vectors the narrow 2 x 6-plane tier
+    (128 buckets, occupancy ~62/bucket) must emit MORE candidate pairs
+    than the corpus has rows — the super-linear signature that
+    exhausted disk at the 100x fixture — while the wide 8 x 12-plane
+    tier (32,768 buckets) tracks the analytic bucket bound
+    bands x N^2 / 2^planes / 2 — candidate volume at fixed planes is
+    always quadratic-DAMPED by 2^planes, which is why the OPERATIONS
+    rule sizes planes ~ log2(N / occupancy): each extra plane halves
+    the quadratic coefficient, and the wide tier buys
+    (2^(12-6) / (8/2)) = 16x headroom at identical verification
+    semantics."""
+    from pulsar_internal_spark.operators.similarity import lsh_blocked_pairs
+
+    n, dim = 4000, 64
+    dims = [
+        (
+            (F.xxhash64(F.col("vec_id"), F.lit(d)).cast("double") / 9.223372036854776e18)
+        ).alias(f"_d{d}")
+        for d in range(dim)
+    ]
+    emb = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", F.array(*dims).alias("embedding"))
+    )
+    narrow = lsh_blocked_pairs(emb, planes_per_band=6, num_bands=2).count()
+    wide = lsh_blocked_pairs(emb, planes_per_band=12, num_bands=8).count()
+    assert narrow > n, f"narrow banding should be super-linear here: {narrow}"
+    # the wide tier's damping: an order of magnitude fewer candidates
+    # on the SAME corpus (analytic ratio 16x; skewed sign-bit buckets
+    # erode it, so pin the order, not the constant)
+    assert narrow > 8 * max(wide, 1), (narrow, wide)
+    # and the wide count is BUCKET-bounded: within 4x of the uniform
+    # occupancy bound, i.e. no clique-driven blowup hides in it
+    bound = 8 * n * n / (2**12) / 2
+    assert wide < 4 * bound, (wide, bound)
