@@ -158,6 +158,9 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    # a factor-1000 plan is a 1000-way UNION ALL — past the default
+    # parser depth (1000); the plan itself streams fine
+    con.execute("SET max_expression_depth TO 100000")
     for t in tables:
         src = os.path.join(args.src, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
