@@ -1094,6 +1094,55 @@ def test_ann_recall_regression_planted_neighbors(spark, tmp_path):
     assert ivfi_recall >= 0.80, f"persisted-IVF recall@5 collapsed: {ivfi_recall}"
 
 
+def test_ivf_recall_geometry_split(spark):
+    """The round-9 geometry claim as a regression pin (RECALL_r09.json,
+    BASELINE.md round-9 recall section): on CLUSTERED embeddings
+    (mixture-of-Gaussians, within-cluster cos ~0.8 — the realistic
+    corpus shape) IVF cells recover the clusters, so nprobe=1 of 8
+    already achieves high recall@5; on NEAR-RANDOM embeddings the same
+    single-cell probe is blind (recall ~ corpus fraction probed). Any
+    change to the kmeans recipe or the probe ranking that erodes the
+    clustered-side win, or accidentally 'fixes' the random-side floor
+    (which would mean the probe is not pruning at all), fails here.
+    Fixture generation is the committed tool's own function
+    (tools/gen_clustered_embeddings.generate), seeded."""
+    import numpy as np
+
+    from pulsar_internal_spark.operators import similarity as sim
+    from tools.gen_clustered_embeddings import generate
+
+    def corpus_of(table):
+        rows = [
+            (int(i), [float(x) for x in v])
+            for i, v in zip(table["vec_id"].to_pylist(), table["embedding"].to_pylist())
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall_at_nprobe1(df):
+        queries = df.filter("vec_id % 50 = 0")
+        bf = {(r.query_id, r.neighbor_id)
+              for r in sim.brute_force_topk(df, queries, k=5).collect()}
+        ivf = {(r.query_id, r.neighbor_id)
+               for r in sim.ivf_topk(df, queries, k=5, num_centroids=8, nprobe=1).collect()}
+        return len(ivf & bf) / len(bf)
+
+    clustered = corpus_of(generate(n=400, dim=64, k=8, sigma=0.5, seed=7))
+    rng = np.random.default_rng(3)
+    rand_rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.normal(size=(400, 64)))
+    ]
+    random_df = spark.createDataFrame(rand_rows, "vec_id long, embedding array<float>")
+
+    r_clustered = recall_at_nprobe1(clustered)
+    r_random = recall_at_nprobe1(random_df)
+    assert r_clustered >= 0.85, f"clustered nprobe=1 recall eroded: {r_clustered}"
+    assert r_random <= 0.60, (
+        f"random nprobe=1 recall {r_random} > 0.6 — the probe is not pruning"
+    )
+    assert r_clustered > r_random + 0.3, (r_clustered, r_random)
+
+
 def test_pq_adc_recall_planted_neighbors(spark):
     """PQ recall@5 gate (round 7, same planted-neighbor construction as
     the LSH/IVF gate): 20 base queries x 5 planted neighbors at tiered
