@@ -1,0 +1,135 @@
+"""Bloom semi-join reduction — map-side pruning of a big probe frame
+before its join exchange (the classic "Bloomjoin", Mackert & Lohman,
+VLDB 1986; the same idea Spark itself ships as runtime bloom filters).
+
+The problem this solves: a semi/inner join whose PROBE side is an
+intermediate blow-up (wedges in triangle counting, candidate pairs in
+dedup) shuffles every probe row to the join exchange, even though only
+a tiny fraction will match the build side. The join exchange — not the
+join compute — becomes the scale ceiling: user_triangle_counts' wedge
+exchange measured 5.3 GB at sf10 and a projected ~53 GB at sf100
+(SCALE_r09_sf100.json "skipped"), which exceeded the box. Almost all
+of those bytes are wedges that never close.
+
+Why not Spark's own runtime bloom filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``): InjectRuntimeFilter
+only fires when the creation side has a *selective scan predicate*
+(``isLikelySelective``) — a membership build side that is itself a full
+intermediate (every oriented edge) never qualifies — and the underlying
+``might_contain``/``bloom_filter_agg`` expressions are not registered as
+public SQL functions in Spark 4.x, so they cannot be reached from the
+DataFrame/SQL API directly. This module rebuilds the same effect from
+public primitives only:
+
+1. hash every build key to a bucket: ``xxhash64(keys) & (m-1)`` with m
+   a power of two (``&`` avoids pmod's sign handling on the signed
+   xxhash64 output);
+2. bit-pack the bucket set 64 buckets per row:
+   ``groupBy(bucket >> 6).agg(bit_or(1L << (bucket & 63)))`` — a
+   one-hash Bloom bitmap materialized as a (word_index, word) relation
+   of at most m/64 rows, built with ONE partial-aggregated scan;
+3. prune the probe with a **broadcast** inner join on word_index plus a
+   bit test — executed in the probe's producing stage, BEFORE its
+   exchange, which is the entire point.
+
+False positives pass (callers keep their exact join afterwards; the
+bit test only shrinks the exchange), false negatives are impossible:
+a build key always sets the exact bit its probe twin tests, because
+both sides hash the same column list with the same xxhash64 seed.
+
+Sizing: one hash function, so FPR = 1 - exp(-n/m) (~n/m for m >> n).
+``bits_per_key=8`` (default) gives ~11.8% FPR for ~1 byte of bitmap
+per build key — a 53 GB probe exchange drops to ~12% + true matches,
+and the broadcast stays ~n/8 words (two longs each), roughly an order
+of magnitude lighter than broadcasting the build rows themselves into
+a hash relation. More bits buy a lower FPR linearly in broadcast size;
+callers with a known build count should pass ``n_keys`` to skip the
+count job.
+
+At 100 TB: the bitmap is linear in the BUILD side (the small side by
+construction — callers choose which side blows up), the probe side
+never moves until after the bit test, and everything is built-in
+JVM expressions (xxhash64, shiftleft/shiftright, bit_or, bitwise and)
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_prune"]
+
+# Floor on the bitmap size: 2^16 bits = 1024 words. Below this the
+# bitmap is noise-sized anyway and a power-of-two floor keeps the mask
+# arithmetic branch-free for empty/tiny build sides.
+_MIN_BITS = 1 << 16
+
+
+def _bucket(cols: Sequence[str], mask: int):
+    # xxhash64 over the raw key columns (deterministic seed 42 inside
+    # Spark); & with a non-negative mask makes the bucket non-negative
+    # regardless of the hash sign, so >> 6 below is a plain word index.
+    return F.xxhash64(*[F.col(c) for c in cols]).bitwiseAND(F.lit(mask))
+
+
+def bloom_prune(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_cols: Sequence[str],
+    build_cols: Sequence[str],
+    *,
+    bits_per_key: int = 8,
+    n_keys: Optional[int] = None,
+) -> DataFrame:
+    """Return ``probe`` minus (most) rows whose ``probe_cols`` key does
+    not appear in ``build``'s ``build_cols`` — a may-contain filter, to
+    be followed by the caller's exact join.
+
+    Guarantees: result is a subset of ``probe`` (same schema, no
+    reorder of columns) and a superset of
+    ``probe.join(build, keys, "left_semi")``. With ``bits_per_key <= 0``
+    the prune is disabled and ``probe`` is returned unchanged (the
+    conf-off escape hatch).
+
+    ``n_keys``: build-side row count if the caller already knows it
+    (e.g. a staged frame whose count is a cached-block scan); when
+    omitted, one count job runs over ``build``.
+    """
+    if bits_per_key <= 0:
+        return probe
+    if len(probe_cols) != len(build_cols) or not probe_cols:
+        raise ValueError(
+            "probe_cols and build_cols must be equal-length and non-empty, "
+            f"got {list(probe_cols)!r} / {list(build_cols)!r}"
+        )
+    if n_keys is None:
+        n_keys = build.count()
+    m_bits = max(_MIN_BITS, 1 << max(1, int(n_keys) * bits_per_key - 1).bit_length())
+    mask = m_bits - 1
+
+    words = (
+        build.select(_bucket(build_cols, mask).alias("__bkt"))
+        .select(
+            F.shiftright("__bkt", 6).alias("__widx"),
+            F.expr("shiftleft(1L, cast(__bkt & 63 AS int))").alias("__wbit"),
+        )
+        .groupBy("__widx")
+        .agg(F.bit_or("__wbit").alias("__word"))
+    )
+
+    out_cols = probe.columns
+    keyed = probe.withColumn("__bkt", _bucket(probe_cols, mask)).withColumn(
+        "__widx", F.shiftright("__bkt", 6)
+    )
+    # Inner join: a probe word index absent from the bitmap means no
+    # build key hashes anywhere in those 64 buckets — drop the row.
+    return (
+        keyed.join(F.broadcast(words), "__widx")
+        .where(
+            F.expr("(__word & shiftleft(1L, cast(__bkt & 63 AS int))) != 0")
+        )
+        .select(*out_cols)
+    )

@@ -82,6 +82,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import bloomjoin
 from ..operators import compaction as compaction_ops
 from ..operators import dedup as dedup_ops
 from ..operators import similarity as sim_ops
@@ -7376,7 +7377,18 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-blind at ours — exactly why the oriented form exists). Each
     triangle is found once, at its lowest-rank corner; corner explode +
     one keyed agg yields per-node counts. Shape: two equi-joins + two
-    aggregates, AQE skew-splits any residual hot bucket, no UDF."""
+    aggregates, AQE skew-splits any residual hot bucket, no UDF.
+
+    Scale note (round 9): the wedge->closer semi join is the plan's
+    byte ceiling — the wedge frame is the quadratic-ish intermediate
+    and almost none of it closes (sf10 wedge exchange 5.3 GB, sf100
+    projected ~53 GB, which exceeded the scouting box:
+    SCALE_r09_sf100.json). A Bloom semi-join reduction
+    (operators/bloomjoin.bloom_prune, bitmap over the oriented edges,
+    broadcast + bit test) now drops non-closing wedges in their
+    producing stage, BEFORE the exchange; the exact semi join stays,
+    so false positives cost bytes, never correctness. Tunable via
+    spark.pulsar.triangles.bloomBitsPerKey (0 disables)."""
     # The edge list feeds FOUR lineages below (degree table, the rank
     # join, both wedge sides, the closing-edge probe) — without a
     # materialization the events self-join would re-execute once per
@@ -7413,7 +7425,29 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
     )
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tri = wedges.join(closer, ["b", "c"], "left_semi")
+    bits = int(
+        spark.conf.get("spark.pulsar.triangles.bloomBitsPerKey", "8")
+    )
+    if bits > 0:
+        # oriented is a staged (materialized) frame, so the build-side
+        # count is a cached-block scan, not a recompute
+        wedges = bloomjoin.bloom_prune(
+            wedges,
+            closer,
+            ["b", "c"],
+            ["b", "c"],
+            bits_per_key=bits,
+            n_keys=oriented.count(),
+        )
+    # INNER, not left_semi, deliberately: (b, c) is unique in closer
+    # (oriented maps the distinct edge list 1:1), so the multiplicity
+    # is identical — but PushDownLeftSemiAntiJoin would push a
+    # left-semi BELOW the bloom_prune broadcast join, re-ordering the
+    # bit test above the wedge exchange and un-doing the prune (the
+    # rule treats semi joins as always-selective; here the selective
+    # step is the bitmap). The plan pin asserts the bit test stays
+    # under the (b, c) exchange.
+    tri = wedges.join(closer, ["b", "c"], "inner").select("a", "b", "c")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
         .groupBy("user_id")

@@ -1,0 +1,105 @@
+"""operators/bloomjoin — Bloom semi-join reduction.
+
+The contract under test: bloom_prune(probe, build) is a SUBSET of
+probe and a SUPERSET of the exact semi join (no false negatives,
+bounded false positives), schema-stable, and cheap to disable. The
+integration pin — that the bit test lands BELOW the probe-side
+exchange in user_triangle_counts — lives in test_plans.py, because
+that ordering is the entire point of the operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_internal_spark.operators.bloomjoin import bloom_prune
+
+
+def _probe(spark):
+    # two-column key, deterministic, with payload to check schema
+    return spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("k1"),
+        ((F.col("id") % 500) * 7).alias("k2"),
+        F.col("id").alias("payload"),
+    )
+
+
+def _build(spark):
+    # 50 of the 500 distinct probe keys
+    return spark.range(0, 500, 10).select(
+        F.col("id").alias("b1"), (F.col("id") * 7).alias("b2")
+    )
+
+
+def test_no_false_negatives_and_subset_of_probe(spark):
+    probe, build = _probe(spark), _build(spark)
+    exact = probe.join(
+        build,
+        (probe.k1 == build.b1) & (probe.k2 == build.b2),
+        "left_semi",
+    )
+    pruned = bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"])
+    assert pruned.columns == probe.columns
+    # superset of the exact semi join: nothing the join needs was lost
+    assert exact.exceptAll(pruned).count() == 0
+    # subset of probe (with multiplicities)
+    assert pruned.exceptAll(probe).count() == 0
+
+
+def test_prune_then_exact_join_equals_semi_join(spark):
+    probe, build = _probe(spark), _build(spark)
+    exact = probe.join(
+        build,
+        (probe.k1 == build.b1) & (probe.k2 == build.b2),
+        "left_semi",
+    )
+    pruned = bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"])
+    via_bloom = pruned.join(
+        build,
+        (pruned.k1 == build.b1) & (pruned.k2 == build.b2),
+        "left_semi",
+    )
+    assert via_bloom.exceptAll(exact).count() == 0
+    assert exact.exceptAll(via_bloom).count() == 0
+
+
+def test_actually_prunes_most_nonmatches(spark):
+    """With 16 bits/key over 50 build keys the bitmap is far below
+    saturation — the prune must remove the bulk of the 90% of probe
+    rows that never match (false positives allowed, a no-op prune is
+    a regression)."""
+    probe, build = _probe(spark), _build(spark)
+    pruned = bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"], bits_per_key=16)
+    n_probe, n_pruned = probe.count(), pruned.count()
+    n_exact = probe.join(
+        build, (probe.k1 == build.b1) & (probe.k2 == build.b2), "left_semi"
+    ).count()
+    assert n_exact <= n_pruned < n_probe * 0.5, (n_exact, n_pruned, n_probe)
+
+
+def test_disabled_returns_probe_unchanged(spark):
+    probe, build = _probe(spark), _build(spark)
+    assert bloom_prune(probe, build, ["k1"], ["b1"], bits_per_key=0) is probe
+
+
+def test_empty_build_prunes_everything(spark):
+    probe = _probe(spark)
+    build = _build(spark).where(F.lit(False))
+    assert bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"]).count() == 0
+
+
+def test_bitmap_is_broadcast(spark):
+    probe, build = _probe(spark), _build(spark)
+    pruned = bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "shiftleft" in plan, plan
+
+
+def test_mismatched_key_lists_rejected(spark):
+    probe, build = _probe(spark), _build(spark)
+    with pytest.raises(ValueError):
+        bloom_prune(probe, build, ["k1", "k2"], ["b1"])
+    with pytest.raises(ValueError):
+        bloom_prune(probe, build, [], [])

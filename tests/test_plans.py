@@ -348,8 +348,39 @@ def test_triangle_counting_is_oriented_equi_joins(spark, sf_dir):
     generator; corners aggregate JVM-side."""
     plan = _plan(spark, sf_dir, "user_triangle_counts")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
-    assert "LeftSemi" in plan, plan  # closing-edge probe is a semi join
+    # closing-edge probe: inner equi-join on the unique (b, c) edge
+    # key — deliberately NOT LeftSemi (PushDownLeftSemiAntiJoin would
+    # hoist it under the bloom prune; see the query docstring)
+    assert "LeftSemi" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_bloom_prune_sits_below_wedge_exchange(spark, sf_dir):
+    """The round-9 scale fix: the Bloom bit test (broadcast bitmap
+    join) must execute in the wedge-producing stage, BELOW the (b, c)
+    exchange that feeds the closing-edge join — pruned wedges are the
+    only thing that ever shuffles. If an optimizer rule reorders the
+    closure join back under the bit test (the PushDownLeftSemiAntiJoin
+    failure mode this plan was shaped around), the prune silently
+    becomes a no-op and the sf100 wedge exchange returns to ~53 GB."""
+    plan = _plan(spark, sf_dir, "user_triangle_counts")
+    lines = plan.splitlines()
+    bit_test = [
+        i
+        for i, l in enumerate(lines)
+        if "BroadcastHashJoin" in l and "shiftleft" in l
+    ]
+    assert bit_test, plan  # the prune is present at default conf
+    # tree prints parents first: an ancestor (b, c) exchange of the
+    # bit test must appear ABOVE it in the text
+    wedge_exchanges = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(b#" in l and "c#" in l
+    ]
+    assert wedge_exchanges and min(wedge_exchanges) < bit_test[0], plan
+    # and the bitmap build is the bit_or aggregate, broadcast
+    assert "bit_or" in plan, plan
 
 
 def test_histogram_quantiles_windows_over_cells_only(spark, sf_dir):

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Bloom semi-join reduction payoff — writes SCALE_r09_bloom.json.
+
+Measures user_triangle_counts with the wedge-closure Bloom prune OFF
+vs ON (operators/bloomjoin, default 8 bits/key) at sf1.0 and sf10, so
+the shuffle cut is a recorded before/after on the SAME session and
+fixture, not an argument. The quantity that matters is shuffle bytes:
+the wedge exchange is the query's scale ceiling (5.3 GB at sf10,
+projected ~53 GB at sf100 — the SCALE_r09_sf100 skip this operator
+exists to remove).
+
+Methodology = tools/scale_bench.py: noop-sink materialization, warmup
+pass, staged-frame release + GC settle between timed windows, min wall
+over passes, median bytes. One session for the whole run (the query
+pair fits well under the accumulation pathologies that forced
+session-per-pass in the full suite).
+
+Run: python tools/bloom_bench.py   (fixtures: .scale/sf1.0, .scale/sf10
+events tables — tools/gen_scale_fixture.py --tables events)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
+from pulsar_internal_spark.session import get_spark  # noqa: E402
+from tools.scale_bench import (  # noqa: E402
+    StageMetrics,
+    _materialize,
+    _mb,
+    _release_persisted,
+)
+
+QUERY = "user_triangle_counts"
+CONF = "spark.pulsar.triangles.bloomBitsPerKey"
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sfs = os.environ.get("SPARK_GRAFT_BLOOM_SFS", "sf1.0,sf10").split(",")
+    sf_dirs = {sf: os.path.join(repo, ".scale", sf) for sf in sfs}
+    modes = [
+        m
+        for m in (("off", "0"), ("on_8bits", "8"))
+        if m[0] in os.environ.get("SPARK_GRAFT_BLOOM_MODES", "off,on_8bits")
+    ]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark(
+        app_name="pulsar_internal_spark_bloom_bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: run the query itself once at sf0.001 (JVM + codegen)
+    _materialize(QUERIES[QUERY](spark, "/root/testdata/sf0.001"))
+    _release_persisted(spark)
+    metrics = StageMetrics(spark)
+
+    path = os.path.join(repo, "SCALE_r09_bloom.json")
+    if os.path.exists(path):
+        # merge new SF/mode rows into an earlier run's artifact (the
+        # sf100 pass runs separately from the sf1.0/sf10 before/after)
+        with open(path) as f:
+            out = json.load(f)
+        out["runs"] = n_runs
+    else:
+        out = {
+            "query": QUERY,
+            "conf": CONF,
+            "runs": n_runs,
+            "wall_stat": "min of passes; secs_all = raw passes",
+            "modes": {},
+        }
+    for mode, bits in modes:
+        spark.conf.set(CONF, bits)
+        out["modes"].setdefault(mode, {})
+        for sf, d in sf_dirs.items():
+            if not os.path.isdir(d):
+                continue
+            secs, byts = [], []
+            for _ in range(n_runs):
+                before = metrics.snapshot()
+                t0 = time.perf_counter()
+                _materialize(QUERIES[QUERY](spark, d))
+                secs.append(round(time.perf_counter() - t0, 3))
+                byts.append(metrics.diff(before))
+                _release_persisted(spark)
+            med = {
+                k: statistics.median(b[k] for b in byts) for k in byts[0]
+            }
+            out["modes"][mode][sf] = {
+                "secs": min(secs),
+                "secs_all": secs,
+                "shuffle_mb": _mb(med["shuffle_bytes"]),
+                "input_mb": _mb(med["input_bytes"]),
+                "spill_mb": _mb(med["spill_bytes"]),
+                "disk_spill_mb": _mb(med["disk_spill_bytes"]),
+            }
+            print(mode, sf, out["modes"][mode][sf], flush=True)
+    for sf in sf_dirs:
+        on = out["modes"].get("on_8bits", {}).get(sf)
+        off = out["modes"].get("off", {}).get(sf)
+        if on and off and on["shuffle_mb"]:
+            out.setdefault("shuffle_cut", {})[sf] = round(
+                off["shuffle_mb"] / on["shuffle_mb"], 2
+            )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ HEADLINERS: list[tuple[str, str]] = [
     ("dsir_importance_weights", "both unigram LMs from ONE token-grain agg; 1-row totals broadcast; vocab join"),
     ("training_shard_assignment", "deterministic global shuffle via scalable reindex; shards are pure projections"),
     ("countmin_heavy_hitters", "mergeable count-min sketch: d x w SUM cells from one partial-aggregated groupBy"),
-    ("user_triangle_counts", "degree-oriented triangle enumeration: wedge equi-join + closing-edge semi join"),
+    ("user_triangle_counts", "degree-oriented triangle enumeration: wedge equi-join + Bloom-pruned closing-edge join (bit test below the wedge exchange)"),
     ("token_entropy_scores", "entropy as two SUMs over term frequencies (no window, no probability join-back)"),
     ("histogram_value_quantiles", "quantiles from a mergeable 64-bin histogram; windows over sketch cells only"),
     ("rag_retrieve_pack", "RAG read side: ANN top-k -> winner-only hydration -> in-aggregate rank-ordered packing"),
