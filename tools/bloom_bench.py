@@ -17,6 +17,13 @@ session-per-pass in the full suite).
 
 Run: python tools/bloom_bench.py   (fixtures: .scale/sf1.0, .scale/sf10
 events tables — tools/gen_scale_fixture.py --tables events)
+
+Third decade: SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_BLOOM_SFS=sf100
+SPARK_GRAFT_BLOOM_MODES=on_8bits SPARK_GRAFT_BENCH_RUNS=2 — merges the
+sf100 row into the existing artifact; off-mode at sf100 is deliberately
+not run (its ~53 GB wedge exchange is the thing that does not fit the
+box — the reason this operator exists). 12g driver heap OOMs at sf100;
+48g matches tools/scale_scout_sf100.py.
 """
 
 from __future__ import annotations
