@@ -60,7 +60,16 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_prune"]
+__all__ = ["bloom_prune", "prune_history", "STORE_BITS_CONF"]
+
+# Store-level switch for the incremental-store history prunes (the
+# second application of this module, after the triangle wedge
+# exchange): the arriving batch is the SMALL side by construction, so
+# its bitmap is tiny, and the accumulated history — whose per-batch
+# re-shuffle is the linear-in-history ingest cost STREAM_r09 measured
+# on the path stores — is the probe that gets pruned before its
+# exchange. 0 disables.
+STORE_BITS_CONF = "spark.pulsar.store.bloomBitsPerKey"
 
 # Floor on the bitmap size: 2^16 bits = 1024 words. Below this the
 # bitmap is noise-sized anyway and a power-of-two floor keeps the mask
@@ -133,3 +142,25 @@ def bloom_prune(
         )
         .select(*out_cols)
     )
+
+
+def prune_history(history: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Incremental-store form of :func:`bloom_prune`: drop (most)
+    ``history`` rows whose ``keys`` do not appear in the arriving
+    ``batch``. The exact join the caller performs afterwards (the
+    candidates equi-join, the first-seen anti-join, the owner lookup)
+    is unaffected by false positives; rows removed here carry a key no
+    batch row has, so they could never have matched — including for the
+    LEFT ANTI case, where a pruned history row could only have failed
+    to eliminate a batch row it never equals.
+
+    Governed by ``spark.pulsar.store.bloomBitsPerKey`` (default 8,
+    0 disables). Column names must match on both sides, which holds at
+    every store call site. ``batch`` is counted for bitmap sizing —
+    callers pass staged (materialized) frames, so that count is a
+    cached-block scan."""
+    spark = history.sparkSession
+    bits = int(spark.conf.get(STORE_BITS_CONF, "8"))
+    if bits <= 0:
+        return history
+    return bloom_prune(history, batch, keys, keys, bits_per_key=bits)

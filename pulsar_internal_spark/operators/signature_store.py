@@ -209,8 +209,17 @@ def candidates_for_batch(
 
 
 def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
+    from .bloomjoin import prune_history
+
     new = store.filter(F.col("batch_id") == batch_id)
     hist = store.filter(F.col("batch_id") < batch_id)
+    # History-side semi-join reduction (round 9): the across join's
+    # history exchange is the linear-in-history ingest cost STREAM_r09
+    # measured (0.44 -> 63.9 MB over ten batches on the path store);
+    # almost no history band key recurs in one batch, so a broadcast
+    # bitmap of the batch's keys prunes history in its scan stage,
+    # before the exchange. Result-identical (the equi-join stays).
+    hist = prune_history(hist, new, ["band_idx", "band_key"])
 
     a, b = new.alias("a"), new.alias("b")
     within = a.join(

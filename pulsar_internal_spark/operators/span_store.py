@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import bloomjoin
 from .dedup import dup_span_intervals, tokenized
 from ..sources.tables import spread
 from ..staging import stage
@@ -104,8 +105,20 @@ def append_kgram_batch(
     :func:`spans_for_batch` afterwards (or use
     :func:`incremental_substring_spans`) for the batch's duplicated
     spans."""
-    kg = _kgram_occurrences(new_docs, k, id_col, text_col)
-    return _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
+    # staged: the history bloom prune reads kg twice more (sizing
+    # count + bitmap build) and signing is the dominant per-batch cost.
+    # Unlike incremental_substring_spans (whose staged kg outlives the
+    # call inside the returned span frame), this path is self-contained
+    # — the append write is eager — so release the blocks before
+    # returning: at streaming cadence, leaked ~100s-of-MB staged frames
+    # per batch become block-manager pressure within a few batches.
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col).transform(stage)
+    try:
+        return _append_kg(
+            spark, kg, store_path, batch_id=batch_id, id_col=id_col
+        )
+    finally:
+        kg.unpersist()
 
 
 def _append_kg(
@@ -131,6 +144,13 @@ def _append_kg(
     firsts = kg.groupBy("kh").agg(F.min(id_col).alias("owner_doc"))
     if store is not None:
         hist_khs = store.filter(F.col("batch_id") < bid).select("kh")
+        # a history kh the batch never produced cannot eliminate any
+        # firsts row — prune history before its anti-join exchange
+        # (bloomjoin.prune_history; FPs fall to the exact anti-join).
+        # The bitmap builds from kg, not firsts: same key set (firsts
+        # is kg's distinct kh) but kg is the caller-staged frame, so
+        # the sizing count and bitmap scan are cached-block reads.
+        hist_khs = bloomjoin.prune_history(hist_khs, kg.select("kh"), ["kh"])
         firsts = firsts.join(hist_khs, "kh", "left_anti")
     out = firsts.withColumn("batch_id", F.lit(bid).cast("int"))
     if batch_id is None:
@@ -164,7 +184,12 @@ def spans_for_batch(
     first (the store carries the ownership the join reads); emits only
     NON-OWNED spans — the owner's copy is what keep-first scrub
     preserves, so it is never listed."""
-    kg = _kgram_occurrences(new_docs, k, id_col, text_col)
+    # staged for the same reason as append_kgram_batch: the owner-side
+    # bloom prune reads kg for sizing + bitmap on top of the span join.
+    # NOT released here — the returned span frame still reads these
+    # blocks; callers at cadence release via staging.release_staged
+    # after materializing (bench.py / stream_bench do).
+    kg = _kgram_occurrences(new_docs, k, id_col, text_col).transform(stage)
     return _spans_kg(spark, kg, store_path, batch_id, k=k, id_col=id_col)
 
 
@@ -188,6 +213,10 @@ def _spans_kg(
     owners = store.filter(F.col("batch_id") <= batch_id).select(
         "kh", "owner_doc"
     )
+    # owner rows whose kh the batch never produced can't join anything
+    # — prune the accumulated store before its exchange (round 9,
+    # bloomjoin.prune_history; FPs fall to the exact equi-join below)
+    owners = bloomjoin.prune_history(owners, kg.select("kh"), ["kh"])
     # covered: the k-gram's store owner is another doc. Within-batch
     # duplication is already captured because the append registered the
     # batch's own first-seen k-grams under this batch's min doc id.

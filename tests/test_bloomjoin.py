@@ -97,6 +97,70 @@ def test_bitmap_is_broadcast(spark):
     assert "shiftleft" in plan, plan
 
 
+def test_store_history_prune_sits_below_history_exchange(spark, sf_dir, tmp_path):
+    """prune_history integration: in the shuffle-join regime (the one
+    the prune exists for — small batches broadcast anyway), the bitmap
+    bit test must sit BELOW the across join that shuffles history, on
+    the history lineage. If join flattening/reordering ever hoists the
+    bit test above the across join, the history exchange goes back to
+    carrying the full store and the prune is a silent no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import signature_store as ss
+    from pulsar_internal_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = os.path.join(str(tmp_path), "sig")
+    ss.append_signature_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store, batch_id=0
+    )
+    ss.append_signature_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store, batch_id=1
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        cand = ss.candidates_for_batch(spark, store, 1)
+        assert cand.count() >= 0
+        lines = (
+            cand._jdf.queryExecution().executedPlan().toString().splitlines()
+        )
+        bit = [
+            i
+            for i, l in enumerate(lines)
+            if "BroadcastHashJoin" in l and "shiftleft" in l
+        ]
+        across = [
+            i
+            for i, l in enumerate(lines)
+            if ("SortMergeJoin" in l or "ShuffledHashJoin" in l)
+            and "band_idx" in l
+            and "band_key" in l
+        ]
+        # the bitmap join itself must still broadcast even with the
+        # thresholds off (explicit F.broadcast hint)
+        assert bit, "\n".join(lines)
+        assert across, "\n".join(lines)
+        # parents print first: the across join is an ancestor of the
+        # bit test (bit test below its history-side exchange)
+        assert min(across) < bit[0], "\n".join(lines)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_mismatched_key_lists_rejected(spark):
     probe, build = _probe(spark), _build(spark)
     with pytest.raises(ValueError):

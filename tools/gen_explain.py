@@ -102,6 +102,17 @@ def normalize_plan(plan: str) -> str:
     import re
 
     s = plan
+    # FileScan metadata values (DataFilters/PushedFilters/Location...)
+    # are HARD-truncated at 100 chars with a trailing "..." — and the
+    # cut position shifts with attribute-id WIDTH (ts#8 vs ts#871),
+    # which is a session-global counter. Two sessions with different
+    # histories truncate the same list after different partial tokens
+    # ("INTERVAL '0..." vs "INTERVA..."), so the truncated content must
+    # be canonicalized wholesale BEFORE anything else: a bracket list
+    # that ends truncated loses its content entirely, and any other
+    # dangling "...token" collapses to TRUNC.
+    s = re.sub(r"\[[^\[\]]*\.\.\.", "[TRUNC", s)
+    s = re.sub(r"\S*\.\.\.", "TRUNC", s)
     s = re.sub(r"#\d+[A-Za-z]*", "#N", s)
     # lambda variables (higher-order functions: transform/filter/aggregate)
     # are named x_<counter>/y_<counter> with a SESSION-GLOBAL counter, so

@@ -60,6 +60,7 @@ from pulsar_internal_spark.operators import signature_store as sig  # noqa: E402
 from pulsar_internal_spark.operators import span_store as spans  # noqa: E402
 from pulsar_internal_spark.operators import similarity as sim  # noqa: E402
 from pulsar_internal_spark.session import get_spark  # noqa: E402
+from pulsar_internal_spark.staging import release_staged  # noqa: E402
 from tools.scale_bench import StageMetrics  # noqa: E402
 
 STRIDE = 1_000_000_000  # gen_scale_fixture.py's copy stride
@@ -183,6 +184,11 @@ def main() -> None:
                 "spans_input_mb": spans_mb["input_bytes"],
             }
         )
+        # spans_for_batch stages its signed k-gram frame (the returned
+        # span frame reads it); release between batches, OUTSIDE the
+        # timed windows, or ten batches pin ~3.5 GB of dead blocks and
+        # later batches pay eviction/GC inside their measurements
+        release_staged(spark)
         print("span", rows[-1], file=sys.stderr, flush=True)
     out["span_store"] = rows
 
