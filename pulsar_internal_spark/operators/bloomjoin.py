@@ -71,6 +71,15 @@ __all__ = ["bloom_prune", "prune_history", "STORE_BITS_CONF"]
 # exchange. 0 disables.
 STORE_BITS_CONF = "spark.pulsar.store.bloomBitsPerKey"
 
+# The prune carries a fixed per-batch tax (sizing count + bitmap build
+# + broadcast) that shallow histories never repay — the measured
+# shuffle crossover at cadence is ~3-4 batches (STREAM_r09 vs
+# STREAM_r09_bloom). Every store call site knows its history depth in
+# BATCHES for free (the arriving batch_id), so the prune self-disables
+# below this depth instead of taxing demo stores, correctness runs,
+# and freshly-bootstrapped production stores.
+STORE_MIN_HISTORY_CONF = "spark.pulsar.store.bloomMinHistoryBatches"
+
 # Floor on the bitmap size: 2^16 bits = 1024 words. Below this the
 # bitmap is noise-sized anyway and a power-of-two floor keeps the mask
 # arithmetic branch-free for empty/tiny build sides.
@@ -144,7 +153,13 @@ def bloom_prune(
     )
 
 
-def prune_history(history: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+def prune_history(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    *,
+    history_batches: Optional[int] = None,
+) -> DataFrame:
     """Incremental-store form of :func:`bloom_prune`: drop (most)
     ``history`` rows whose ``keys`` do not appear in the arriving
     ``batch``. The exact join the caller performs afterwards (the
@@ -158,9 +173,20 @@ def prune_history(history: DataFrame, batch: DataFrame, keys: Sequence[str]) -> 
     0 disables). Column names must match on both sides, which holds at
     every store call site. ``batch`` is counted for bitmap sizing —
     callers pass staged (materialized) frames, so that count is a
-    cached-block scan."""
+    cached-block scan.
+
+    ``history_batches``: the store's history depth in batches (the
+    arriving batch_id — call sites know it for free). Below
+    ``spark.pulsar.store.bloomMinHistoryBatches`` (default 4, the
+    measured shuffle crossover at cadence) the prune is skipped: the
+    fixed bitmap tax exceeds what a shallow history's exchange can
+    save. Pass None to prune unconditionally."""
     spark = history.sparkSession
     bits = int(spark.conf.get(STORE_BITS_CONF, "8"))
     if bits <= 0:
         return history
+    if history_batches is not None:
+        min_hist = int(spark.conf.get(STORE_MIN_HISTORY_CONF, "4"))
+        if history_batches < min_hist:
+            return history
     return bloom_prune(history, batch, keys, keys, bits_per_key=bits)

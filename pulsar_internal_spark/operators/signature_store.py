@@ -218,8 +218,12 @@ def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
     # measured (0.44 -> 63.9 MB over ten batches on the path store);
     # almost no history band key recurs in one batch, so a broadcast
     # bitmap of the batch's keys prunes history in its scan stage,
-    # before the exchange. Result-identical (the equi-join stays).
-    hist = prune_history(hist, new, ["band_idx", "band_key"])
+    # before the exchange. Result-identical (the equi-join stays);
+    # self-disables below the min-history depth (batch_id IS the
+    # history depth in batches here).
+    hist = prune_history(
+        hist, new, ["band_idx", "band_key"], history_batches=batch_id
+    )
 
     a, b = new.alias("a"), new.alias("b")
     within = a.join(

@@ -150,7 +150,9 @@ def _append_kg(
         # The bitmap builds from kg, not firsts: same key set (firsts
         # is kg's distinct kh) but kg is the caller-staged frame, so
         # the sizing count and bitmap scan are cached-block reads.
-        hist_khs = bloomjoin.prune_history(hist_khs, kg.select("kh"), ["kh"])
+        hist_khs = bloomjoin.prune_history(
+            hist_khs, kg.select("kh"), ["kh"], history_batches=bid
+        )
         firsts = firsts.join(hist_khs, "kh", "left_anti")
     out = firsts.withColumn("batch_id", F.lit(bid).cast("int"))
     if batch_id is None:
@@ -216,7 +218,9 @@ def _spans_kg(
     # owner rows whose kh the batch never produced can't join anything
     # — prune the accumulated store before its exchange (round 9,
     # bloomjoin.prune_history; FPs fall to the exact equi-join below)
-    owners = bloomjoin.prune_history(owners, kg.select("kh"), ["kh"])
+    owners = bloomjoin.prune_history(
+        owners, kg.select("kh"), ["kh"], history_batches=batch_id
+    )
     # covered: the k-gram's store owner is another doc. Within-batch
     # duplication is already captured because the append registered the
     # batch's own first-seen k-grams under this batch's min doc id.

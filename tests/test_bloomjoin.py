@@ -113,12 +113,12 @@ def test_store_history_prune_sits_below_history_exchange(spark, sf_dir, tmp_path
 
     docs = load_table(spark, sf_dir, "documents")
     store = os.path.join(str(tmp_path), "sig")
-    ss.append_signature_batch(
-        spark, docs.filter(F.col("doc_id") % 2 == 0), store, batch_id=0
-    )
-    ss.append_signature_batch(
-        spark, docs.filter(F.col("doc_id") % 2 == 1), store, batch_id=1
-    )
+    # 5 batches: the arriving batch_id=4 meets the default min-history
+    # gate (4), so the prune is active without touching confs
+    for b in range(5):
+        ss.append_signature_batch(
+            spark, docs.filter(F.col("doc_id") % 5 == b), store, batch_id=b
+        )
     saved = {
         k: spark.conf.get(k, None)
         for k in (
@@ -129,7 +129,7 @@ def test_store_history_prune_sits_below_history_exchange(spark, sf_dir, tmp_path
     try:
         for k in saved:
             spark.conf.set(k, "-1")
-        cand = ss.candidates_for_batch(spark, store, 1)
+        cand = ss.candidates_for_batch(spark, store, 4)
         assert cand.count() >= 0
         lines = (
             cand._jdf.queryExecution().executedPlan().toString().splitlines()
@@ -159,6 +159,23 @@ def test_store_history_prune_sits_below_history_exchange(spark, sf_dir, tmp_path
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_history_prune_gates_on_shallow_history(spark):
+    """Below the min-history depth the prune must be an identity — a
+    shallow history's exchange can't repay the bitmap tax, and demo
+    stores / bootstrap batches should plan exactly as before."""
+    from pulsar_internal_spark.operators.bloomjoin import prune_history
+
+    hist, batch = _probe(spark), _build(spark).withColumnRenamed(
+        "b1", "k1"
+    ).withColumnRenamed("b2", "k2")
+    assert prune_history(hist, batch, ["k1", "k2"], history_batches=1) is hist
+    assert prune_history(hist, batch, ["k1", "k2"], history_batches=3) is hist
+    pruned = prune_history(hist, batch, ["k1", "k2"], history_batches=4)
+    assert pruned is not hist
+    # unconditional when depth is unknown
+    assert prune_history(hist, batch, ["k1", "k2"]) is not hist
 
 
 def test_mismatched_key_lists_rejected(spark):
