@@ -101,8 +101,10 @@ def main() -> None:
         "sf_dirs": sf_dirs,
         "skipped": {
             "user_triangle_counts": "wedge exchange ~53 GB at sf100 "
-            "(5.3 GB at sf10, linear) exceeds box free disk; per-task "
-            "state bound already proven at sf10 (read-side spill 0)"
+            "(5.3 GB at sf10, linear) exceeds box free disk when "
+            "UNPRUNED; superseded by the Bloom semi-join reduction — "
+            "the pruned form's sf100 row is measured in "
+            "SCALE_r09_bloom.json (tools/bloom_bench.py)"
         },
         "queries": {},
     }

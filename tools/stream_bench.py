@@ -41,6 +41,11 @@ alongside so the mechanism (fewer files + fewer partitions listed) is
 visible, not inferred.
 
 Run: python tools/stream_bench.py    (~8-12 min on local[32])
+
+Before/after convention: this tool always writes STREAM_r09.json; the
+round-9 history-prune comparison kept the pre-prune run committed
+there and renamed the post-prune re-run to STREAM_r09_bloom.json (see
+BASELINE.md "history bloom prunes").
 """
 
 from __future__ import annotations
