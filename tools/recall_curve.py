@@ -11,7 +11,12 @@ operator actually tunes on:
 
 - geometries: `random` = the sf0.1 driver fixture; `clustered` = the
   seeded mixture-of-Gaussians twin (tools/gen_clustered_embeddings.py,
-  within-cluster cosine ~0.8, same n/dim/schema).
+  within-cluster cosine ~0.8, same n/dim/schema); `overlapping` = the
+  same generator at sigma=2.0 / 4 broad clusters over 8 cells —
+  separated OR tight-overlapping clusters pin IVF recall at 1.0 for
+  any nprobe (cluster-mates stay co-celled), so the non-degenerate
+  nprobe curve needs clusters broader than cells, where KMeans splits
+  each cluster and neighborhoods straddle cell boundaries.
 - quantizers are trained PER GEOMETRY with the exact committed recipes
   (freeze_ivf_centroids: KMeans k=8 seed=42 maxIter=4 initMode=random;
   freeze_pq_codebooks: per-subspace KMeans k=16 seed=42+j maxIter=8) —
@@ -101,6 +106,17 @@ def main() -> None:
     geometries = {
         "random": "/root/testdata/sf0.1",
         "clustered": os.path.join(REPO, ".scale", "clustered"),
+        # round 9 follow-up: the separated mixture pins IVF recall
+        # at 1.0 for every nprobe (cells = clusters) — a finding, not
+        # a CURVE. Tight-but-overlapping mixtures (sigma 1.2, 16
+        # clusters) STILL pin at 1.0: cluster-mates stay co-celled as
+        # long as clusters are tighter than cells. The straddle regime
+        # needs clusters BROADER than cells — sigma=2.0 over k=4
+        # clusters (within-cos ~0.19) makes KMeans split each cluster
+        # across cells, and true neighborhoods cross the boundaries:
+        #   python tools/gen_clustered_embeddings.py --sigma 2.0 \
+        #       --k 4 --seed 13 --out .scale/clustered_overlap
+        "overlapping": os.path.join(REPO, ".scale", "clustered_overlap"),
     }
     out: dict = {"k": K, "query_filter": "vec_id % 100 = 0", "geometries": {}}
     for geom, sf_dir in geometries.items():
