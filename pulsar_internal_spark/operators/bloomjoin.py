@@ -60,7 +60,12 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_prune", "prune_history", "STORE_BITS_CONF"]
+__all__ = [
+    "bloom_prune",
+    "prune_history",
+    "should_prune",
+    "STORE_BITS_CONF",
+]
 
 # Store-level switch for the incremental-store history prunes (the
 # second application of this module, after the triangle wedge
@@ -93,6 +98,17 @@ def _bucket(cols: Sequence[str], mask: int):
     return F.xxhash64(*[F.col(c) for c in cols]).bitwiseAND(F.lit(mask))
 
 
+def _fresh(base: str, taken) -> str:
+    # collision-free internal column name: withColumn would silently
+    # REPLACE a caller column named __bkt/__widx, and the added __word
+    # would raise ambiguous-reference if the probe carries one — both
+    # unacceptable for a public operator API.
+    name = base
+    while name in taken:
+        name += "_"
+    return name
+
+
 def bloom_prune(
     probe: DataFrame,
     build: DataFrame,
@@ -123,31 +139,48 @@ def bloom_prune(
             "probe_cols and build_cols must be equal-length and non-empty, "
             f"got {list(probe_cols)!r} / {list(build_cols)!r}"
         )
+    # xxhash64 is TYPE-sensitive (int 1 and bigint 1 hash differently)
+    # while the caller's exact equi-join coerces and matches — a typed
+    # mismatch here would silently prune TRUE matches, breaking the
+    # no-false-negative guarantee. Refuse instead of corrupting.
+    for pc, bc in zip(probe_cols, build_cols):
+        pt, bt = probe.schema[pc].dataType, build.schema[bc].dataType
+        if pt != bt:
+            raise ValueError(
+                f"bloom_prune key type mismatch: probe {pc!r} is "
+                f"{pt.simpleString()} but build {bc!r} is "
+                f"{bt.simpleString()} — cast both sides to a common "
+                "type before pruning (xxhash64 is type-sensitive)"
+            )
     if n_keys is None:
         n_keys = build.count()
     m_bits = max(_MIN_BITS, 1 << max(1, int(n_keys) * bits_per_key - 1).bit_length())
     mask = m_bits - 1
 
+    out_cols = probe.columns
+    bkt = _fresh("__bkt", out_cols)
+    widx = _fresh("__widx", out_cols)
+    word = _fresh("__word", out_cols)
+
     words = (
-        build.select(_bucket(build_cols, mask).alias("__bkt"))
+        build.select(_bucket(build_cols, mask).alias(bkt))
         .select(
-            F.shiftright("__bkt", 6).alias("__widx"),
-            F.expr("shiftleft(1L, cast(__bkt & 63 AS int))").alias("__wbit"),
+            F.shiftright(bkt, 6).alias(widx),
+            F.expr(f"shiftleft(1L, cast({bkt} & 63 AS int))").alias("__wbit"),
         )
-        .groupBy("__widx")
-        .agg(F.bit_or("__wbit").alias("__word"))
+        .groupBy(widx)
+        .agg(F.bit_or("__wbit").alias(word))
     )
 
-    out_cols = probe.columns
-    keyed = probe.withColumn("__bkt", _bucket(probe_cols, mask)).withColumn(
-        "__widx", F.shiftright("__bkt", 6)
+    keyed = probe.withColumn(bkt, _bucket(probe_cols, mask)).withColumn(
+        widx, F.shiftright(bkt, 6)
     )
     # Inner join: a probe word index absent from the bitmap means no
     # build key hashes anywhere in those 64 buckets — drop the row.
     return (
-        keyed.join(F.broadcast(words), "__widx")
+        keyed.join(F.broadcast(words), widx)
         .where(
-            F.expr("(__word & shiftleft(1L, cast(__bkt & 63 AS int))) != 0")
+            F.expr(f"({word} & shiftleft(1L, cast({bkt} & 63 AS int))) != 0")
         )
         .select(*out_cols)
     )
@@ -182,11 +215,26 @@ def prune_history(
     fixed bitmap tax exceeds what a shallow history's exchange can
     save. Pass None to prune unconditionally."""
     spark = history.sparkSession
-    bits = int(spark.conf.get(STORE_BITS_CONF, "8"))
-    if bits <= 0:
+    if not should_prune(spark, history_batches):
         return history
-    if history_batches is not None:
-        min_hist = int(spark.conf.get(STORE_MIN_HISTORY_CONF, "4"))
-        if history_batches < min_hist:
-            return history
-    return bloom_prune(history, batch, keys, keys, bits_per_key=bits)
+    return bloom_prune(
+        history,
+        batch,
+        keys,
+        keys,
+        bits_per_key=int(spark.conf.get(STORE_BITS_CONF, "8")),
+    )
+
+
+def should_prune(spark, history_batches: Optional[int]) -> bool:
+    """Whether :func:`prune_history` will engage under the session's
+    store confs at this history depth. Callers that want to stage the
+    batch frame ONLY when the prune will read it twice more (sizing
+    count + bitmap build) gate the staging on this — so below the
+    crossover depth, plans AND staging stay byte-identical to the
+    pre-prune code."""
+    if int(spark.conf.get(STORE_BITS_CONF, "8")) <= 0:
+        return False
+    if history_batches is None:
+        return True
+    return history_batches >= int(spark.conf.get(STORE_MIN_HISTORY_CONF, "4"))

@@ -209,7 +209,8 @@ def candidates_for_batch(
 
 
 def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
-    from .bloomjoin import prune_history
+    from .bloomjoin import prune_history, should_prune
+    from ..staging import stage
 
     new = store.filter(F.col("batch_id") == batch_id)
     hist = store.filter(F.col("batch_id") < batch_id)
@@ -221,9 +222,18 @@ def _candidates(store: DataFrame, batch_id: int) -> DataFrame:
     # before the exchange. Result-identical (the equi-join stays);
     # self-disables below the min-history depth (batch_id IS the
     # history depth in batches here).
-    hist = prune_history(
-        hist, new, ["band_idx", "band_key"], history_batches=batch_id
-    )
+    if should_prune(store.sparkSession, batch_id):
+        # the prune reads `new` twice more (sizing count + bitmap
+        # build) beyond its three join uses — stage it so those are
+        # cached-block reads instead of five store rescans per batch.
+        # Gated on should_prune so shallow stores keep the exact
+        # pre-prune plan (no staging, no extra blocks). The staged
+        # blocks outlive this call inside the returned frame; bench /
+        # streaming callers release via staging.release_staged.
+        new = stage(new)
+        hist = prune_history(
+            hist, new, ["band_idx", "band_key"], history_batches=batch_id
+        )
 
     a, b = new.alias("a"), new.alias("b")
     within = a.join(

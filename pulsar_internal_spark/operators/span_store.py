@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from . import bloomjoin
 from .dedup import dup_span_intervals, tokenized
 from ..sources.tables import spread
-from ..staging import stage
+from ..staging import persistent_rdd_ids, release_staged, stage
 from .signature_store import (
     _begin_store_write,
     _commit_store_init,
@@ -112,13 +112,18 @@ def append_kgram_batch(
     # — the append write is eager — so release the blocks before
     # returning: at streaming cadence, leaked ~100s-of-MB staged frames
     # per batch become block-manager pressure within a few batches.
+    # Release goes through RDD ids (snapshot-before / release-after):
+    # DataFrame.unpersist() never frees a localCheckpoint's pinned
+    # blocks, so the targeted release_staged(keep=...) form is the only
+    # per-frame path that actually works.
+    before = persistent_rdd_ids(spark)
     kg = _kgram_occurrences(new_docs, k, id_col, text_col).transform(stage)
     try:
         return _append_kg(
             spark, kg, store_path, batch_id=batch_id, id_col=id_col
         )
     finally:
-        kg.unpersist()
+        release_staged(spark, keep=before)
 
 
 def _append_kg(

@@ -58,9 +58,20 @@ def stage(df: DataFrame) -> DataFrame:
     return df.checkpoint()
 
 
-def release_staged(spark) -> None:
-    """Unpersist every persisted RDD in the context — the counterpart
-    of stage(): staged frames are eager localCheckpoints pinned in the
+def persistent_rdd_ids(spark) -> set:
+    """Snapshot the ids of every currently-persisted RDD. Take one
+    BEFORE a stage() call, then pass it to :func:`release_staged` as
+    ``keep`` to release only the blocks that staging added — the
+    targeted counterpart for operators that stage a self-contained
+    intermediate (``DataFrame.unpersist()`` does NOT release a
+    localCheckpoint's pinned RDD blocks; it only uncaches CacheManager
+    entries, so per-frame release must go through RDD ids)."""
+    return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+
+
+def release_staged(spark, keep: set | None = None) -> None:
+    """Unpersist persisted RDDs in the context — the counterpart of
+    stage(): staged frames are eager localCheckpoints pinned in the
     block manager, and a long-running process that measures many
     queries back-to-back (bench.py, tools/scale_bench.py) must release
     each query's intermediates or later queries run storage-starved
@@ -68,9 +79,16 @@ def release_staged(spark) -> None:
     another query's staged frames, so releasing between measurements
     is always safe.
 
-    This is the ONE call site for the private py4j handle
-    ``_jsc.getPersistentRDDs`` (there is no public PySpark enumeration
-    of persisted RDDs); a Spark upgrade that moves it needs exactly
-    this helper fixed."""
-    for jrdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-        jrdd.unpersist(False)
+    ``keep``: a :func:`persistent_rdd_ids` snapshot taken before the
+    staging being released — those ids survive, everything added since
+    is unpersisted. None (the bench default) releases everything.
+
+    This is the ONE call site (with persistent_rdd_ids) for the
+    private py4j handle ``_jsc.getPersistentRDDs`` (there is no public
+    PySpark enumeration of persisted RDDs); a Spark upgrade that moves
+    it needs exactly this helper fixed."""
+    for rid, jrdd in dict(
+        spark.sparkContext._jsc.getPersistentRDDs()
+    ).items():
+        if keep is None or rid not in keep:
+            jrdd.unpersist(False)

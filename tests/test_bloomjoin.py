@@ -184,3 +184,53 @@ def test_mismatched_key_lists_rejected(spark):
         bloom_prune(probe, build, ["k1", "k2"], ["b1"])
     with pytest.raises(ValueError):
         bloom_prune(probe, build, [], [])
+
+
+def test_mismatched_key_types_rejected(spark):
+    """xxhash64 is type-sensitive (int 1 != bigint 1) while the
+    caller's exact equi-join coerces — a typed mismatch would silently
+    prune TRUE matches, so bloom_prune must refuse it outright."""
+    probe, build = _probe(spark), _build(spark)
+    narrow = build.select(
+        build.b1.cast("int").alias("b1"), build.b2.alias("b2")
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_prune(probe, narrow, ["k1", "k2"], ["b1", "b2"])
+    # proof the guard is load-bearing: the coerced exact semi join DOES
+    # match rows that a type-blind bitmap would have pruned
+    exact = probe.join(
+        narrow,
+        (probe.k1 == narrow.b1) & (probe.k2 == narrow.b2),
+        "left_semi",
+    )
+    assert exact.count() > 0
+
+
+def test_internal_names_do_not_collide_with_probe_columns(spark):
+    """A probe that already carries __bkt/__widx/__word must come back
+    byte-identical in those columns — the operator derives fresh
+    internal names instead of silently replacing caller data."""
+    probe = _probe(spark).select(
+        "k1",
+        "k2",
+        F.col("payload").alias("__bkt"),
+        (F.col("payload") * 2).alias("__widx"),
+        (F.col("payload") * 3).alias("__word"),
+    )
+    build = _build(spark)
+    exact = probe.join(
+        build,
+        (probe.k1 == build.b1) & (probe.k2 == build.b2),
+        "left_semi",
+    )
+    pruned = bloom_prune(probe, build, ["k1", "k2"], ["b1", "b2"])
+    assert pruned.columns == probe.columns
+    assert exact.exceptAll(pruned).count() == 0
+    assert pruned.exceptAll(probe).count() == 0
+    # caller columns untouched: every surviving row still satisfies the
+    # payload relations it was built with
+    bad = pruned.filter(
+        (F.col("__widx") != F.col("__bkt") * 2)
+        | (F.col("__word") != F.col("__bkt") * 3)
+    )
+    assert bad.count() == 0

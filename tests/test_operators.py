@@ -1647,6 +1647,38 @@ def test_span_store_batch_equivalence_and_compaction(spark, sf_dir, tmp_path):
     assert a1 == a2 >= n1
 
 
+def test_append_kgram_batch_releases_its_staged_blocks(spark, tmp_path):
+    """append_kgram_batch stages the signed k-gram frame and must
+    release exactly those blocks before returning (DataFrame.unpersist
+    is a no-op for localCheckpoint blocks — the release has to go
+    through RDD ids). At streaming cadence a leak here compounds into
+    block-manager pressure within a few batches; a pre-existing staged
+    frame must survive untouched."""
+    from pulsar_internal_spark.operators import span_store as SS
+    from pulsar_internal_spark.staging import persistent_rdd_ids, stage
+
+    keeper = stage(spark.range(5))
+    baseline = persistent_rdd_ids(spark)
+    assert baseline, "stage() should pin at least one RDD"
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "kg_release")
+    for b in range(2):
+        SS.append_kgram_batch(spark, docs, store, batch_id=b)
+        after = persistent_rdd_ids(spark)
+        assert after == baseline, (
+            f"staged blocks leaked by append batch {b}: {after - baseline}"
+        )
+    assert keeper.count() == 5  # the pre-existing staged frame survived
+    spark.sparkContext._jsc.getPersistentRDDs()  # handle still valid
+    from pulsar_internal_spark.staging import release_staged
+
+    release_staged(spark)
+    assert not persistent_rdd_ids(spark)
+
+
 def test_crashed_first_append_is_rebuilt(spark, tmp_path):
     """A first append that died AFTER creating gen-00000000 but BEFORE
     the pointer commit leaves the one legitimate pointerless state; by

@@ -76,16 +76,18 @@ def main() -> None:
     path = os.path.join(repo, "SCALE_r09_bloom.json")
     if os.path.exists(path):
         # merge new SF/mode rows into an earlier run's artifact (the
-        # sf100 pass runs separately from the sf1.0/sf10 before/after)
+        # sf100 pass runs separately from the sf1.0/sf10 before/after).
+        # n_runs is recorded PER ROW below — never overwrite any
+        # top-level count, which would misrecord how many passes
+        # produced previously-merged rows.
         with open(path) as f:
             out = json.load(f)
-        out["runs"] = n_runs
     else:
         out = {
             "query": QUERY,
             "conf": CONF,
-            "runs": n_runs,
-            "wall_stat": "min of passes; secs_all = raw passes",
+            "wall_stat": "min of passes; secs_all = raw passes; "
+            "runs recorded per mode/sf row",
             "modes": {},
         }
     for mode, bits in modes:
@@ -106,6 +108,7 @@ def main() -> None:
                 k: statistics.median(b[k] for b in byts) for k in byts[0]
             }
             out["modes"][mode][sf] = {
+                "runs": n_runs,
                 "secs": min(secs),
                 "secs_all": secs,
                 "shuffle_mb": _mb(med["shuffle_bytes"]),
