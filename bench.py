@@ -33,6 +33,23 @@ from pulsar_internal_spark.plans.queries import QUERIES  # noqa: E402
 from pulsar_internal_spark.session import get_spark  # noqa: E402
 from pulsar_internal_spark.staging import release_staged  # noqa: E402
 
+# Drift controls: pinned trivial fixed-cost queries (single scan +
+# narrow projection, no round ever touches their plans) surfaced
+# separately as "control_secs" in BOTH the stdout line and
+# BENCH_local.json. Same-HEAD full-suite runs on this box have
+# measured 1.4-1.5x apart UNIFORMLY (shared-host CPU steal:
+# BENCH_full_r09 132.99 s vs BENCH_local 204.53 s, with these very
+# queries drifting 1.35-1.46x); dividing by the controls' ratio to a
+# reference window turns cross-run comparison from forensics into
+# arithmetic. Reference (clean-window, r9): class_filter_scan 0.129,
+# path_normalization 0.135, top_accounts_limit 0.115.
+CONTROLS = ("class_filter_scan", "path_normalization", "top_accounts_limit")
+CONTROL_REF_SECS = {
+    "class_filter_scan": 0.129,
+    "path_normalization": 0.135,
+    "top_accounts_limit": 0.115,
+}
+
 
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -122,11 +139,24 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    control_secs = {c: timings[c] for c in CONTROLS if c in timings}
+    # host-drift factor: median of control ratios vs the pinned
+    # clean-window reference — ~1.0 on an idle box, >1.2 means the
+    # whole run is inflated by CPU steal and totals should be
+    # normalized by this factor before round-over-round comparison
+    ratios = [
+        control_secs[c] / CONTROL_REF_SECS[c]
+        for c in control_secs
+        if c in CONTROL_REF_SECS
+    ]
+    drift = round(statistics.median(ratios), 3) if ratios else None
     full = {
         "metric": "query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "control_secs": control_secs,
+        "control_drift": drift,
         "sf": sf_num,
     }
     # The driver records only a 2000-char tail of stdout, so the full
@@ -141,6 +171,8 @@ def main() -> None:
         "n_queries": len(timings),
         "mean": round(total / max(len(timings), 1), 3),
         "median": round(statistics.median(timings.values()), 3),
+        "control_secs": control_secs,
+        "control_drift": drift,
         "queries": {},
         "queries_truncated": True,
         "sf": sf_num,
