@@ -273,10 +273,11 @@ def incremental_minhash_dedup(
 
 def streaming_minhash_dedup(
     docs_stream: DataFrame,
-    store_path: str,
+    store_path: str | None,
     candidates_path: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    store_table: str | None = None,
     **sig_params,
 ):
     """CONTINUOUS near-dup dedup: each micro-batch of documents is
@@ -288,6 +289,15 @@ def streaming_minhash_dedup(
     own partitions — exactly-once output on top of at-least-once
     foreachBatch, the same idempotence contract run_fifo_sink
     documents. Returns the StreamingQuery.
+
+    ``store_table``: pass a catalog table name instead of
+    ``store_path`` to run the store on the BUCKETED catalog form — the
+    recommended default at cadence: the path store re-shuffles its
+    whole history every micro-batch (linear-in-depth ingest cost,
+    measured in STREAM_r09; the Bloom prune only flattens the slope),
+    while the bucketed table reads history with ZERO exchange. The
+    path form stays for quick starts and emits a one-time advisory
+    once the history passes the measured crossover depth.
 
     Thin wrapper over streaming_banded_dedup with the MinHash banding
     closed over ``sig_params`` — the store machinery is shared with
@@ -301,6 +311,7 @@ def streaming_minhash_dedup(
     return streaming_banded_dedup(
         docs_stream, bander, store_path, candidates_path, checkpoint_dir,
         trigger=trigger, query_name="minhash_dedup",
+        store_table=store_table,
     )
 
 
@@ -366,11 +377,12 @@ def _read_sink(spark: SparkSession, sink_path: str) -> DataFrame | None:
 def streaming_banded_dedup(
     stream: DataFrame,
     bander,
-    store_path: str,
+    store_path: str | None,
     candidates_path: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
     query_name: str = "banded_dedup",
+    store_table: str | None = None,
 ):
     """streaming_minhash_dedup generalized over the banding function:
     ``bander(batch_df) -> (id, band_idx, band_key)`` turns each
@@ -394,17 +406,35 @@ def streaming_banded_dedup(
     per-micro-batch work — executes once, not once for the probe and
     again for the write. The sink is a pointer-committed generation
     store (round 8) so it shares the stores' compaction/retention —
-    see compact_sink_batches / expire_sink_batches."""
+    see compact_sink_batches / expire_sink_batches.
+
+    ``store_table`` (recommended at cadence): run the signature store
+    as the BUCKETED catalog table instead of the path store —
+    zero-exchange history reads (see streaming_minhash_dedup). Exactly
+    one of ``store_path`` / ``store_table`` must be set."""
     from ..staging import stage as stage_frame
+
+    if (store_path is None) == (store_table is None):
+        raise ValueError(
+            "exactly one of store_path / store_table must be set, got "
+            f"store_path={store_path!r} store_table={store_table!r}"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        append_banded_batch(
-            spark, bander(batch_df), store_path, batch_id=batch_id
-        )
+        if store_table is not None:
+            append_banded_batch_bucketed(
+                spark, bander(batch_df), store_table, batch_id=batch_id
+            )
+            raw = candidates_for_batch_bucketed(spark, store_table, batch_id)
+        else:
+            _advise_bucketed_store(spark, store_path, batch_id, query_name)
+            append_banded_batch(
+                spark, bander(batch_df), store_path, batch_id=batch_id
+            )
+            raw = candidates_for_batch(spark, store_path, batch_id)
         cands = (
-            candidates_for_batch(spark, store_path, batch_id)
-            .withColumn("batch_id", F.lit(batch_id))
+            raw.withColumn("batch_id", F.lit(batch_id))
             .transform(stage_frame)
         )
         if cands.isEmpty():
@@ -441,6 +471,40 @@ def read_candidates_sink(
 
 # -- bucketed-table store: shuffle-free history joins ---------------------
 
+_ADVISED_STORES: set[str] = set()
+
+
+def _advise_bucketed_store(
+    spark: SparkSession, store_path: str, batch_id: int, query_name: str
+) -> None:
+    """One-time loud advisory when a PATH-based streaming store crosses
+    the measured ingest crossover depth (the Bloom prune's min-history
+    conf doubles as the depth signal): past it, every micro-batch
+    re-shuffles the accumulated history — a linear-in-depth cost the
+    prune only flattens (~15x slope cut, STREAM_r09_bloom) while the
+    bucketed catalog form removes it entirely (zero-exchange history
+    reads). Streams that should stay on the path store (demos, tests,
+    bounded backfills) just see one warning per store per process."""
+    from .bloomjoin import STORE_MIN_HISTORY_CONF
+
+    if store_path in _ADVISED_STORES:
+        return
+    min_hist = int(spark.conf.get(STORE_MIN_HISTORY_CONF, "4"))
+    if batch_id < min_hist:
+        return
+    _ADVISED_STORES.add(store_path)
+    import warnings
+
+    warnings.warn(
+        f"streaming store {store_path!r} ({query_name}) has reached "
+        f"history depth {batch_id}: the path-based store re-shuffles "
+        "its full history every micro-batch (linear-in-depth ingest "
+        "cost). At cadence, pass store_table=<catalog table> instead — "
+        "the bucketed form reads history with zero exchange "
+        "(docs/OPERATIONS.md, 'Incremental stores at cadence').",
+        stacklevel=3,
+    )
+
 
 def append_signature_batch_bucketed(
     spark: SparkSession,
@@ -475,6 +539,32 @@ def append_signature_batch_bucketed(
     catalog writes cannot use dynamic partition overwrite without
     losing the bucketing spec) before the bucketed append, matching
     the path-based store's idempotence contract."""
+    return append_banded_batch_bucketed(
+        spark,
+        banded_signatures(
+            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+        ),
+        table,
+        batch_id=batch_id,
+        num_buckets=num_buckets,
+    )
+
+
+def append_banded_batch_bucketed(
+    spark: SparkSession,
+    banded: DataFrame,
+    table: str,
+    *,
+    batch_id: int | None = None,
+    num_buckets: int = 16,
+) -> int:
+    """append_banded_batch for the BUCKETED catalog store — the layer
+    under append_signature_batch_bucketed, exposed for the same reason
+    as its path twin: any (id, band_idx, band_key) banding (MinHash
+    shingle bands, sign-LSH embedding bands) shares the store algebra,
+    and the streaming twins need the generic form to run the
+    zero-exchange catalog table at cadence. Same replace-on-replay
+    contract as append_signature_batch_bucketed."""
     if batch_id is None:
         if spark.catalog.tableExists(table):
             prev = spark.table(table).agg(F.max("batch_id")).collect()[0][0]
@@ -488,10 +578,7 @@ def append_signature_batch_bucketed(
                 f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={bid})"
             )
     (
-        banded_signatures(
-            new_docs, id_col, text_col, num_hashes, band_size, shingle_n
-        )
-        .select(
+        banded.select(
             "id",
             F.concat_ws(":", F.col("band_idx"), F.col("band_key")).alias("band"),
         )

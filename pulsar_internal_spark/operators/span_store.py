@@ -337,9 +337,24 @@ def incremental_substring_spans_bucketed(
         num_buckets=params.get("num_buckets", 16),
         id_col=id_col,
     )
+    return _spans_kg_bucketed(spark, kg, table, bid, k=k, id_col=id_col)
+
+
+def _spans_kg_bucketed(
+    spark: SparkSession,
+    kg: DataFrame,
+    table: str,
+    batch_id: int,
+    *,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """_spans_kg against the kh-bucketed catalog store: the owner
+    lookup reads the store pre-partitioned on kh — zero history
+    exchange. Shared by the batch and streaming bucketed twins."""
     owners = (
         spark.table(table)
-        .filter(F.col("batch_id") <= bid)
+        .filter(F.col("batch_id") <= batch_id)
         .select("kh", "owner_doc")
     )
     covered = (
@@ -383,10 +398,11 @@ def compact_span_store(spark: SparkSession, store_path: str) -> int:
 
 def streaming_substring_dedup(
     docs_stream: DataFrame,
-    store_path: str,
+    store_path: str | None,
     spans_path: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    store_table: str | None = None,
     **params,
 ):
     """CONTINUOUS exact-substring dedup — the streaming twin, same
@@ -395,7 +411,23 @@ def streaming_substring_dedup(
     k-grams are idempotently registered under the STREAMING batch id
     (dynamic partition overwrite), and the batch's duplicated spans
     land in ``spans_path`` partitioned by batch_id (also
-    replay-overwritten). Returns the StreamingQuery."""
+    replay-overwritten). Returns the StreamingQuery.
+
+    ``store_table`` (recommended at cadence): run the k-gram store as
+    the kh-BUCKETED catalog table instead of the path store — the
+    history anti-join and owner lookup then read the store with zero
+    exchange, removing the linear-in-depth per-batch re-shuffle the
+    path store pays (STREAM_r09; the Bloom prune only flattens it).
+    The path form stays for quick starts and emits a one-time advisory
+    past the measured crossover depth. Exactly one of ``store_path`` /
+    ``store_table`` must be set."""
+    from .signature_store import _advise_bucketed_store
+
+    if (store_path is None) == (store_table is None):
+        raise ValueError(
+            "exactly one of store_path / store_table must be set, got "
+            f"store_path={store_path!r} store_table={store_table!r}"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -403,12 +435,30 @@ def streaming_substring_dedup(
         id_col = params.get("id_col", "doc_id")
         text_col = params.get("text_col", "text")
         kg = _kgram_occurrences(batch_df, k, id_col, text_col).transform(stage)
-        _append_kg(spark, kg, store_path, batch_id=batch_id, id_col=id_col)
+        if store_table is not None:
+            append_kgram_batch_bucketed(
+                spark, kg, store_table,
+                batch_id=batch_id,
+                num_buckets=params.get("num_buckets", 16),
+                id_col=id_col,
+            )
+            raw = _spans_kg_bucketed(
+                spark, kg, store_table, batch_id, k=k, id_col=id_col
+            )
+        else:
+            _advise_bucketed_store(
+                spark, store_path, batch_id, "substring_dedup"
+            )
+            _append_kg(
+                spark, kg, store_path, batch_id=batch_id, id_col=id_col
+            )
+            raw = _spans_kg(
+                spark, kg, store_path, batch_id, k=k, id_col=id_col
+            )
         # staged so the owner join + islands windows run once, not once
         # for the emptiness probe and again for the write
         spans = (
-            _spans_kg(spark, kg, store_path, batch_id, k=k, id_col=id_col)
-            .withColumn("batch_id", F.lit(batch_id))
+            raw.withColumn("batch_id", F.lit(batch_id))
             .transform(stage)
         )
         # a zero-span batch would write a partitioned dir with NO data

@@ -975,6 +975,176 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert after1 == after2, "explicit-batch-id append must be idempotent"
 
 
+def test_streaming_minhash_dedup_bucketed_matches_batch(spark, tmp_path):
+    """The RECOMMENDED cadence form: the streaming twin over the
+    BUCKETED catalog store (store_table=...) must emit exactly the
+    one-shot candidate set — same equivalence property as the path
+    form, now on the zero-exchange history path the docs point
+    production streams at."""
+    import shutil
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import signature_store as S
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"while carrying a basket of fresh green apples to market"
+        for i in range(12)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text.replace("basket", "bundle")))
+
+    inbox = tmp_path / "mhb_inbox"
+    inbox.mkdir()
+    for half in (0, 1):
+        chunk = rows[half * 12 : (half + 1) * 12]
+        (inbox / f"{half}.csv").write_text(
+            "\n".join(f"{i}\t{t}" for i, t in chunk)
+        )
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    table = "mh_stream_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
+    cands = str(tmp_path / "mhb_cands")
+    try:
+        q = S.streaming_minhash_dedup(
+            stream, None, cands, str(tmp_path / "mhb_ckpt"),
+            trigger={"availableNow": True},
+            store_table=table,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in S.read_candidates_sink(spark, cands)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        want = {
+            (r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs).collect()
+        }
+        assert got == want, f"missing={want - got} extra={got - want}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # exactly one of store_path / store_table
+    with pytest.raises(ValueError, match="exactly one"):
+        S.streaming_banded_dedup(
+            stream, lambda df: df, None, cands, str(tmp_path / "x_ckpt")
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        S.streaming_banded_dedup(
+            stream, lambda df: df, "somewhere", cands,
+            str(tmp_path / "x_ckpt"), store_table="sometable",
+        )
+
+
+def test_path_store_advisory_past_crossover_depth(spark, tmp_path):
+    """The path-based streaming store must emit ONE loud advisory per
+    store once history reaches the measured crossover depth (the Bloom
+    min-history conf), recommending the bucketed catalog form — and
+    stay silent below it."""
+    import warnings
+
+    from pulsar_internal_spark.operators.signature_store import (
+        _ADVISED_STORES,
+        _advise_bucketed_store,
+    )
+
+    store = str(tmp_path / "advise_store")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _advise_bucketed_store(spark, store, 3, "t")  # below depth 4
+        assert not w
+        _advise_bucketed_store(spark, store, 4, "t")
+        assert len(w) == 1 and "store_table" in str(w[0].message)
+        _advise_bucketed_store(spark, store, 5, "t")  # once per store
+        assert len(w) == 1
+    _ADVISED_STORES.discard(store)
+
+
+def test_streaming_substring_dedup_bucketed_matches_batch(spark, tmp_path):
+    """Bucketed catalog twin of test_streaming_substring_dedup: the
+    store_table form must yield the identical non-owned span set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators import dedup as D
+    from pulsar_internal_spark.operators import span_store as SS
+
+    planted = " ".join(f"shared{i}" for i in range(20))
+    rows = []
+    for i in range(8):
+        filler = " ".join(f"u{i}x{j}" for j in range(15))
+        text = filler + " " + planted if i % 2 else planted + " " + filler
+        rows.append((i, text))
+
+    inbox = tmp_path / "spanb_inbox"
+    inbox.mkdir()
+    for half in (0, 1):
+        chunk = rows[half * 4 : (half + 1) * 4]
+        (inbox / f"{half}.csv").write_text(
+            "\n".join(f"{i}\t{t}" for i, t in chunk)
+        )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    table = "span_stream_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
+    spans = str(tmp_path / "spanb_out")
+    try:
+        q = SS.streaming_substring_dedup(
+            stream, None, spans, str(tmp_path / "spanb_ckpt"),
+            trigger={"availableNow": True},
+            store_table=table,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SS.read_span_sink(spark, spans)
+            .select("doc_id", "span_start", "span_end")
+            .collect()
+        }
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        occ = D.dup_kgram_occurrences(
+            docs.select("doc_id", D.tokenized("text").alias("w")), k=8
+        )
+        want = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in D.dup_span_intervals(
+                occ.filter(F.col("owner_doc") != F.col("doc_id")), k=8
+            ).collect()
+        }
+        assert got == want and got, f"missing={want - got} extra={got - want}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_streaming_substring_dedup_matches_batch(spark, tmp_path):
     """Continuous exact-substring dedup: docs streaming in doc-id order
     must yield, across micro-batches, exactly the one-shot NON-OWNED

@@ -73,7 +73,9 @@ def main() -> None:
     _release_persisted(spark)
     metrics = StageMetrics(spark)
 
-    path = os.path.join(repo, "SCALE_r09_bloom.json")
+    path = os.path.join(
+        repo, os.environ.get("SPARK_GRAFT_BLOOM_OUT", "SCALE_r09_bloom.json")
+    )
     if os.path.exists(path):
         # merge new SF/mode rows into an earlier run's artifact (the
         # sf100 pass runs separately from the sf1.0/sf10 before/after).

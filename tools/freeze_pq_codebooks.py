@@ -30,33 +30,51 @@ DSUB = 4  # dims per subspace
 KSUB = 16  # codebook entries per subspace (4-bit codes)
 
 
-def main() -> None:
+def train_codebooks(
+    emb,
+    m: int = M,
+    dsub: int = DSUB,
+    ksub: int = KSUB,
+    seed_base: int = 42,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """The committed PQ training recipe as a callable: per-subspace
+    seeded KMeans over an embedding frame, returning CODEBOOKS[j][c]
+    (6-dp rounded, same as the frozen module). Used by main() to
+    regenerate pq_frozen.py and by the re-train cutover drill
+    (OPERATIONS.md runbook step 1) to train era-2 codebooks on a
+    CURRENT sample."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
-    from pulsar_internal_spark.session import get_spark
-
-    spark = get_spark(app_name="freeze_pq_codebooks")
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-
     books = []
-    for j in range(M):
-        lo = j * DSUB + 1  # F.slice is 1-based
+    for j in range(m):
+        lo = j * dsub + 1  # F.slice is 1-based
         train = emb.select(
             array_to_vector(
-                F.slice(F.col("embedding").cast("array<double>"), lo, DSUB)
+                F.slice(F.col(vec_col).cast("array<double>"), lo, dsub)
             ).alias("_v")
         ).coalesce(1)
         km = KMeans(
-            k=KSUB, seed=42 + j, maxIter=8, initMode="random",
+            k=ksub, seed=seed_base + j, maxIter=max_iter, initMode="random",
             featuresCol="_v", predictionCol="code",
         )
         model = km.fit(train)
         books.append(
             [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
         )
+    return books
+
+
+def main() -> None:
+    from pulsar_internal_spark.session import get_spark
+
+    spark = get_spark(app_name="freeze_pq_codebooks")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    books = train_codebooks(emb)
 
     hdr = '''"""Frozen product-quantization codebooks (round 7).
 

@@ -33,6 +33,18 @@ passed as arguments. Deterministic end to end (seeded kmeans, seeded
 fixture), so the artifact is reproducible at HEAD.
 
 Run: python tools/recall_curve.py    (~2-4 min on local[32])
+
+Production-scale re-run (round 10 — curve stability vs n): the n=2,000
+curves drive the OPERATIONS tuning guidance but sit two orders below
+the corpora the knobs target. Env knobs rerun the identical
+methodology at 100x:
+  SPARK_GRAFT_RECALL_OUT=RECALL_r10_200k.json \
+  SPARK_GRAFT_RECALL_QMOD=1000 \
+  SPARK_GRAFT_RECALL_GEOMS="random=.scale/sf10,clustered=.scale/clustered_200k,overlapping=.scale/clustered_overlap_200k" \
+  python tools/recall_curve.py
+(clustered fixtures: tools/gen_clustered_embeddings.py --n 200000
+[--sigma 2.0 --k 4 --seed 13]; QMOD=1000 keeps the exact brute-force
+ground truth at 200 queries x 200k corpus — the sample_mod idea.)
 """
 
 from __future__ import annotations
@@ -103,25 +115,35 @@ def mean_recall(exact_sets: dict, approx_df) -> float:
 def main() -> None:
     spark = get_spark(app_name="recall_curve")
     spark.sparkContext.setLogLevel("ERROR")
-    geometries = {
-        "random": "/root/testdata/sf0.1",
-        "clustered": os.path.join(REPO, ".scale", "clustered"),
-        # round 9 follow-up: the separated mixture pins IVF recall
-        # at 1.0 for every nprobe (cells = clusters) — a finding, not
-        # a CURVE. Tight-but-overlapping mixtures (sigma 1.2, 16
-        # clusters) STILL pin at 1.0: cluster-mates stay co-celled as
-        # long as clusters are tighter than cells. The straddle regime
-        # needs clusters BROADER than cells — sigma=2.0 over k=4
-        # clusters (within-cos ~0.19) makes KMeans split each cluster
-        # across cells, and true neighborhoods cross the boundaries:
-        #   python tools/gen_clustered_embeddings.py --sigma 2.0 \
-        #       --k 4 --seed 13 --out .scale/clustered_overlap
-        "overlapping": os.path.join(REPO, ".scale", "clustered_overlap"),
-    }
-    out: dict = {"k": K, "query_filter": "vec_id % 100 = 0", "geometries": {}}
+    geoms_env = os.environ.get("SPARK_GRAFT_RECALL_GEOMS")
+    if geoms_env:
+        geometries = {
+            name: (p if os.path.isabs(p) else os.path.join(REPO, p))
+            for name, p in (
+                pair.split("=", 1) for pair in geoms_env.split(",")
+            )
+        }
+    else:
+        geometries = {
+            "random": "/root/testdata/sf0.1",
+            "clustered": os.path.join(REPO, ".scale", "clustered"),
+            # round 9 follow-up: the separated mixture pins IVF recall
+            # at 1.0 for every nprobe (cells = clusters) — a finding, not
+            # a CURVE. Tight-but-overlapping mixtures (sigma 1.2, 16
+            # clusters) STILL pin at 1.0: cluster-mates stay co-celled as
+            # long as clusters are tighter than cells. The straddle regime
+            # needs clusters BROADER than cells — sigma=2.0 over k=4
+            # clusters (within-cos ~0.19) makes KMeans split each cluster
+            # across cells, and true neighborhoods cross the boundaries:
+            #   python tools/gen_clustered_embeddings.py --sigma 2.0 \
+            #       --k 4 --seed 13 --out .scale/clustered_overlap
+            "overlapping": os.path.join(REPO, ".scale", "clustered_overlap"),
+        }
+    qmod = int(os.environ.get("SPARK_GRAFT_RECALL_QMOD", "100"))
+    out: dict = {"k": K, "query_filter": f"vec_id % {qmod} = 0", "geometries": {}}
     for geom, sf_dir in geometries.items():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        queries = emb.filter(F.col("vec_id") % 100 == 0)
+        queries = emb.filter(F.col("vec_id") % qmod == 0)
         exact_sets: dict = {}
         for r in sim.brute_force_topk(emb, queries, k=K).collect():
             exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -152,7 +174,9 @@ def main() -> None:
             )
         out["geometries"][geom] = g
         print(geom, json.dumps(g), file=sys.stderr)
-    path = os.path.join(REPO, "RECALL_r09.json")
+    path = os.path.join(
+        REPO, os.environ.get("SPARK_GRAFT_RECALL_OUT", "RECALL_r09.json")
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"wrote": path}))
