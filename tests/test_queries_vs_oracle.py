@@ -142,6 +142,25 @@ def test_bench_contract(tmp_path):
         assert full["queries"][name] == sec
 
 
+def test_rule_resized_lsh_banding_matches_oracle(spark, sf_dir):
+    """The capacity rule (OPERATIONS.md) prescribes re-sizing
+    planes_per_band per decade; tools/scale_dedup_r10.py runs the
+    resized knob at sf100. The parameterization must stay
+    oracle-exact at ANY knob, not just the registered 2x6 / 8x12
+    forms — pin a third point (8x16, the rule's sf100-at-target-
+    occupancy answer) against the same replayed-plane-constants
+    DuckDB oracle."""
+    from pulsar_internal_spark.plans.queries import (
+        _lsh_pairs_oracle_sql,
+        _lsh_verified_pairs,
+    )
+    from tests.oracle_harness import compare, run_oracle
+
+    got = _lsh_verified_pairs(spark, sf_dir, planes_per_band=16, num_bands=8)
+    oracle = run_oracle(_lsh_pairs_oracle_sql(16, 8), sf_dir)
+    assert compare(got, oracle) == []
+
+
 def test_random_alnum_shape(spark, sf_dir):
     """random_string parity (crypt.hpp:39-52): 16 chars, [A-Za-z0-9]."""
     import re
