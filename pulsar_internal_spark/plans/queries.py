@@ -3840,6 +3840,107 @@ def image_near_dup_wide_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_xwide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    ensure_shipped(spark)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    groups = max(40, docs.count() // 125)
+    hashes = mm.image_ahash(mm.attach_group_images_wide(docs, groups=groups))
+    return dedup_ops.hamming_banded_pairs(
+        hashes, hash_col="ahash", id_col="doc_id", bits=63, band_bits=21,
+        max_hamming=2,
+    )
+
+
+@_register(
+    "image_near_dup_xwide",
+    "WITH "
+    + _WIDE_AHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """,
+)
+def image_near_dup_xwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD-DECADE banding of the wide perceptual tier (round 10): the
+    same 63-bit aHash banded 3 x 21 bits instead of 4 x 16. Found the
+    way every decade's finding was found — by running the next decade:
+    at sf100 (5M docs) the 16-bit bands' 4 x 65,536 buckets saturate
+    (SCALE_r10 scout: occupancy at the 4096 hot-key cap, 10.9e9
+    post-cap candidates = the N^2 x bands / 2^16 cross-group
+    random-collision term overtaking the linear true-pair term) and
+    the banded join exhausted the box's disk. 21-bit bands give 2^21
+    buckets each — the random-collision term drops 32x to ~18M at 5M
+    docs — while the PIGEONHOLE GUARANTEE IS UNCHANGED: max_hamming=2
+    < 3 bands, so the result set is byte-identical to the wide form
+    (banding is an implementation detail under pigeonhole exactness;
+    the oracle is the same all-pairs Hamming join). Trade vs 4 x 16:
+    one fewer band of slack (hamming 3 pairs, outside the contract
+    either way). The capacity rule (docs/OPERATIONS.md) in its
+    band-width direction: widen bands until N^2 x bands / 2^bits fits
+    the pair budget."""
+    return _image_xwide_pairs(spark, sf_dir)
+
+
+@_register(
+    "image_near_dup_xwide_keepers",
+    "WITH RECURSIVE "
+    + _WIDE_AHASH_CTE
+    + r""",
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, MIN(l) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+                AS BIGINT) AS n_members
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def image_near_dup_xwide_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_near_dup_wide_keepers over the 3 x 21-bit banding — the
+    THIRD-decade scale default for perceptual dedup (see
+    image_near_dup_xwide for the sf100 saturation finding that forced
+    the re-band). Verdict semantics and oracle identical to the wide
+    keepers (pigeonhole exactness makes the banding invisible in the
+    result); only the candidate volume differs, which is the point."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _image_xwide_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", edges_canonical=True
+    )
+    labeled = docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+    )
+
+
 @_register(
     "audio_near_dup",
     """

@@ -2380,6 +2380,139 @@ def test_ivf_index_health_tracks_planted_drift(spark, tmp_path):
     assert again[2].mean_residual == h[2].mean_residual
 
 
+def test_pq_retrain_cutover_drill(spark, tmp_path):
+    """END-TO-END drill of the OPERATIONS.md re-train runbook — the
+    answer to the index's one monitored failure mode (quantizer drift),
+    previously documented but never exercised:
+
+      era-1 index A (codebooks trained on era-1 data) ingests drifted
+      batches until ivf_index_health trips the ~1.5 gate -> era-2
+      codebooks trained on a CURRENT sample via the committed freeze
+      recipe (tools/freeze_pq_codebooks.train_codebooks) -> index B
+      built at a NEW path while A keeps serving (appends continue
+      against A during the build; B catches the straggler batch up
+      before cutover) -> dual-serve window: B must beat-or-match A's
+      recall against an independent numpy exact oracle on drifted
+      queries and carry a clean health baseline -> cut over, retire A
+      (delete its tree): B's serving is byte-identical after the sweep.
+    """
+    import os
+    import shutil
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.freeze_pq_codebooks import train_codebooks
+
+    rng = np.random.default_rng(7)
+
+    def era1_rows(start, n):
+        out = []
+        for i in range(n):
+            v = rng.normal(size=64)
+            out.append((start + i, [float(x) for x in (v / np.linalg.norm(v))]))
+        return out
+
+    def era2_rows(start, n):
+        # drifted era: mass concentrated on a few hot dims — far from
+        # the smooth gaussian era-1 codebooks' training distribution
+        out = []
+        for i in range(n):
+            v = np.zeros(64)
+            hot = rng.choice(64, size=4, replace=False)
+            v[hot] = rng.normal(size=4) * 5.0
+            v = v + 0.05 * rng.normal(size=64)
+            out.append((start + i, [float(x) for x in (v / np.linalg.norm(v))]))
+        return out
+
+    schema = "vec_id long, embedding array<float>"
+    era1 = era1_rows(0, 160)
+    b1, b2 = era2_rows(1000, 80), era2_rows(2000, 80)
+
+    # --- era 1: codebooks A trained on era-1 data, index A built
+    idx_a = str(tmp_path / "idx_A")
+    df_era1 = spark.createDataFrame(era1, schema)
+    # small PQ shape (4x16-dim, 8 codes): each MLlib fit costs ~2-15 s
+    # of fixed overhead, so the drill trains 2x4 fits; the recipe is
+    # byte-identical to production (same train_codebooks callable)
+    books_a = train_codebooks(df_era1, m=4, dsub=16, ksub=8, max_iter=2)
+    sim.build_ivf_index(df_era1, idx_a, num_centroids=4, codebooks=books_a)
+
+    # --- drifted ingest: health must TRIP the runbook's gate
+    sim.ivf_index_append(spark, spark.createDataFrame(b1, schema), idx_a, batch_id=1)
+    sim.ivf_index_append(spark, spark.createDataFrame(b2, schema), idx_a, batch_id=2)
+    health_a = {r.batch_id: r for r in sim.ivf_index_health(spark, idx_a).collect()}
+    assert health_a[2].drift_vs_build > 1.5, (
+        f"drill premise failed — drift gate never tripped: {health_a}"
+    )
+
+    # --- runbook step 1: re-train on a CURRENT sample (era-2 heavy)
+    current = spark.createDataFrame(b1 + b2 + era1[:40], schema)
+    books_b = train_codebooks(current, m=4, dsub=16, ksub=8, max_iter=2, seed_base=142)
+
+    # --- step 2: build B at a NEW path; appends continue against A
+    idx_b = str(tmp_path / "idx_B")
+    sim.build_ivf_index(
+        spark.createDataFrame(era1 + b1 + b2, schema), idx_b,
+        num_centroids=4, codebooks=books_b,
+    )
+    b3 = era2_rows(3000, 60)
+    df_b3 = spark.createDataFrame(b3, schema)
+    sim.ivf_index_append(spark, df_b3, idx_a, batch_id=3)  # A still live
+    sim.ivf_index_append(spark, df_b3, idx_b, batch_id=1)  # B catches up
+
+    # --- step 3: dual-serve window. Independent exact oracle in numpy.
+    corpus = {i: np.array(v) for i, v in era1 + b1 + b2 + b3}
+    queries = era2_rows(9000, 12)
+    qdf = spark.createDataFrame(queries, schema)
+
+    def exact_top(qv, k=5):
+        sims = {
+            i: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for i, v in corpus.items()
+        }
+        return set(sorted(sims, key=lambda i: (-sims[i], i))[:k])
+
+    def recall(path):
+        got = (
+            sim.ivf_index_adc_topk(spark, path, qdf, k=5, nprobe=4)
+            .collect()
+        )
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = total = 0
+        for qid, qv in queries:
+            want = exact_top(np.array(qv))
+            hits += len(want & by_q.get(qid, set()))
+            total += len(want)
+        return hits / total
+
+    rec_a, rec_b = recall(idx_a), recall(idx_b)
+    assert rec_b >= rec_a, f"era-2 index lost the dual-serve: A={rec_a} B={rec_b}"
+    assert rec_b >= 0.6, f"era-2 index recall floor: {rec_b}"
+    # B's health baseline is clean — the drifted batches ARE its era
+    health_b = {r.batch_id: r for r in sim.ivf_index_health(spark, idx_b).collect()}
+    assert health_b[1].drift_vs_build < 1.3, (
+        f"era-2 quantizer still sees its own era as drift: {health_b}"
+    )
+
+    # --- cutover + retirement sweep: A's tree goes away, B unaffected
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_index_adc_topk(spark, idx_b, qdf, k=5, nprobe=4).collect()
+    }
+    shutil.rmtree(idx_a)
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_index_adc_topk(spark, idx_b, qdf, k=5, nprobe=4).collect()
+    }
+    assert before == after and before
+    with pytest.raises(Exception):
+        sim.ivf_index_adc_topk(spark, idx_a, qdf, k=5).collect()
+
+
 def test_ivf_index_health_sampling_is_deterministic_subset(spark, tmp_path):
     """health_sample_mod samples vec_id % mod == 0 — the sampled batch
     row must equal a full-rate health run restricted to those ids (the

@@ -104,19 +104,21 @@ def scout_lsh_candidates(spark, sf_dir: str, planes: int, bands: int = 8) -> dic
     }
 
 
-def scout_image_candidates(spark, sf_dir: str) -> dict:
-    """Post-hot-key-cap candidate volume of the wide image banding
-    (4 x 16-bit over the 63-bit aHash) — one decode pass + one linear
-    aggregate; the pair join never runs."""
+def scout_image_candidates(spark, sf_dir: str, band_bits: int = 16) -> dict:
+    """Post-hot-key-cap candidate volume of an image banding over the
+    63-bit aHash (4 x 16-bit = the r9 wide form; 3 x 21-bit = the
+    round-10 xwide re-band) — one decode pass + one linear aggregate;
+    the pair join never runs."""
     from pulsar_internal_spark.operators import dedup as dd
     from pulsar_internal_spark.operators import multimodal as mm
     from pulsar_internal_spark.sources.tables import load_table, spread
 
+    n_bands = (64 if band_bits == 16 else 63) // band_bits
     docs = spread(load_table(spark, sf_dir, "documents"))
     groups = max(40, docs.count() // 125)
     hashes = mm.image_ahash(mm.attach_group_images_wide(docs, groups=groups))
     narrow = hashes.select(F.col("doc_id").alias("id"), F.col("ahash").alias("h"))
-    mask = (1 << 16) - 1
+    mask = (1 << band_bits) - 1
     banded = narrow.select(
         "id",
         F.explode(
@@ -124,11 +126,11 @@ def scout_image_candidates(spark, sf_dir: str) -> dict:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("h"), b * 16)
+                        F.shiftright(F.col("h"), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -145,7 +147,7 @@ def scout_image_candidates(spark, sf_dir: str) -> dict:
         .collect()[0]
     )
     return {
-        "bands": "4x16bit",
+        "bands": f"{n_bands}x{band_bits}bit",
         "max_df": 4096,
         "candidates": int(row.cands or 0),
         "occupied_buckets": int(row.buckets),
@@ -247,16 +249,27 @@ def main() -> None:
     _release_persisted(spark)
     metrics = StageMetrics(spark)
 
-    out: dict = {
-        "runs": n_runs,
-        "wall_stat": "min of passes; secs_all = raw passes",
-        "budget_gb": budget / GB,
-        "target_occupancy": TARGET_OCCUPANCY,
-        "scouts": {},
-        "decisions": {},
-        "queries": {},
-    }
     path = os.path.join(repo, "SCALE_r10.json")
+    if os.path.exists(path):
+        # RESUME: rows already measured (and scouts already taken) are
+        # kept and skipped — a crashed pass (the sf100 image keepers
+        # disk exhaustion that motivated the xwide re-band) costs only
+        # its own row, never the finished decade
+        with open(path) as f:
+            out = json.load(f)
+        out.setdefault("scouts", {})
+        out.setdefault("decisions", {})
+        out.setdefault("queries", {})
+    else:
+        out = {
+            "runs": n_runs,
+            "wall_stat": "min of passes; secs_all = raw passes",
+            "budget_gb": budget / GB,
+            "target_occupancy": TARGET_OCCUPANCY,
+            "scouts": {},
+            "decisions": {},
+            "queries": {},
+        }
 
     def measure(name: str, run, sf: str, sf_dir: str) -> None:
         rec = out["queries"].setdefault(
@@ -264,6 +277,9 @@ def main() -> None:
             {"secs": {}, "secs_all": {}, "shuffle_mb": {}, "input_mb": {},
              "spill_mb": {}, "disk_spill_mb": {}},
         )
+        if sf in rec["secs"]:
+            print(f"skip {name} {sf}: already measured", flush=True)
+            return
         secs, byts = [], []
         for _ in range(n_runs):
             before = metrics.snapshot()
@@ -344,18 +360,40 @@ def main() -> None:
             measure(f"embedding_near_dup_wide{chosen}", wide_pairs(chosen), sf, d)
             measure(f"semantic_dedup_keepers_wide{chosen}", wide_keepers(chosen), sf, d)
 
-        # ---- image tier: scout (mechanism record), then run — its
-        # random-collision candidates are hamming-filtered before any
-        # exchange, so the budget test uses TRUE-pair volume ~ N x
-        # group_size, which the scout's max_bucket exposes
-        scouts["image_wide"] = scout_image_candidates(spark, d)
-        _release_persisted(spark)
+        # ---- image tier: scout BOTH bandings, refuse the saturated
+        # one. The first sf100 attempt ran the 4x16 form unguarded and
+        # EXHAUSTED THE BOX'S DISK (the N^2 x bands / 2^16
+        # random-collision term: 10.9e9 post-cap candidates, buckets
+        # at the 4096 cap) — the round's falsification. The gate is
+        # candidate count (the hamming filter drops random collisions
+        # before any exchange, but the distinct + CC volume still
+        # tracks candidates on this fixture).
+        cand_budget = float(
+            os.environ.get("SPARK_GRAFT_IMAGE_CAND_BUDGET", "1.5e9")
+        )
+        if "image_wide" not in scouts:
+            scouts["image_wide"] = scout_image_candidates(spark, d, 16)
+            _release_persisted(spark)
+        if "image_xwide" not in scouts:
+            scouts["image_xwide"] = scout_image_candidates(spark, d, 21)
+            _release_persisted(spark)
+        decisions["image"] = {
+            "wide_4x16_runs": scouts["image_wide"]["candidates"] <= cand_budget,
+            "xwide_3x21_runs": scouts["image_xwide"]["candidates"] <= cand_budget,
+            "candidate_budget": cand_budget,
+        }
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
-        measure(
-            "image_near_dup_wide_keepers",
-            QUERIES["image_near_dup_wide_keepers"], sf, d,
-        )
+        if decisions["image"]["wide_4x16_runs"]:
+            measure(
+                "image_near_dup_wide_keepers",
+                QUERIES["image_near_dup_wide_keepers"], sf, d,
+            )
+        if decisions["image"]["xwide_3x21_runs"]:
+            measure(
+                "image_near_dup_xwide_keepers",
+                QUERIES["image_near_dup_xwide_keepers"], sf, d,
+            )
 
         # ---- substring tier
         measure("substring_scrub", QUERIES["substring_scrub"], sf, d)
