@@ -769,7 +769,8 @@ def attach_group_images(
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
-                g = int(doc_id) % groups
+                # copy-aware group identity — see attach_group_images_wide
+                g = (int(doc_id) // 1_000_000_000 + int(doc_id)) % groups
                 px = bytearray(
                     hashlib.sha256(f"img:{g}".encode()).digest()
                     + hashlib.sha256(f"img2:{g}".encode()).digest()[:16]
@@ -801,13 +802,27 @@ def attach_group_images_wide(
     chained sha256 digests of the group key (192 bytes = 64 RGB px),
     one low-amplitude perturbation per doc (byte ``group % 192`` +=
     ``doc_id % 3``) — same planted near-dup model, every byte
-    recomputable by an independent oracle."""
+    recomputable by an independent oracle.
+
+    Group identity is COPY-AWARE (round 10): ``(doc_id // 1e9 +
+    doc_id) % groups``, not plain ``doc_id % groups``. The scale
+    fixtures stride doc ids by 1e9 per replica and 1e9 is divisible by
+    every ``count//125`` gmod the wide tier computes at factors >= 100
+    — plain modulo then maps EVERY replica onto the first copy's group
+    range, collapsing the intended ~125-doc clusters into
+    1000-doc mega-groups at sf100 (measured: 5,000 groups x 1,000 docs
+    -> 7.5e9 banded candidates — cluster-size growth is the r7
+    time-bucket fixture artifact in group space, it measures the
+    fixture, not the operator). Folding the copy index in keeps
+    cluster size scale-invariant; for single-copy corpora
+    (doc_id < 1e9) the term is 0, so driver-scale results are
+    byte-identical."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
-                g = int(doc_id) % groups
+                g = (int(doc_id) // 1_000_000_000 + int(doc_id)) % groups
                 px = bytearray(
                     b"".join(
                         hashlib.sha256(f"img8:{g}:{t}".encode()).digest()

@@ -2415,14 +2415,15 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
         return out
 
     def era2_rows(start, n):
-        # drifted era: mass concentrated on a few hot dims — far from
-        # the smooth gaussian era-1 codebooks' training distribution
+        # drifted era: the unit vector's whole mass on TWO hot dims —
+        # maximally far from the smooth gaussian era-1 training
+        # distribution, so the drift ratio clears the runbook gate even
+        # against the test's coarse 4-subspace baseline residual
         out = []
         for i in range(n):
             v = np.zeros(64)
-            hot = rng.choice(64, size=4, replace=False)
-            v[hot] = rng.normal(size=4) * 5.0
-            v = v + 0.05 * rng.normal(size=64)
+            hot = rng.choice(64, size=2, replace=False)
+            v[hot] = rng.normal(size=2) * 5.0
             out.append((start + i, [float(x) for x in (v / np.linalg.norm(v))]))
         return out
 
@@ -2433,10 +2434,12 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
     # --- era 1: codebooks A trained on era-1 data, index A built
     idx_a = str(tmp_path / "idx_A")
     df_era1 = spark.createDataFrame(era1, schema)
-    # small PQ shape (4x16-dim, 8 codes): each MLlib fit costs ~2-15 s
-    # of fixed overhead, so the drill trains 2x4 fits; the recipe is
-    # byte-identical to production (same train_codebooks callable)
-    books_a = train_codebooks(df_era1, m=4, dsub=16, ksub=8, max_iter=2)
+    # small PQ shape (4 subspaces of 16 dims): per-fit MLlib overhead
+    # dominates the test budget, so the drill trains 2x4 fits; ksub=16
+    # with extra iterations keeps the era-1 baseline residual low
+    # enough that planted drift clears the runbook gate. The recipe is
+    # byte-identical to production (same train_codebooks callable).
+    books_a = train_codebooks(df_era1, m=4, dsub=16, ksub=16, max_iter=8)
     sim.build_ivf_index(df_era1, idx_a, num_centroids=4, codebooks=books_a)
 
     # --- drifted ingest: health must TRIP the runbook's gate
@@ -2449,7 +2452,7 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
 
     # --- runbook step 1: re-train on a CURRENT sample (era-2 heavy)
     current = spark.createDataFrame(b1 + b2 + era1[:40], schema)
-    books_b = train_codebooks(current, m=4, dsub=16, ksub=8, max_iter=2, seed_base=142)
+    books_b = train_codebooks(current, m=4, dsub=16, ksub=16, max_iter=8, seed_base=142)
 
     # --- step 2: build B at a NEW path; appends continue against A
     idx_b = str(tmp_path / "idx_B")
