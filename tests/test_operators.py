@@ -2415,15 +2415,14 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
         return out
 
     def era2_rows(start, n):
-        # drifted era: the unit vector's whole mass on TWO hot dims —
-        # maximally far from the smooth gaussian era-1 training
-        # distribution, so the drift ratio clears the runbook gate even
-        # against the test's coarse 4-subspace baseline residual
+        # drifted era: mass concentrated on a few hot dims (the exact
+        # spiky generator the planted-drift test proves trips the gate
+        # against the production codebooks)
         out = []
         for i in range(n):
             v = np.zeros(64)
-            hot = rng.choice(64, size=2, replace=False)
-            v[hot] = rng.normal(size=2) * 5.0
+            hot = rng.choice(64, size=4, replace=False)
+            v[hot] = rng.normal(size=4) * 5.0
             out.append((start + i, [float(x) for x in (v / np.linalg.norm(v))]))
         return out
 
@@ -2431,16 +2430,17 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
     era1 = era1_rows(0, 160)
     b1, b2 = era2_rows(1000, 80), era2_rows(2000, 80)
 
-    # --- era 1: codebooks A trained on era-1 data, index A built
+    # --- era 1: index A serves the PRODUCTION codebooks (pq_frozen —
+    # trained offline on the near-random fixture, the same family as
+    # the gaussian era-1 corpus; test_ivf_index_health_tracks_planted_
+    # drift proves the spiky era trips the gate against exactly these
+    # books). Using the frozen state also keeps the drill's MLlib
+    # training budget to era-2 only.
+    from pulsar_internal_spark.operators.pq_frozen import CODEBOOKS as BOOKS_A
+
     idx_a = str(tmp_path / "idx_A")
     df_era1 = spark.createDataFrame(era1, schema)
-    # small PQ shape (4 subspaces of 16 dims): per-fit MLlib overhead
-    # dominates the test budget, so the drill trains 2x4 fits; ksub=16
-    # with extra iterations keeps the era-1 baseline residual low
-    # enough that planted drift clears the runbook gate. The recipe is
-    # byte-identical to production (same train_codebooks callable).
-    books_a = train_codebooks(df_era1, m=4, dsub=16, ksub=16, max_iter=8)
-    sim.build_ivf_index(df_era1, idx_a, num_centroids=4, codebooks=books_a)
+    sim.build_ivf_index(df_era1, idx_a, num_centroids=4, codebooks=BOOKS_A)
 
     # --- drifted ingest: health must TRIP the runbook's gate
     sim.ivf_index_append(spark, spark.createDataFrame(b1, schema), idx_a, batch_id=1)
@@ -2451,8 +2451,14 @@ def test_pq_retrain_cutover_drill(spark, tmp_path):
     )
 
     # --- runbook step 1: re-train on a CURRENT sample (era-2 heavy)
+    # via the committed freeze recipe, at the PRODUCTION shape (16
+    # subspaces of 4 dims, 16 codes) — a coarser era-2 quantizer loses
+    # the dual-serve to A's rich-but-drifted books on this fixture, so
+    # shape parity is part of the runbook. train_codebooks pads
+    # collapsed fits (mostly-zero spiky subspaces) so degenerate
+    # samples cannot produce ragged books.
     current = spark.createDataFrame(b1 + b2 + era1[:40], schema)
-    books_b = train_codebooks(current, m=4, dsub=16, ksub=16, max_iter=8, seed_base=142)
+    books_b = train_codebooks(current, max_iter=4, seed_base=142)
 
     # --- step 2: build B at a NEW path; appends continue against A
     idx_b = str(tmp_path / "idx_B")

@@ -62,9 +62,17 @@ def train_codebooks(
             featuresCol="_v", predictionCol="code",
         )
         model = km.fit(train)
-        books.append(
-            [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
-        )
+        book = [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
+        # MLlib KMeans can return FEWER than k centers on small or
+        # degenerate samples (duplicate random seeds collapse) — a
+        # ragged book crashes pq_encode's unrolled element_at with an
+        # out-of-bounds index. Pad by repeating the last center:
+        # duplicate centers tie in the argmin and ties break to the
+        # smaller code deterministically, so the padding is
+        # semantics-free.
+        while len(book) < ksub:
+            book.append(book[-1])
+        books.append(book)
     return books
 
 
