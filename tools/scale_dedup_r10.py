@@ -280,6 +280,10 @@ def main() -> None:
         if sf in rec["secs"]:
             print(f"skip {name} {sf}: already measured", flush=True)
             return
+        skips = os.environ.get("SPARK_GRAFT_DEDUP_SKIP", "")
+        if f"{name}:{sf}" in skips.split(","):
+            print(f"skip {name} {sf}: SPARK_GRAFT_DEDUP_SKIP", flush=True)
+            return
         secs, byts = [], []
         for _ in range(n_runs):
             before = metrics.snapshot()
