@@ -3884,7 +3884,9 @@ def image_near_dup_xwide(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fewer band of slack (hamming 3 pairs, outside the contract
     either way). The capacity rule (docs/OPERATIONS.md) in its
     band-width direction: widen bands until N^2 x bands / 2^bits fits
-    the pair budget."""
+    the pair budget. Lineage: the perceptual scale ladder (SURVEY.md §2
+    aHash row / round-8 section), fingerprint semantics per
+    image_near_dup (script.hpp:74-133 memoized-hash pattern)."""
     return _image_xwide_pairs(spark, sf_dir)
 
 
@@ -3921,7 +3923,9 @@ def image_near_dup_xwide_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     image_near_dup_xwide for the sf100 saturation finding that forced
     the re-band). Verdict semantics and oracle identical to the wide
     keepers (pigeonhole exactness makes the banding invisible in the
-    result); only the candidate volume differs, which is the point."""
+    result); only the candidate volume differs, which is the point.
+    Lineage: SURVEY.md §2 aHash row (perceptual scale ladder), cluster
+    emit per dedup_keep_best (script.hpp:74-133 lineage)."""
     from ..operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
