@@ -756,7 +756,10 @@ def attach_group_images(
     image_format: str = "bmp",
 ) -> DataFrame:
     """Manufacture a near-duplicate image corpus: each doc's 4x4 image
-    derives from its GROUP (doc_id % groups) — docs sharing a group get
+    derives from its GROUP — copy-aware identity ``((doc_id // 1e9) *
+    9973 + doc_id) % groups`` (see attach_group_images_wide for why the
+    coprime multiplier; for single-copy corpora doc_id < 1e9 this is
+    plain ``doc_id % groups``) — docs sharing a group get
     near-identical pixels differing by one low-delta byte perturbation
     (pixel byte ``group % 48`` += ``doc_id % 3``, mod 256). Real format
     bytes (BMP or PNG), deterministic, so an independent oracle can
@@ -770,7 +773,7 @@ def attach_group_images(
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
                 # copy-aware group identity — see attach_group_images_wide
-                g = (int(doc_id) // 1_000_000_000 + int(doc_id)) % groups
+                g = (int(doc_id) // 1_000_000_000 * 9973 + int(doc_id)) % groups
                 px = bytearray(
                     hashlib.sha256(f"img:{g}".encode()).digest()
                     + hashlib.sha256(f"img2:{g}".encode()).digest()[:16]
@@ -804,17 +807,22 @@ def attach_group_images_wide(
     ``doc_id % 3``) — same planted near-dup model, every byte
     recomputable by an independent oracle.
 
-    Group identity is COPY-AWARE (round 10): ``(doc_id // 1e9 +
-    doc_id) % groups``, not plain ``doc_id % groups``. The scale
-    fixtures stride doc ids by 1e9 per replica and 1e9 is divisible by
-    every ``count//125`` gmod the wide tier computes at factors >= 100
-    — plain modulo then maps EVERY replica onto the first copy's group
-    range, collapsing the intended ~125-doc clusters into
-    1000-doc mega-groups at sf100 (measured: 5,000 groups x 1,000 docs
-    -> 7.5e9 banded candidates — cluster-size growth is the r7
-    time-bucket fixture artifact in group space, it measures the
-    fixture, not the operator). Folding the copy index in keeps
-    cluster size scale-invariant; for single-copy corpora
+    Group identity is COPY-AWARE (round 10, decorrelated round 11):
+    ``((doc_id // 1e9) * 9973 + doc_id) % groups``, not plain
+    ``doc_id % groups``. The scale fixtures stride doc ids by 1e9 per
+    replica and 1e9 is divisible by every ``count//125`` gmod the wide
+    tier computes at factors >= 100 — plain modulo then maps EVERY
+    replica onto the first copy's group range, collapsing the intended
+    ~125-doc clusters into 1000-doc mega-groups at sf100 (measured:
+    5,000 groups x 1,000 docs -> 7.5e9 banded candidates — cluster-size
+    growth is the r7 time-bucket fixture artifact in group space, it
+    measures the fixture, not the operator). Round 10's additive form
+    ``copy + doc_id`` fixed sf10 but stayed DIAGONAL-BIASED at sf100:
+    the copy index only reaches ~4999, so the sum covers group ids
+    0..~6k of 40,000 and buckets still held up to 2,000 docs. The 9973
+    multiplier (coprime to every gmod the tier computes, and to 1e9)
+    spreads replicas across the full residue ring, keeping cluster
+    size scale-invariant at every decade; for single-copy corpora
     (doc_id < 1e9) the term is 0, so driver-scale results are
     byte-identical."""
 
@@ -822,7 +830,7 @@ def attach_group_images_wide(
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf[id_col]:
-                g = (int(doc_id) // 1_000_000_000 + int(doc_id)) % groups
+                g = (int(doc_id) // 1_000_000_000 * 9973 + int(doc_id)) % groups
                 px = bytearray(
                     b"".join(
                         hashlib.sha256(f"img8:{g}:{t}".encode()).digest()

@@ -44,6 +44,8 @@ document lifetime (at append), never re-derived from text.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -421,26 +423,42 @@ def streaming_banded_dedup(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..staging import persistent_rdd_ids, release_staged
+
         spark = batch_df.sparkSession
-        if store_table is not None:
-            append_banded_batch_bucketed(
-                spark, bander(batch_df), store_table, batch_id=batch_id
+        # Every staged frame this batch creates (the candidates frame
+        # below, plus _candidates' pruning-path `new`) pins
+        # localCheckpoint blocks that DataFrame.unpersist cannot
+        # release; without a per-batch release the store leaks one
+        # batch's blocks per micro-batch once batch_id crosses the
+        # prune min-history — the block-manager-pressure failure mode.
+        # The sink write is eager, so by the finally the blocks are
+        # dead. keep= confines the release to this batch's additions
+        # (assumes one concurrent foreachBatch per session, the same
+        # single-writer contract the store maintenance documents).
+        before = persistent_rdd_ids(spark)
+        try:
+            if store_table is not None:
+                append_banded_batch_bucketed(
+                    spark, bander(batch_df), store_table, batch_id=batch_id
+                )
+                raw = candidates_for_batch_bucketed(spark, store_table, batch_id)
+            else:
+                _advise_bucketed_store(spark, store_path, batch_id, query_name)
+                append_banded_batch(
+                    spark, bander(batch_df), store_path, batch_id=batch_id
+                )
+                raw = candidates_for_batch(spark, store_path, batch_id)
+            cands = (
+                raw.withColumn("batch_id", F.lit(batch_id))
+                .transform(stage_frame)
             )
-            raw = candidates_for_batch_bucketed(spark, store_table, batch_id)
-        else:
-            _advise_bucketed_store(spark, store_path, batch_id, query_name)
-            append_banded_batch(
-                spark, bander(batch_df), store_path, batch_id=batch_id
-            )
-            raw = candidates_for_batch(spark, store_path, batch_id)
-        cands = (
-            raw.withColumn("batch_id", F.lit(batch_id))
-            .transform(stage_frame)
-        )
-        if cands.isEmpty():
-            _sink_delete_batch(candidates_path, batch_id)
-            return
-        _sink_write_batch(cands, candidates_path)
+            if cands.isEmpty():
+                _sink_delete_batch(candidates_path, batch_id)
+                return
+            _sink_write_batch(cands, candidates_path)
+        finally:
+            release_staged(spark, keep=before)
 
     writer = stream.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_dir
@@ -484,7 +502,10 @@ def _advise_bucketed_store(
     prune only flattens (~15x slope cut, STREAM_r09_bloom) while the
     bucketed catalog form removes it entirely (zero-exchange history
     reads). Streams that should stay on the path store (demos, tests,
-    bounded backfills) just see one warning per store per process."""
+    bounded backfills) see one warning per store — the advisory state
+    is persisted as a marker file BESIDE the store (plus the in-process
+    set as a fast path), so a restarting cadence job doesn't re-advise
+    on every process launch (VERDICT r10 #8)."""
     from .bloomjoin import STORE_MIN_HISTORY_CONF
 
     if store_path in _ADVISED_STORES:
@@ -493,6 +514,18 @@ def _advise_bucketed_store(
     if batch_id < min_hist:
         return
     _ADVISED_STORES.add(store_path)
+    marker = os.path.join(store_path, "_ADVISED_BUCKETED")
+    try:
+        if os.path.exists(marker):
+            return
+        with open(marker, "w") as f:
+            f.write(
+                "advisory emitted once; delete this file to re-advise\n"
+            )
+    except OSError:
+        # non-local store filesystems (s3a://, hdfs://) won't open() —
+        # fall back to once-per-process, the round-10 behavior
+        pass
     import warnings
 
     warnings.warn(

@@ -434,6 +434,19 @@ def streaming_substring_dedup(
         k = params.get("k", 8)
         id_col = params.get("id_col", "doc_id")
         text_col = params.get("text_col", "text")
+        # kg and spans are staged (localCheckpoint) per micro-batch;
+        # release them when the batch's eager sink write is done or the
+        # batch dies, else the stream pins one batch of blocks per tick
+        # (same leak class append_kgram_batch fixed in round 10).
+        # keep= assumes one concurrent foreachBatch per session — the
+        # stores' standing single-writer contract.
+        before = persistent_rdd_ids(spark)
+        try:
+            _process_inner(spark, batch_df, batch_id, k, id_col, text_col)
+        finally:
+            release_staged(spark, keep=before)
+
+    def _process_inner(spark, batch_df, batch_id, k, id_col, text_col):
         kg = _kgram_occurrences(batch_df, k, id_col, text_col).transform(stage)
         if store_table is not None:
             append_kgram_batch_bucketed(

@@ -3546,7 +3546,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_near_dup",
     """
     WITH img AS (
-      SELECT doc_id, (doc_id // 1000000000 + doc_id) % 40 AS g,
+      SELECT doc_id, (doc_id // 1000000000 * 9973 + doc_id) % 40 AS g,
              doc_id % 3 AS v FROM documents
     ), hx AS (
       SELECT doc_id, g, v,
@@ -3617,7 +3617,7 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gm AS (
       SELECT GREATEST(40, COUNT(*) // 125) AS gmod FROM documents
     ), img AS (
-      SELECT doc_id, (doc_id // 1000000000 + doc_id) % gm.gmod AS g,
+      SELECT doc_id, (doc_id // 1000000000 * 9973 + doc_id) % gm.gmod AS g,
              doc_id % 3 AS v
       FROM documents CROSS JOIN gm
     ), hx AS (
@@ -3698,7 +3698,7 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIDE_AHASH_CTE = """gm AS (
       SELECT GREATEST(40, COUNT(*) // 125) AS gmod FROM documents
     ), img AS (
-      SELECT doc_id, (doc_id // 1000000000 + doc_id) % gm.gmod AS g,
+      SELECT doc_id, (doc_id // 1000000000 * 9973 + doc_id) % gm.gmod AS g,
              doc_id % 3 AS v
       FROM documents CROSS JOIN gm
     ), hx AS (

@@ -1337,6 +1337,60 @@ def test_image_ahash_banded_pairs_exact_vs_brute_force(spark):
     assert len(same_group) >= 30, f"too few planted pairs matched: {len(same_group)}"
 
 
+def test_image_group_identity_copy_decorrelated(spark):
+    """The scale fixture strides doc ids by 1e9 per replica and every
+    large gmod the wide tier computes divides 1e9, so group identity
+    must fold the copy index in WITH a coprime multiplier (round 11:
+    ((doc_id // 1e9) * 9973 + doc_id) % gmod). Three properties, each
+    the falsification of a measured failure mode:
+    1. the Spark generator path agrees with the independent mirror on
+       STRIDED ids (the oracle replays the same formula in SQL);
+    2. plain modulo collapse: replicas of one local id land in
+       DISTINCT groups, not all in the first copy's group;
+    3. diagonal bias (the round-10 additive form's sf100 defect: copy
+       indexes <= 4999 only reach group ids 0..~6k of 40000): with
+       gmod=40000 the coprime form must reach group ids >= 5000."""
+    import hashlib
+
+    from pulsar_internal_spark.operators import multimodal as mm
+
+    stride = 1_000_000_000
+    copies = [0, 1, 2, 7, 1000, 4999]
+    ids = [c * stride + i for c in copies for i in range(3)]
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r.doc_id: r.ahash
+        for r in mm.image_ahash(mm.attach_group_images_wide(docs, groups=40)).collect()
+    }
+
+    def group_of(doc_id, gmod):
+        return (doc_id // stride * 9973 + doc_id) % gmod
+
+    def mirror(doc_id):
+        g, v = group_of(doc_id, 40), doc_id % 3
+        px = bytearray(
+            b"".join(
+                hashlib.sha256(f"img8:{g}:{t}".encode()).digest() for t in range(6)
+            )
+        )
+        px[g % 192] = (px[g % 192] + v) % 256
+        return mm.ahash_bits(bytes(px), 64)
+
+    assert got == {i: mirror(i) for i in ids}, "strided-id group formula diverged"
+
+    # 2. no plain-modulo collapse: same local id, consecutive copies,
+    #    distinct groups (9973 coprime to 40 => copies 0..39 distinct;
+    #    arbitrary copy sets may wrap the ring, which is fine)
+    replica_groups = {group_of(c * stride, 40) for c in range(40)}
+    assert len(replica_groups) == 40, replica_groups
+
+    # 3. no diagonal bias at the sf100 gmod: the additive form capped
+    #    group ids at ~6k; the coprime form must escape that band
+    sf100_groups = [group_of(c * stride, 40_000) for c in copies]
+    assert max(sf100_groups) >= 5_000, sf100_groups
+    assert len(set(sf100_groups)) == len(copies), sf100_groups
+
+
 def test_hamming_banded_pairs_caps_mega_bucket(spark):
     """Adversarial mono-hash cluster: 500 identical fingerprints would
     go quadratic (125k pairs); drop_hot_keys with a low cap must excise

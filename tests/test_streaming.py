@@ -975,6 +975,56 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert after1 == after2, "explicit-batch-id append must be idempotent"
 
 
+def test_streaming_dedup_releases_staged_blocks_per_batch(spark, tmp_path):
+    """Cadence leak guard (ADVICE r10 medium): streaming_banded_dedup
+    stages its candidates frame (and, past the Bloom min-history depth,
+    the pruning path's batch frame) as localCheckpoints every
+    micro-batch. DataFrame.unpersist cannot release those blocks, so
+    process() must release them per batch via
+    release_staged(keep=persistent_rdd_ids()) — otherwise a cadence
+    stream pins one batch of blocks per tick forever. Drive enough
+    batches to cross the prune depth and assert the block manager ends
+    where it started."""
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.staging import persistent_rdd_ids
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog {i} "
+            f"carrying a basket of fresh green apples to market")
+        for i in range(12)
+    ]
+    inbox = tmp_path / "leak_inbox"
+    inbox.mkdir()
+    for b in range(6):  # 6 file-drops -> 6 micro-batches, crossing depth 4
+        chunk = rows[2 * b : 2 * b + 2]
+        (inbox / f"{b}.csv").write_text(
+            "\n".join(f"{i}\t{t}" for i, t in chunk)
+        )
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inbox))
+        .select(
+            F.split("value", "\t").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\t").getItem(1).alias("text"),
+        )
+    )
+    before = persistent_rdd_ids(spark)
+    q = S.streaming_minhash_dedup(
+        stream,
+        str(tmp_path / "leak_store"),
+        str(tmp_path / "leak_cands"),
+        str(tmp_path / "leak_ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, f"micro-batches leaked staged RDD blocks: {leaked}"
+
+
 def test_streaming_minhash_dedup_bucketed_matches_batch(spark, tmp_path):
     """The RECOMMENDED cadence form: the streaming twin over the
     BUCKETED catalog store (store_table=...) must emit exactly the
@@ -1076,6 +1126,21 @@ def test_path_store_advisory_past_crossover_depth(spark, tmp_path):
         _advise_bucketed_store(spark, store, 5, "t")  # once per store
         assert len(w) == 1
     _ADVISED_STORES.discard(store)
+
+    # persisted advisory state (VERDICT r10 #8): when the store dir
+    # exists, a marker file beside the store suppresses the advisory
+    # across PROCESS restarts (simulated by clearing the in-process set)
+    store2 = tmp_path / "advise_store2"
+    store2.mkdir()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _advise_bucketed_store(spark, str(store2), 4, "t")
+        assert len(w) == 1
+        assert (store2 / "_ADVISED_BUCKETED").exists()
+        _ADVISED_STORES.discard(str(store2))  # "new process"
+        _advise_bucketed_store(spark, str(store2), 5, "t")
+        assert len(w) == 1, "restarting cadence job must not re-advise"
+    _ADVISED_STORES.discard(str(store2))
 
 
 def test_streaming_substring_dedup_bucketed_matches_batch(spark, tmp_path):

@@ -47,6 +47,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import signal
 import subprocess
 import sys
@@ -125,13 +126,26 @@ def _spawn(args: list[str], log: str, extra_env: dict | None = None):
     env["SPARK_SCALA_VERSION"] = "2.13"
     if extra_env:
         env.update(extra_env)
-    java = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "java")
-    return subprocess.Popen(
-        [java, "-cp", os.path.join(SPARK_HOME, "jars", "*"), "-Xmx1g"] + args,
-        stdout=open(log, "w"),
-        stderr=subprocess.STDOUT,
-        env=env,
+    java_home = os.environ.get("JAVA_HOME")
+    java = (
+        os.path.join(java_home, "bin", "java")
+        if java_home
+        else shutil.which("java")
     )
+    if not java:
+        raise FileNotFoundError(
+            "no java: set JAVA_HOME or put java on PATH"
+        )
+    # pass the log as an fd and close our handle right away — Popen
+    # dups it, so the child keeps writing and we leak nothing
+    with open(log, "w") as logf:
+        return subprocess.Popen(
+            [java, "-cp", os.path.join(SPARK_HOME, "jars", "*"), "-Xmx1g"]
+            + args,
+            stdout=logf,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
 
 
 def _wait_workers(n: int, timeout: float = 60.0) -> None:
