@@ -31,15 +31,48 @@ from pyspark.sql import DataFrame
 
 MODE_CONF = "spark.pulsar.stage.mode"
 DIR_CONF = "spark.pulsar.stage.dir"
+LEVEL_CONF = "spark.pulsar.stage.level"
+
+_LEVELS = {
+    # default: Spark's localCheckpoint default (MEMORY_AND_DISK_DESER,
+    # deserialized row objects on heap — fastest re-read, fine for
+    # the suite's normal frame sizes)
+    "default": None,
+    # serialized in memory, overflow to disk — smaller + GC-friendly
+    # (pyspark 4.x: StorageLevel.MEMORY_AND_DISK IS the serialized one)
+    "memory_disk_ser": "MEMORY_AND_DISK",
+    # never holds staged partitions on heap; re-reads stream from
+    # local disk. REQUIRED for the heavy scale tiers: at sf100 the
+    # staged candidate-pair frame is tens of GB, and the deserialized
+    # default OOMs a 48g heap when BlockManager re-materializes a
+    # disk block into memory (maybeCacheDiskValuesInMemory pulling
+    # hundreds of millions of row objects — the round-11 image-keepers
+    # first-attempt failure)
+    "disk_only": "DISK_ONLY",
+}
 
 
 def stage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` once for multi-consumer / iterative reuse.
-    See module docstring for the mode switch."""
+    See module docstring for the mode switch; ``spark.pulsar.stage.level``
+    (default | memory_disk_ser | disk_only) picks the storage level in
+    local mode — heavy scale runs set disk_only so staged frames never
+    compete with execution memory."""
     spark = df.sparkSession
     mode = spark.conf.get(MODE_CONF, "local")
     if mode == "local":
-        return df.localCheckpoint()
+        level = spark.conf.get(LEVEL_CONF, "default")
+        if level not in _LEVELS:
+            raise ValueError(
+                f"{LEVEL_CONF} must be one of {sorted(_LEVELS)}, got {level!r}"
+            )
+        if _LEVELS[level] is None:
+            return df.localCheckpoint()
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(
+            storageLevel=getattr(StorageLevel, _LEVELS[level])
+        )
     if mode != "reliable":
         raise ValueError(
             f"{MODE_CONF} must be 'local' or 'reliable', got {mode!r}"

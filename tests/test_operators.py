@@ -1963,6 +1963,46 @@ def test_ivf_store_compaction_and_expiry(spark, tmp_path):
     assert served == {v[0] for v in vecs[30:]}, "only batch 7 must survive"
 
 
+def test_stage_level_knob(spark):
+    """staging.stage honors spark.pulsar.stage.level: disk_only staged
+    blocks never occupy heap (the sf100 image-keepers OOM class:
+    BlockManager re-materializing a tens-of-GB disk block as
+    deserialized row objects), memory_disk_ser stores serialized,
+    default keeps Spark's deserialized localCheckpoint level. Results
+    identical across levels; bogus level fails loudly."""
+    import pytest
+
+    from pulsar_internal_spark import staging
+
+    df = spark.range(500).selectExpr("id", "id * 2 AS v")
+    want = 500
+    expect = {
+        "default": "StorageLevel(disk, memory, deserialized, 1 replicas)",
+        "memory_disk_ser": "StorageLevel(disk, memory, 1 replicas)",
+        "disk_only": "StorageLevel(disk, 1 replicas)",
+    }
+    try:
+        for lvl, level_str in expect.items():
+            before = staging.persistent_rdd_ids(spark)
+            spark.conf.set(staging.LEVEL_CONF, lvl)
+            staged = staging.stage(df)
+            assert staged.count() == want
+            new = {
+                rid: j.getStorageLevel().toString()
+                for rid, j in dict(
+                    spark.sparkContext._jsc.getPersistentRDDs()
+                ).items()
+                if rid not in before
+            }
+            assert level_str in new.values(), (lvl, new)
+            staging.release_staged(spark, keep=before)
+        spark.conf.set(staging.LEVEL_CONF, "bogus")
+        with pytest.raises(ValueError, match="stage.level"):
+            staging.stage(df)
+    finally:
+        spark.conf.unset(staging.LEVEL_CONF)
+
+
 def test_reliable_staging_mode(spark, tmp_path):
     """staging.stage honors spark.pulsar.stage.mode: 'reliable' routes
     through RDD checkpoint() into spark.pulsar.stage.dir (surviving

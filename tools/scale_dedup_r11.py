@@ -79,6 +79,12 @@ def main() -> None:
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "100000",
             "spark.ui.retainedJobs": "100000",
+            # staged frames at this tier are tens of GB (the sf100
+            # candidate-pair frame); the deserialized default OOMed a
+            # 48g heap on re-read (BlockManager pulling a disk block
+            # back as row objects) — disk_only keeps staged blocks off
+            # the heap entirely, heap stays execution-only
+            "spark.pulsar.stage.level": "disk_only",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
