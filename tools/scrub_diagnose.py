@@ -64,58 +64,87 @@ def _sql_executions(spark) -> list[dict]:
         return json.loads(r.read())
 
 
-def _node_context(plan: str, node_id: int) -> str:
-    """Identify what an ``Exchange (node_id)`` in the final plan FEEDS
-    and CARRIES: its parent line (the consumer) and child line (the
-    producer) from the indented plan description — enough to name the
-    aggregate/join each exchange belongs to without stage guesswork."""
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if re.search(rf"\bExchange \({node_id}\)", ln):
-            def op(s: str) -> str:
-                m = re.search(r"([A-Za-z]+[A-Za-z ]*)\s*\(\d+\)", s)
-                return m.group(1).strip() if m else s.strip()[:40]
-            parent = op(lines[i - 1]) if i > 0 else ""
-            child = op(lines[i + 1]) if i + 1 < len(lines) else ""
-            return f"{child} -> exchange -> {parent}"
-    return ""
+def _graph_context(ex: dict, node_id: int) -> str:
+    """Identify what an Exchange FEEDS and CARRIES from the REST graph
+    itself (the REST node ids do NOT match the planDescription's
+    printed ids, so the graph edges are the only reliable mapping):
+    producer = the node with an edge INTO the exchange, consumer = the
+    node the exchange's edge points at. Skips pass-through wrappers
+    (query stages / AQE shuffle reads / sorts) on the consumer side so
+    the context names the JOIN or AGGREGATE the exchange exists for."""
+    names = {n.get("nodeId"): n.get("nodeName", "") for n in ex.get("nodes", [])}
+    out_edge = {e["fromId"]: e["toId"] for e in ex.get("edges", [])}
+    producers = [e["fromId"] for e in ex.get("edges", []) if e["toId"] == node_id]
+    child = names.get(producers[0], "?") if producers else "?"
+    skip = ("ShuffleQueryStage", "AQEShuffleRead", "Sort", "InputAdapter",
+            "WholeStageCodegen", "ColumnarToRow")
+    cur, hops = node_id, 0
+    parent = "?"
+    while cur in out_edge and hops < 6:
+        cur = out_edge[cur]
+        hops += 1
+        nm = names.get(cur, "?")
+        if not any(nm.startswith(s) for s in skip):
+            parent = nm
+            break
+        parent = nm
+    return f"{child} -> exchange -> {parent}"
 
 
-def exchanges_for_latest(spark, after_id: int) -> dict:
+def exchanges_for_latest(spark, after_id: int, settle_secs: int = 120) -> dict:
     """Exchange-node shuffle bytes + join node inventory for every SQL
-    execution with id > after_id (one noop write spawns a handful:
-    the staged tokenize materialization + the main write)."""
-    edges, joins, plans = [], {}, []
-    for ex in _sql_executions(spark):
-        if ex.get("id", -1) <= after_id or ex.get("status") == "FAILED":
-            continue
-        plan = ex.get("planDescription", "")
-        plans.append(plan)
-        for node in ex.get("nodes", []):
-            name = node.get("nodeName", "")
-            if name == "Exchange":
-                by = rows = None
-                for m in node.get("metrics", []):
-                    if m.get("name") == "shuffle bytes written":
-                        by = _parse_size(m.get("value", ""))
-                    if m.get("name") == "shuffle records written":
-                        r = re.search(r"([\d,]+)", m.get("value", ""))
-                        rows = int(r.group(1).replace(",", "")) if r else None
-                edges.append(
-                    {
-                        "exec_id": ex["id"],
-                        "node_id": node.get("nodeId"),
-                        "context": _node_context(plan, node.get("nodeId")),
-                        "shuffle_bytes": by or 0,
-                        "rows": rows,
-                    }
-                )
-            for j in ("SortMergeJoin", "BroadcastHashJoin",
-                      "ShuffledHashJoin", "BroadcastNestedLoopJoin",
-                      "BroadcastExchange"):
-                if j in name:
-                    joins[j] = joins.get(j, 0) + 1
-    return {"exchanges": edges, "joins": joins, "plans": plans}
+    execution with id > after_id (one noop write spawns a handful: the
+    staged tokenize materialization + the main write). The SQL metrics
+    store aggregates task metrics ASYNCHRONOUSLY after the execution
+    completes — read too early and every exchange reports zero (the
+    round-11 first reading) — so poll until the byte total is nonzero
+    and stable across two consecutive reads."""
+
+    def read() -> dict:
+        edges, joins, plans = [], {}, []
+        for ex in _sql_executions(spark):
+            if ex.get("id", -1) <= after_id or ex.get("status") == "FAILED":
+                continue
+            plans.append(ex.get("planDescription", ""))
+            for node in ex.get("nodes", []):
+                name = node.get("nodeName", "")
+                if name == "Exchange":
+                    by = rows = None
+                    for m in node.get("metrics", []):
+                        if m.get("name") == "shuffle bytes written":
+                            by = _parse_size(m.get("value", ""))
+                        if m.get("name") == "shuffle records written":
+                            r = re.search(r"([\d,]+)", m.get("value", ""))
+                            rows = (
+                                int(r.group(1).replace(",", "")) if r else None
+                            )
+                    edges.append(
+                        {
+                            "exec_id": ex["id"],
+                            "node_id": node.get("nodeId"),
+                            "context": _graph_context(ex, node.get("nodeId")),
+                            "shuffle_bytes": by or 0,
+                            "rows": rows,
+                        }
+                    )
+                for j in ("SortMergeJoin", "BroadcastHashJoin",
+                          "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                          "BroadcastExchange"):
+                    if j in name:
+                        joins[j] = joins.get(j, 0) + 1
+        return {"exchanges": edges, "joins": joins, "plans": plans}
+
+    deadline = time.time() + settle_secs
+    prev_total = -1
+    rec = read()
+    while time.time() < deadline:
+        total = sum(e["shuffle_bytes"] for e in rec["exchanges"])
+        if total > 0 and total == prev_total:
+            break
+        prev_total = total
+        time.sleep(5)
+        rec = read()
+    return rec
 
 
 def main() -> None:
