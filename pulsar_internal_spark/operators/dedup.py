@@ -23,6 +23,41 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import spread
 from ..staging import stage as stage_frame
+from .bloomjoin import bloom_prune, bloom_split
+
+# Gated Bloom prunes for the substring scrub/spans anchor layer (the
+# round-11 treatment of the family's broadcast->SMJ transition,
+# SCRUB_DIAG.json / BASELINE.md round 11): once `dup`/`cov` outgrow the
+# broadcast threshold, all three joins flip to SortMergeJoin at once and
+# the full k-gram and token-position frames start shuffling — 2.2 GB of
+# brand-new exchange at sf10, ~22 GB at sf100. Most k-grams are NOT
+# cross-doc duplicated and most token positions are NOT covered, so a
+# Bloom bitmap over the small side prunes/bypasses the probe exchanges
+# down to the true-match fraction (+~12% FPR at 8 bits). Below
+# SCRUB_MIN_KG_ROWS the joins broadcast and the probe never shuffles, so
+# the prune would be pure tax — the gate keeps small-SF plans
+# byte-identical to the ungated form (EXPLAIN pins stay stable at the
+# generator's sf0.01).
+SCRUB_BITS_CONF = "spark.pulsar.scrub.bloomBitsPerKey"
+SCRUB_MIN_KG_CONF = "spark.pulsar.scrub.bloomMinKgramRows"
+_SCRUB_MIN_KG_DEFAULT = 8_000_000  # between sf1.0 (2.4M, broadcast) and sf10 (24M, SMJ)
+
+
+def _scrub_bloom_bits(spark) -> int:
+    return int(spark.conf.get(SCRUB_BITS_CONF, "8"))
+
+
+def _scrub_gate(kg_staged: DataFrame) -> bool:
+    """Whether the anchor-layer prunes engage: conf-enabled AND the
+    staged k-gram frame is past the broadcast->SMJ transition scale
+    (the count is a cached-block scan on the staged frame)."""
+    spark = kg_staged.sparkSession
+    if _scrub_bloom_bits(spark) <= 0:
+        return False
+    min_rows = int(
+        spark.conf.get(SCRUB_MIN_KG_CONF, str(_SCRUB_MIN_KG_DEFAULT))
+    )
+    return kg_staged.count() >= min_rows
 
 
 def normalized_text(col: str = "text"):
@@ -334,10 +369,15 @@ def dup_kgram_occurrences(
 
     Scale shape — the reason this beats pairwise span matching: there
     is NO pair join anywhere. One narrow (doc, pos, kh) explode (corpus
-    token count rows), ONE aggregate on kh (count-distinct docs + min
-    doc partial-aggregate map-side; a viral boilerplate k-gram is one
-    hot GROUP, never a hot JOIN bucket fanning out quadratically), and
-    one equi join of occurrences back to the duplicated-hash set. Span
+    token count rows), ONE aggregate on kh (min/max doc — "duplicated
+    across docs" is exactly min != max, fully partial-aggregable
+    map-side, avoiding the two-exchange countDistinct expand pair
+    SCRUB_DIAG.json measured as this family's largest shuffles; a
+    viral boilerplate k-gram is one hot GROUP, never a hot JOIN bucket
+    fanning out quadratically), and one equi join of occurrences back
+    to the duplicated-hash set — Bloom-pruned past the broadcast->SMJ
+    transition (SCRUB_BITS_CONF gate) so the full k-gram frame never
+    shuffles for its duplicated minority. Span
     assembly downstream is per-document windows (bounded by doc
     length) — so the whole pipeline is linear in corpus size at any
     duplication rate. Suffix arrays (the Lee et al. implementation)
@@ -362,16 +402,36 @@ def dup_kgram_occurrences(
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
     if stage:
         kg = kg.transform(stage_frame)
+    # "occurs in >= 2 distinct docs" == min(doc) != max(doc): the
+    # countDistinct form Spark rewrites into TWO full (kh, doc)-grain
+    # exchanges (the distinct-expand pair SCRUB_DIAG.json measured as
+    # the query's largest exchanges — 352 MB of 389 at sf1.0); min/max
+    # are plain partial aggregates, so this is ONE exchange of
+    # (kh, min, max) rows — the same information, half the agg shuffle.
     dup = (
         kg.groupBy("kh")
         .agg(
-            F.countDistinct(id_col).alias("_ndocs"),
             F.min(id_col).alias("owner_doc"),
+            F.max(id_col).alias("_max_doc"),
         )
-        .filter(F.col("_ndocs") >= 2)
-        .drop("_ndocs")
+        .filter(F.col("owner_doc") != F.col("_max_doc"))
+        .drop("_max_doc")
     )
-    return kg.join(dup, "kh").select(id_col, "pos", "kh", "owner_doc")
+    probe = kg
+    if stage and _scrub_gate(kg):
+        # Past the broadcast->SMJ transition the FULL k-gram frame
+        # shuffles into this join (1.68 GB at sf10, ~17 GB at sf100)
+        # though only the duplicated minority matches. Stage the
+        # (small) duplicated set once so the bitmap build and the join
+        # read the same materialized frame, then bit-test kg BEFORE
+        # its exchange. False positives just ride into the exact join.
+        dup = stage_frame(dup)
+        probe = bloom_prune(
+            kg, dup, ["kh"], ["kh"],
+            bits_per_key=_scrub_bloom_bits(kg.sparkSession),
+            n_keys=dup.count(),
+        )
+    return probe.join(dup, "kh").select(id_col, "pos", "kh", "owner_doc")
 
 
 def dup_span_intervals(
@@ -415,52 +475,77 @@ def scrub_duplicated_spans(
     tokens in order. Returns (id_col, n_tokens, n_removed, clean_text);
     docs scrubbed to nothing emit '' rather than vanishing. See
     dup_kgram_occurrences for why this is linear at any duplication
-    rate (no pair join; covered positions are an 8x explode of only
-    the non-owned duplicated occurrences).
+    rate (no pair join).
 
-    The token frame feeds THREE lineages (k-gram signing, the
-    position-grain token explode, and the final per-doc size join);
-    staging.stage materializes the tokenize once instead of
-    re-splitting the corpus per consumer — measured ~25% wall-clock at
-    sf0.1 (the reindex/graph-CC idiom; set spark.pulsar.stage.mode=
-    reliable on clusters with elastic executors)."""
+    Scale shape (round 11 — SCRUB_DIAG.json named this family's
+    broadcast->SMJ transition, and this rewrite removes its two
+    probe-side members): covered positions are NEVER exploded to a
+    token-grain frame. Non-owned duplicated occurrences (the SMALL
+    frame) merge into per-doc maximal INTERVALS (dup_span_intervals —
+    per-document windows), the intervals collect to one array per doc
+    (a handful of structs), and covered positions are subtracted
+    IN-ARRAY per document: ``array_except(sequence(1, len), flatten
+    (per-span sequences))`` keeps surviving positions in order, and
+    one ``transform``/``element_at`` projection reassembles the text.
+    The old token-position anti join shuffled the FULL corpus at
+    token grain (531 MB at sf10, ~5 GB at sf100) plus an 8x covered
+    explode through a distinct — both exchanges are gone; what
+    shuffles instead is the occurrence frame (duplicated minority
+    only) and one doc-grain join of the token arrays against the
+    per-doc span lists. Per-doc work is O(len + covered) hash-set
+    subtraction — linear, bounded by doc length.
+
+    The token frame feeds THREE lineages (k-gram signing, the final
+    doc-grain join, and sizing); staging.stage materializes the
+    tokenize once instead of re-splitting the corpus per consumer —
+    measured ~25% wall-clock at sf0.1 (the reindex/graph-CC idiom; set
+    spark.pulsar.stage.mode=reliable on clusters with elastic
+    executors)."""
     toks = docs.select(id_col, tokenized(text_col).alias("w")).transform(stage_frame)
     occ = dup_kgram_occurrences(toks, k=k, id_col=id_col)
-    cov = (
-        occ.filter(F.col("owner_doc") != F.col(id_col))
+    noc = occ.filter(F.col("owner_doc") != F.col(id_col)).select(id_col, "pos")
+    spans = dup_span_intervals(noc, k=k, id_col=id_col)
+    # one array of (start, end) structs per doc; the window in
+    # dup_span_intervals already partitioned by doc, so this groupBy
+    # reuses that exchange. Intervals from gaps-and-islands may overlap
+    # (anchors with gaps < k merge only when consecutive) — harmless:
+    # array_except subtracts a SET, duplicate covered positions are
+    # absorbed.
+    spansets = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("int").alias("s"),
+                F.col("span_end").cast("int").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard empties
+    positions = F.when(
+        F.size("w") > 0, F.sequence(F.lit(1), F.size("w"))
+    ).otherwise(F.array().cast("array<int>"))
+    covered = F.coalesce(
+        F.flatten(
+            F.transform(F.col("_spans"), lambda s: F.sequence(s["s"], s["e"]))
+        ),
+        F.array().cast("array<int>"),
+    )
+    kept_pos = F.array_except(positions, covered)
+    return (
+        toks.join(spansets, id_col, "left")
         .select(
             id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("tp"),
+            F.size("w").cast("long").alias("n_tokens"),
+            kept_pos.alias("_kept"),
+            F.col("w"),
         )
-        .distinct()
-    )
-    tokpos = toks.select(id_col, F.posexplode("w").alias("_tp0", "tok")).select(
-        id_col, (F.col("_tp0") + 1).alias("tp"), "tok"
-    )
-    kept = tokpos.join(cov, [id_col, "tp"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    n_tokens = F.size("w").cast("long")
-    return (
-        toks.select(id_col, n_tokens.alias("n_tokens"))
-        .join(agg, id_col, "left")
         .select(
             id_col,
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda p: F.element_at("w", p)),
+                " ",
+            ).alias("clean_text"),
         )
     )
 

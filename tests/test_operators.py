@@ -2811,3 +2811,53 @@ def test_swap_fence_aborts_loser_under_lost_lease(spark, tmp_path):
         "loser staging dir must be swept, never referenced"
     )
     assert store_fs.list_generations(store) == [cur]
+
+
+def test_scrub_bloom_gate_equivalence_and_escape(spark):
+    """The round-11 anchor-layer Bloom prunes (k-gram join prune +
+    token-position anti-join bypass, SCRUB_DIAG/BASELINE round 11) are
+    plan-only: forcing the gate on (min-kgram-rows=1) and switching it
+    off (bits=0) must both produce results identical to the default
+    plan for scrub AND span finding — exactness does not depend on the
+    Bloom FPR because false negatives are impossible and false
+    positives ride into the exact joins."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    planted = " ".join(f"dup{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(25)) + " " + planted),
+            (2, planted + " " + " ".join(f"b{i}" for i in range(25))),
+            (3, " ".join(f"c{i}" for i in range(40))),
+            (4, planted),  # whole doc is the duplicated span
+        ],
+        "doc_id long, text string",
+    )
+
+    def snap():
+        scrub = sorted(
+            map(tuple, D.scrub_duplicated_spans(docs, k=8).collect())
+        )
+        occ = sorted(
+            map(
+                tuple,
+                D.dup_kgram_occurrences(
+                    docs.select(
+                        "doc_id", D.tokenized("text").alias("w")
+                    ),
+                    k=8,
+                ).collect(),
+            )
+        )
+        return scrub, occ
+
+    conf = spark.conf
+    base = snap()
+    try:
+        conf.set("spark.pulsar.scrub.bloomMinKgramRows", "1")
+        assert snap() == base, "forced-gate plan changed results"
+        conf.set("spark.pulsar.scrub.bloomBitsPerKey", "0")
+        assert snap() == base, "bits=0 escape hatch changed results"
+    finally:
+        conf.unset("spark.pulsar.scrub.bloomMinKgramRows")
+        conf.unset("spark.pulsar.scrub.bloomBitsPerKey")

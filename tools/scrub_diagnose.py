@@ -169,6 +169,9 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    lvl = os.environ.get("SPARK_GRAFT_STAGE_LEVEL")
+    if lvl:  # heavy-tier runs stage disk_only (BASELINE round-11 note)
+        spark.conf.set("spark.pulsar.stage.level", lvl)
 
     out = {"query": "substring_scrub", "sfs": {}}
     for sf, d in sf_dirs.items():
@@ -236,7 +239,9 @@ def main() -> None:
                   f"({g['factor']}x)  {g['context'][:100]}")
         print("join strategies:", out["join_strategy_diff"])
 
-    path = os.path.join(repo, "SCRUB_DIAG.json")
+    path = os.path.join(
+        repo, os.environ.get("SPARK_GRAFT_SCRUB_OUT", "SCRUB_DIAG.json")
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
