@@ -68,6 +68,15 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Optional staging storage-level override (round 11): the sf100
+    # triangle spill attribution found 68% of the 100 GB memory spill
+    # was staged localCheckpoint blocks held DESERIALIZED on-heap, not
+    # the join sorts — SPARK_GRAFT_STAGE_LEVEL=disk_only re-measures
+    # under the scale-run posture. Rows produced under an override get
+    # a distinct mode label so they merge BESIDE the default rows.
+    stage_lvl = os.environ.get("SPARK_GRAFT_STAGE_LEVEL")
+    if stage_lvl:
+        spark.conf.set("spark.pulsar.stage.level", stage_lvl)
     # warmup: run the query itself once at sf0.001 (JVM + codegen)
     _materialize(QUERIES[QUERY](spark, "/root/testdata/sf0.001"))
     _release_persisted(spark)
@@ -94,6 +103,8 @@ def main() -> None:
         }
     for mode, bits in modes:
         spark.conf.set(CONF, bits)
+        if stage_lvl:
+            mode = f"{mode}_stage_{stage_lvl}"
         out["modes"].setdefault(mode, {})
         for sf, d in sf_dirs.items():
             if not os.path.isdir(d):

@@ -41,6 +41,49 @@ from tools.scrub_diagnose import (  # noqa: E402
 )
 
 
+def spilling_stages(spark, after_stage_id: int) -> list[dict]:
+    """Per-STAGE spill rows from the status REST API.
+
+    Why this exists alongside spilling_nodes: the SQL-graph 'spill
+    size' node metric only covers operators that own an
+    UnsafeExternalSorter/hash map INSIDE the plan (SortExec,
+    HashAggregateExec, SMJ buffers). Two spill producers are invisible
+    to it — the ShuffleExternalSorter that sorts map output while
+    WRITING an exchange, and any job that is not a SQL execution at
+    all (the staging localCheckpoint materializations). The first
+    sf100 triangle attribution run came back with 31.7 GB of spill
+    and ZERO spilling nodes for exactly this reason. Stage rows see
+    every task's memoryBytesSpilled, and the stage name/details carry
+    the call site, which is enough to name the owner."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?details=false"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.loads(r.read())
+    out = []
+    for st in stages:
+        if st.get("stageId", -1) <= after_stage_id:
+            continue
+        if not (st.get("memoryBytesSpilled") or st.get("diskBytesSpilled")):
+            continue
+        out.append(
+            {
+                "stage_id": st["stageId"],
+                "name": (st.get("name") or "")[:120],
+                "num_tasks": st.get("numTasks"),
+                "spill_bytes": st.get("memoryBytesSpilled", 0),
+                "disk_spill_bytes": st.get("diskBytesSpilled", 0),
+                "shuffle_write_mb": _mb(st.get("shuffleWriteBytes", 0)),
+                "shuffle_read_mb": _mb(st.get("shuffleReadBytes", 0)),
+                "input_mb": _mb(st.get("inputBytes", 0)),
+            }
+        )
+    out.sort(key=lambda s: -s["spill_bytes"])
+    return out
+
+
 def spilling_nodes(spark, after_id: int, settle_secs: int = 120) -> list[dict]:
     """Every SQL-graph node with a nonzero 'spill size' metric in
     executions with id > after_id (same async-settle polling as
@@ -120,6 +163,9 @@ def main() -> None:
     metrics = StageMetrics(spark)
     execs = _sql_executions(spark)
     last_id = max((e.get("id", -1) for e in execs), default=-1)
+    last_stage = max(
+        (s["stage_id"] for s in spilling_stages(spark, -1)), default=-1
+    )
     before = metrics.snapshot()
     t0 = time.perf_counter()
     _materialize(QUERIES[qname](spark, sf_dir))
@@ -127,6 +173,7 @@ def main() -> None:
     work = metrics.diff(before)
     nodes = spilling_nodes(spark, last_id)
     nodes.sort(key=lambda n: -n["spill_bytes"])
+    stages = spilling_stages(spark, last_stage)
     out = {
         "query": qname,
         "sf_dir": sf_dir,
@@ -145,6 +192,14 @@ def main() -> None:
             }
             for n in nodes
         ],
+        "spilling_stages": [
+            {
+                **s,
+                "spill_mb": _mb(s["spill_bytes"]),
+                "disk_spill_mb": _mb(s["disk_spill_bytes"]),
+            }
+            for s in stages
+        ],
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -153,6 +208,13 @@ def main() -> None:
         print(
             f"  {n['spill_bytes']/1048576:10.1f} MB  {n['node']}"
             f"  [{n['exec_id']}/{n['node_id']}] {n['context'][:80]}"
+        )
+    for s in stages[:12]:
+        print(
+            f"  stage {s['stage_id']:>4} {s['spill_bytes']/1048576:10.1f} MB"
+            f" (disk {s['disk_spill_bytes']/1048576:.0f})"
+            f" wr={s['shuffle_write_mb']:.0f} rd={s['shuffle_read_mb']:.0f}"
+            f"  {s['name'][:70]}"
         )
     print("wrote", out_path)
     spark.stop()
