@@ -77,6 +77,15 @@ def main() -> None:
     stage_lvl = os.environ.get("SPARK_GRAFT_STAGE_LEVEL")
     if stage_lvl:
         spark.conf.set("spark.pulsar.stage.level", stage_lvl)
+    # SPARK_GRAFT_BLOOM_CONF="k=v,k=v": extra session confs, recorded
+    # per-row — how the advisory-partition-size fix is re-measured in
+    # bench shape (SPILL_DIAG_triangle_sf100_adv16m.json names why)
+    conf_overrides = {}
+    for kv in os.environ.get("SPARK_GRAFT_BLOOM_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            conf_overrides[k.strip()] = v.strip()
+            spark.conf.set(k.strip(), v.strip())
     # warmup: run the query itself once at sf0.001 (JVM + codegen)
     _materialize(QUERIES[QUERY](spark, "/root/testdata/sf0.001"))
     _release_persisted(spark)
@@ -129,6 +138,8 @@ def main() -> None:
                 "spill_mb": _mb(med["spill_bytes"]),
                 "disk_spill_mb": _mb(med["disk_spill_bytes"]),
             }
+            if conf_overrides:
+                out["modes"][mode][sf]["conf_overrides"] = conf_overrides
             print(mode, sf, out["modes"][mode][sf], flush=True)
     for sf in sf_dirs:
         on = out["modes"].get("on_8bits", {}).get(sf)
