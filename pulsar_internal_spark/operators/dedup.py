@@ -616,6 +616,24 @@ def hamming_banded_pairs(
         ).alias("band"),
     ).select("id", "h", "band.band_idx", "band.band_val")
     banded = drop_hot_keys(banded, ["band_idx", "band_val"], max_df)
+    # Optional explicit parallelism for the pair-PRODUCING stage
+    # (spark.pulsar.pairs.partitions, default 0 = leave to AQE).
+    # Why AQE alone is not enough at the third decade: AQE coalesces
+    # the banded exchange by its INPUT bytes (sf100: 332 MB -> ~33
+    # tasks), but the self-join below explodes ~50x on the way to the
+    # pair exchange, so each task's shuffle-WRITE sorter overflows —
+    # 97 GB of memory spill attributed to that single stage
+    # (SPILL_DIAG_imgxwide_sf100_adv16m.json; same mechanism as the
+    # triangle wedge stage, SPILL_DIAG_triangle_sf100.json). A keyed
+    # repartition with an explicit count is exempt from AQE coalescing
+    # and sets that stage's task count directly; both self-join sides
+    # share the one exchange, and rows are untouched — result-exact.
+    nparts = int(
+        hashes.sparkSession.conf.get("spark.pulsar.pairs.partitions", "0")
+        or 0
+    )
+    if nparts > 0:
+        banded = banded.repartition(nparts, "band_idx", "band_val")
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (

@@ -7521,6 +7521,21 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
     ).transform(stage)
+    # Optional explicit parallelism for the wedge-producing stage
+    # (spark.pulsar.triangles.wedgePartitions, 0 = leave to AQE).
+    # Same mechanism and rationale as dedup.hamming_banded_pairs'
+    # pairs.partitions knob: AQE coalesces the oriented exchange by
+    # its INPUT bytes (sf100: 2.5 GB -> 43 tasks) while the wedge
+    # explode blows output ~10x, overflowing each task's shuffle-write
+    # sorter (31.7 GB of the sf100 spill after the staging fix —
+    # SPILL_DIAG_triangle_sf100.json). An explicit keyed repartition
+    # is exempt from AQE coalescing; both self-join sides share the
+    # one exchange; rows untouched — result-exact.
+    wparts = int(
+        spark.conf.get("spark.pulsar.triangles.wedgePartitions", "0") or 0
+    )
+    if wparts > 0:
+        oriented = oriented.repartition(wparts, "u")
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -1408,6 +1408,36 @@ def test_hamming_banded_pairs_caps_mega_bucket(spark):
     )
 
 
+def test_hamming_banded_pairs_explicit_partitions(spark):
+    """spark.pulsar.pairs.partitions pins the pair-producing stage's
+    task count with a keyed repartition that (a) is result-exact vs
+    the default AQE path, and (b) actually lands in the plan with the
+    requested count (AQE-coalescing the banded exchange by INPUT bytes
+    is the sf100 spill mechanism this knob exists to override —
+    SPILL_DIAG_imgxwide_sf100_adv16m.json)."""
+    from pulsar_internal_spark.operators import dedup as D
+
+    rows = [(i, (0x5A5A + (i % 7)) ^ ((i % 3) << 8)) for i in range(200)]
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_banded_pairs(hashes, max_hamming=2).collect()
+    }
+    spark.conf.set("spark.pulsar.pairs.partitions", "7")
+    try:
+        pinned_df = D.hamming_banded_pairs(hashes, max_hamming=2)
+        pinned = {
+            (r.id_a, r.id_b, r.hamming) for r in pinned_df.collect()
+        }
+        plan = pinned_df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(band_idx" in plan and "7)" in plan, (
+            f"explicit keyed repartition missing from plan:\n{plan[:2000]}"
+        )
+    finally:
+        spark.conf.unset("spark.pulsar.pairs.partitions")
+    assert pinned == base, "explicit partitioning changed the pair set"
+
+
 def test_ivf_index_build_probe_and_partition_pruning(spark, sf_dir, tmp_path):
     """Persisted IVF index: (a) probing with nprobe == num_centroids
     degenerates to exact brute force (same pairs, same ranks), (b) a
