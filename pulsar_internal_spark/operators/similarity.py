@@ -236,6 +236,19 @@ def lsh_blocked_pairs(
     banded = embedding_banded_signatures(
         df, id_col, vec_col, planes_per_band, num_bands, dim
     )
+    # spark.pulsar.pairs.partitions (0 = leave to AQE): same knob and
+    # mechanism as dedup.hamming_banded_pairs — AQE sizes the
+    # pair-producing stage by the banded frame's INPUT bytes while the
+    # self-join explodes orders of magnitude more output, overflowing
+    # per-task shuffle-write sorters at the third decade (see
+    # SPILL_DIAG_imgxwide_sf100_pairs512.json for the measured fix on
+    # the perceptual twin). Explicit keyed repartition is exempt from
+    # AQE coalescing; result-exact.
+    nparts = int(
+        df.sparkSession.conf.get("spark.pulsar.pairs.partitions", "0") or 0
+    )
+    if nparts > 0:
+        banded = banded.repartition(nparts, "band_idx", "band_key")
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(

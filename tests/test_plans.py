@@ -125,6 +125,35 @@ def test_lsh_blocked_pairs_is_equi_join(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_lsh_blocked_pairs_partitions_knob(spark, sf_dir):
+    """spark.pulsar.pairs.partitions on the embedding LSH tier: same
+    contract as the perceptual twin — identical pair set, and the
+    explicit keyed repartition lands in the plan with the requested
+    count."""
+    from pulsar_internal_spark.plans.queries import QUERIES
+
+    base = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_near_dup"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    spark.conf.set("spark.pulsar.pairs.partitions", "6")
+    try:
+        df = QUERIES["embedding_near_dup"](spark, sf_dir)
+        pinned = {
+            (r.id_a, r.id_b)
+            for r in df.select("id_a", "id_b").collect()
+        }
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(band_idx" in plan and "6)" in plan, (
+            plan[:2000]
+        )
+    finally:
+        spark.conf.unset("spark.pulsar.pairs.partitions")
+    assert pinned == base, "explicit partitioning changed the pair set"
+
+
 def test_contamination_broadcasts_benchmark_ngrams(spark, sf_dir):
     """Decontamination joins the corpus n-grams against the (small)
     benchmark n-gram set — the benchmark side must broadcast so the

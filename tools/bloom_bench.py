@@ -110,9 +110,12 @@ def main() -> None:
             "runs recorded per mode/sf row",
             "modes": {},
         }
+    label = os.environ.get("SPARK_GRAFT_BLOOM_LABEL")
     for mode, bits in modes:
         spark.conf.set(CONF, bits)
-        if stage_lvl:
+        if label:
+            mode = f"{mode}_{label}"
+        elif stage_lvl:
             mode = f"{mode}_stage_{stage_lvl}"
         out["modes"].setdefault(mode, {})
         for sf, d in sf_dirs.items():
