@@ -138,6 +138,14 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_PAIRS_PARTITIONS > 0 pins the banded pair-producing
+    # stages' task count (spark.pulsar.pairs.partitions — see
+    # SPILL_DIAG_imgxwide_sf100_pairs512.json: sf100 xwide keepers
+    # 1,482.8 -> 667.1 s, 95.6 GB spill -> zero, at =512). Default off
+    # so rows stay comparable with earlier artifacts unless asked.
+    _pp = os.environ.get("SPARK_GRAFT_PAIRS_PARTITIONS", "0")
+    if int(_pp or 0) > 0:
+        spark.conf.set("spark.pulsar.pairs.partitions", _pp)
     warm = "/root/testdata/sf0.001"
     for q in ("class_filter_scan", "multimodal_real_decode"):
         _materialize(QUERIES[q](spark, warm))
