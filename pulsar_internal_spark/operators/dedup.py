@@ -18,7 +18,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..sources.tables import spread
@@ -47,17 +47,21 @@ def _scrub_bloom_bits(spark) -> int:
     return int(spark.conf.get(SCRUB_BITS_CONF, "8"))
 
 
-def _scrub_gate(kg_staged: DataFrame) -> bool:
+def _scrub_gate(kg_staged: DataFrame, n_rows: int | None = None) -> bool:
     """Whether the anchor-layer prunes engage: conf-enabled AND the
-    staged k-gram frame is past the broadcast->SMJ transition scale
-    (the count is a cached-block scan on the staged frame)."""
+    staged k-gram frame is past the broadcast->SMJ transition scale.
+    ``n_rows``: the frame's row count when the caller already has it
+    (round 11: dup_kgram_occurrences collects it as an observe metric
+    during the staging job); falls back to a cached-block count scan."""
     spark = kg_staged.sparkSession
     if _scrub_bloom_bits(spark) <= 0:
         return False
     min_rows = int(
         spark.conf.get(SCRUB_MIN_KG_CONF, str(_SCRUB_MIN_KG_DEFAULT))
     )
-    return kg_staged.count() >= min_rows
+    if n_rows is None:
+        n_rows = kg_staged.count()
+    return n_rows >= min_rows
 
 
 def normalized_text(col: str = "text"):
@@ -400,8 +404,13 @@ def dup_kgram_occurrences(
             )
         ).alias("_p0", "kh"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "kh")
+    kg_rows = None
     if stage:
-        kg = kg.transform(stage_frame)
+        # the gate's row count rides the staging job as an observe
+        # metric (round 11) — no separate cached-block count scan
+        _kgn = Observation()
+        kg = stage_frame(kg.observe(_kgn, F.count(F.lit(1)).alias("n")))
+        kg_rows = _kgn.get["n"]
     # "occurs in >= 2 distinct docs" == min(doc) != max(doc): the
     # countDistinct form Spark rewrites into TWO full (kh, doc)-grain
     # exchanges (the distinct-expand pair SCRUB_DIAG.json measured as
@@ -418,18 +427,20 @@ def dup_kgram_occurrences(
         .drop("_max_doc")
     )
     probe = kg
-    if stage and _scrub_gate(kg):
+    if stage and _scrub_gate(kg, kg_rows):
         # Past the broadcast->SMJ transition the FULL k-gram frame
         # shuffles into this join (1.68 GB at sf10, ~17 GB at sf100)
         # though only the duplicated minority matches. Stage the
         # (small) duplicated set once so the bitmap build and the join
         # read the same materialized frame, then bit-test kg BEFORE
         # its exchange. False positives just ride into the exact join.
-        dup = stage_frame(dup)
+        # The bitmap sizing count rides the staging job (observe).
+        _dupn = Observation()
+        dup = stage_frame(dup.observe(_dupn, F.count(F.lit(1)).alias("n")))
         probe = bloom_prune(
             kg, dup, ["kh"], ["kh"],
             bits_per_key=_scrub_bloom_bits(kg.sparkSession),
-            n_keys=dup.count(),
+            n_keys=_dupn.get["n"],
         )
     return probe.join(dup, "kh").select(id_col, "pos", "kh", "owner_doc")
 

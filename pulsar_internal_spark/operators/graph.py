@@ -136,8 +136,13 @@ def pagerank(
     the destination — the same budget as a components round. N and the
     per-node degree are carried as broadcast/join columns (no driver
     scalar); fixed iteration count keeps the plan finite and
-    deterministic, and each round stages (staging.stage) so lineage doesn't
-    compound."""
+    deterministic. Lineage is cut by staging every THIRD iteration
+    (round 11): a 3-iteration chain is a small finite plan, so staging
+    each round bought nothing locally and cost a full materialization
+    of the node-sized rank table per iteration at scale — the periodic
+    cut keeps plan growth bounded for large ``iters`` while the common
+    3-iteration call runs as ONE AQE query (results byte-identical:
+    same joins, same fold order, only materialization points moved)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -149,7 +154,7 @@ def pagerank(
     ranks = deg.join(F.broadcast(n)).select(
         "id", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             sym.join(ranks, sym["a"] == ranks["id"])
             .groupBy(F.col("b").alias("id"))
@@ -166,6 +171,10 @@ def pagerank(
                     (1.0 - damping) / F.col("n") + damping * F.col("in_rank")
                 ).alias("rank"),
             )
-            .transform(stage)
         )
+        # periodic lineage cut only — never after the final iteration
+        # (the caller consumes the result once; staging it would be a
+        # wasted materialization pass)
+        if (it + 1) % 3 == 0 and it != iters - 1:
+            ranks = stage(ranks)
     return ranks.select("id", F.col("rank").alias("pagerank"))

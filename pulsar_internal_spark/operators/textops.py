@@ -135,12 +135,15 @@ def bpe_learn_merges(toks, n_merges: int, tokens_col: str = "w"):
     function-word pairs combine map-side) + ONE narrow rewrite; the
     driver receives exactly one row per round. The per-round
     staging.stage stops fold-of-fold lineage growth (same idiom as
-    graph CC); on a cluster with elastic executors prefer reliable
+    graph CC) — except after the FINAL round, whose rewrite no later
+    aggregate re-reads (round 11: staging it was a wasted full
+    materialization pass; the caller consumes the returned frame
+    once). On a cluster with elastic executors prefer reliable
     checkpoint(dir) or a parquet round-trip for the re-segmentation."""
     merges: list[tuple[str, str]] = []
     cur = toks
     wc = F.col(tokens_col)
-    for _ in range(n_merges):
+    for rnd in range(n_merges):
         pairs = cur.select(
             F.explode(
                 F.when(
@@ -166,9 +169,9 @@ def bpe_learn_merges(toks, n_merges: int, tokens_col: str = "w"):
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        cur = cur.withColumn(
-            tokens_col, bpe_apply_merge(wc, a, b)
-        ).transform(stage)
+        cur = cur.withColumn(tokens_col, bpe_apply_merge(wc, a, b))
+        if rnd != n_merges - 1:
+            cur = stage(cur)
     return merges, cur
 
 

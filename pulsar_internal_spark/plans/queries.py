@@ -78,7 +78,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -90,7 +90,7 @@ from ..operators import textops
 from ..operators import tree as tree_ops
 from ..shipping import ensure_shipped
 from ..staging import stage
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table, spread, table_rows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3683,7 +3683,7 @@ def image_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     docs = spread(_t(spark, sf_dir, "documents"))
-    groups = max(40, docs.count() // 125)
+    groups = max(40, table_rows(sf_dir, "documents") // 125)
     hashes = mm.image_ahash(mm.attach_group_images(docs, groups=groups))
     return dedup_ops.hamming_banded_pairs(
         hashes, hash_col="ahash", id_col="doc_id", bits=16, band_bits=4,
@@ -3767,7 +3767,7 @@ def image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     docs = spread(_t(spark, sf_dir, "documents"))
-    groups = max(40, docs.count() // 125)
+    groups = max(40, table_rows(sf_dir, "documents") // 125)
     hashes = mm.image_ahash(mm.attach_group_images_wide(docs, groups=groups))
     return dedup_ops.hamming_banded_pairs(
         hashes, hash_col="ahash", id_col="doc_id", bits=64, band_bits=16,
@@ -3848,7 +3848,7 @@ def _image_xwide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     docs = spread(_t(spark, sf_dir, "documents"))
-    groups = max(40, docs.count() // 125)
+    groups = max(40, table_rows(sf_dir, "documents") // 125)
     hashes = mm.image_ahash(mm.attach_group_images_wide(docs, groups=groups))
     return dedup_ops.hamming_banded_pairs(
         hashes, hash_col="ahash", id_col="doc_id", bits=63, band_bits=21,
@@ -7515,12 +7515,18 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_first = F.struct(F.col("dsrc"), F.col("src")) < F.struct(F.col("ddst"), F.col("dst"))
     # oriented is consumed three times (both wedge sides + the closer);
-    # materialize once so the rank joins don't re-run per consumer
-    oriented = ranked.select(
-        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
-    ).transform(stage)
+    # materialize once so the rank joins don't re-run per consumer.
+    # The bloom sizing count rides the staging action as an observe
+    # metric (round 11) — the former oriented.count() was a separate
+    # driver job over the cached blocks every invocation.
+    _ocount = Observation()
+    oriented = stage(
+        ranked.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+        ).observe(_ocount, F.count(F.lit(1)).alias("n"))
+    )
     # Optional explicit parallelism for the wedge-producing stage
     # (spark.pulsar.triangles.wedgePartitions, 0 = leave to AQE).
     # Same mechanism and rationale as dedup.hamming_banded_pairs'
@@ -7552,15 +7558,15 @@ def user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.get("spark.pulsar.triangles.bloomBitsPerKey", "8")
     )
     if bits > 0:
-        # oriented is a staged (materialized) frame, so the build-side
-        # count is a cached-block scan, not a recompute
+        # n_keys comes from the observe metric collected during the
+        # staging materialization above — no extra count job
         wedges = bloomjoin.bloom_prune(
             wedges,
             closer,
             ["b", "c"],
             ["b", "c"],
             bits_per_key=bits,
-            n_keys=oriented.count(),
+            n_keys=_ocount.get["n"],
         )
     # INNER, not left_semi, deliberately: (b, c) is unique in closer
     # (oriented maps the distinct edge list 1:1), so the multiplicity

@@ -78,6 +78,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no Spark job. Several queries size a modulus from COUNT(*) of their
+    input table; counting through the DataFrame executed a whole job
+    (and, when the frame was already spread(), its round-robin exchange
+    too) to learn a number every parquet footer already stores. Same
+    value as COUNT(*) by the parquet spec; at 100 TB this is a
+    footers-only metadata read, exactly what a catalog would serve."""
+    import pyarrow.dataset as pads
+
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    return pads.dataset(path, format="parquet").count_rows()
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
