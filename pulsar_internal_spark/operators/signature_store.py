@@ -165,15 +165,16 @@ def append_banded_batch(
     (similarity.embedding_banded_signatures) share one store
     implementation. The banding function is part of the store's
     identity, like the signature parameters above."""
+    from . import store_fs
+
     ensure_no_orphan_generation(store_path)
     root, init = _begin_store_write(store_path)
     if batch_id is None:
-        existing = None if init else _read_store(spark, store_path)
-        if existing is None:
-            bid = 0
-        else:
-            prev = existing.agg(F.max("batch_id")).collect()[0][0]
-            bid = 0 if prev is None else int(prev) + 1
+        # next sequential id from the partition directory NAMES — the
+        # former agg(max(batch_id)) ran a full store scan per append
+        # (round 11; see store_fs.max_partition_value for equivalence)
+        prev = None if init else store_fs.max_partition_value(root, "batch_id")
+        bid = 0 if prev is None else int(prev) + 1
     else:
         bid = int(batch_id)
     out = banded.withColumn("batch_id", F.lit(bid))

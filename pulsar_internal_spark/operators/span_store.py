@@ -134,15 +134,17 @@ def _append_kg(
     batch_id: int | None,
     id_col: str,
 ) -> int:
+    from . import store_fs
+
     ensure_no_orphan_generation(store_path)
     root, init = _begin_store_write(store_path)
     store = None if init else _read_store(spark, store_path)
     if batch_id is None:
-        if store is None:
-            bid = 0
-        else:
-            prev = store.agg(F.max("batch_id")).collect()[0][0]
-            bid = 0 if prev is None else int(prev) + 1
+        # next sequential id from the partition directory NAMES — the
+        # former agg(max(batch_id)) ran a full store scan per append
+        # (round 11; see store_fs.max_partition_value for equivalence)
+        prev = None if init else store_fs.max_partition_value(root, "batch_id")
+        bid = 0 if prev is None else int(prev) + 1
     else:
         bid = int(batch_id)
 

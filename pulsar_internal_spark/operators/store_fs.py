@@ -134,6 +134,26 @@ def list_subdirs(path: str) -> list[str]:
     )
 
 
+def max_partition_value(root: str, column: str) -> int | None:
+    """Max integer hive-partition value (``column=N`` child dirs) under
+    a generation root, from the directory NAMES — no Spark job. The
+    stores' sequential-batch appenders previously ran a full
+    ``agg(max(batch_id))`` scan per append to learn the next id; the
+    partition directory listing carries the same information (every
+    append writes ``partitionBy(column)``, so a batch with rows always
+    has its directory; an empty batch writes none and is invisible to
+    the aggregate too — identical semantics). None = no such partition
+    directory (fresh or empty store)."""
+    vals = []
+    for name in list_subdirs(root):
+        if name.startswith(f"{column}="):
+            try:
+                vals.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return max(vals) if vals else None
+
+
 def create_exclusive(path: str) -> bool:
     """Atomically create an empty marker file; False if it already
     exists. The primitive under maintenance leases: atomic on local

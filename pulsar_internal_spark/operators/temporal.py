@@ -44,6 +44,7 @@ def asof_join(
     right_time: str,
     payload: Sequence[str],
     carry_time_as: str = "asof_time",
+    right_tie_break: Sequence[str] = (),
 ) -> DataFrame:
     """Left as-of join: every `left` row, plus `payload` columns from the
     latest `right` row with the same `on` key and
@@ -52,12 +53,23 @@ def asof_join(
     `right` must be unique per (on, right_time); ties at equal time sort
     the right row first, so a left row at exactly the right row's time
     matches it (>= semantics, DuckDB-ASOF-compatible).
-    """
+
+    ``right_tie_break`` (round 11): right-side columns appended
+    ASCENDING to the carry-forward window's ordering. With it, `right`
+    may hold several rows per (on, right_time): the carried payload is
+    the row whose tie-break tuple sorts LAST — e.g. pass the id column
+    to carry the max-id row, which equals pre-aggregating
+    ``groupBy(on, right_time).agg(max(id))`` while REMOVING that
+    aggregate's whole exchange: the dedup rides the window sort the
+    as-of union already pays (duplicates within a (key, time) group
+    are adjacent in the sort; last-write-wins through the running
+    ``last(ignorenulls)``)."""
     # The union/window plumbing below manufactures internal columns; a
     # caller column with one of these names would silently produce
     # ambiguous/duplicate output, so refuse loudly instead.
     reserved = {"_k", "_t", "_tag", "_pt", carry_time_as}
     reserved |= {f"_p_{c}" for c in payload} | {f"_c_{c}" for c in payload}
+    reserved |= {f"_tb_{c}" for c in right_tie_break}
     clashes = reserved.intersection(left.columns)
     if clashes:
         raise ValueError(
@@ -78,6 +90,10 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
         F.lit(None).cast(right.schema[right_time].dataType).alias("_pt"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_tb_{c}")
+            for c in right_tie_break
+        ],
     )
     r = right.select(
         F.col(on).alias("_k"),
@@ -86,10 +102,18 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_p_{c}") for c in payload],
         F.col(right_time).alias("_pt"),
+        *[F.col(c).alias(f"_tb_{c}") for c in right_tie_break],
     )
+    # tie-break columns order only right-vs-right rows at an equal
+    # (_k, _t): _tag already puts every right row before any left row
+    # there, and left rows carry NULL ties (mutually equal, harmless)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_tag"))
+        .orderBy(
+            F.asc("_t"),
+            F.asc("_tag"),
+            *[F.asc(f"_tb_{c}") for c in right_tie_break],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(

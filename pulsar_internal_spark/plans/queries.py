@@ -687,10 +687,14 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import asof_join
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    # The former per-(key, date) max-orderkey PRE-aggregate is folded
+    # into the as-of window as a tie-break (round 11): duplicates at an
+    # equal (user, date) are adjacent in the window sort the union
+    # already pays, and carrying the max-orderkey row there is
+    # result-identical to aggregating first — one whole exchange (the
+    # orders groupBy) deleted from the plan.
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
     )
     j = asof_join(
         events,
@@ -700,6 +704,7 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="o_orderdate",
         payload=["o_orderkey"],
         carry_time_as="_asof_ts",
+        right_tie_break=["o_orderkey"],
     )
     return j.select(
         "event_id",

@@ -365,6 +365,56 @@ def test_asof_join_semantics_and_plan(spark):
     assert "Join" not in final_plan, final_plan
 
 
+def test_asof_join_right_tie_break_equals_preaggregate(spark):
+    """right_tie_break (round 11): a right side with several rows per
+    (key, time) carries the max-tie-break row, byte-equal to the former
+    groupBy(key, time).agg(max(id)) pre-aggregate — the optimization
+    deletes that aggregate's exchange, so the equivalence is the
+    correctness contract (asof_latest_order relies on it)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_internal_spark.operators.temporal import asof_join
+
+    left = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP '2024-01-01 02:00:00'),"
+        "(1, TIMESTAMP '2024-01-01 04:00:00'),"
+        "(2, TIMESTAMP '2024-01-01 02:00:00')"
+        " AS t(k, t_left)"
+    )
+    # key 1 has THREE rows at 01:00 (ids 7, 9, 3) and one at 03:00 (5);
+    # key 2 has two rows at 01:00 (ids 2, 8)
+    right = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP '2024-01-01 01:00:00', 7),"
+        "(1, TIMESTAMP '2024-01-01 01:00:00', 9),"
+        "(1, TIMESTAMP '2024-01-01 01:00:00', 3),"
+        "(1, TIMESTAMP '2024-01-01 03:00:00', 5),"
+        "(2, TIMESTAMP '2024-01-01 01:00:00', 2),"
+        "(2, TIMESTAMP '2024-01-01 01:00:00', 8)"
+        " AS t(k, t_right, rid)"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t_left", right_time="t_right",
+        payload=["rid"], right_tie_break=["rid"],
+    )
+    rows = {(r.k, str(r.t_left)): r.rid for r in out.collect()}
+    assert rows == {
+        (1, "2024-01-01 02:00:00"): 9,   # max id at the 01:00 tie group
+        (1, "2024-01-01 04:00:00"): 5,   # newest row wins over older max
+        (2, "2024-01-01 02:00:00"): 8,
+    }
+    # the equivalence itself: tie-break == pre-aggregated max
+    pre = right.groupBy("k", "t_right").agg(F.max("rid").alias("rid"))
+    ref = asof_join(
+        left, pre, on="k", left_time="t_left", right_time="t_right",
+        payload=["rid"],
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
 def test_connected_components_two_islands(spark):
     """connected_components: min-id labels, chain + triangle islands,
     canonical-edge fast path agrees with the safe path."""
@@ -1012,6 +1062,32 @@ def test_incremental_minhash_empty_and_single_batches(spark, tmp_path):
     bid2 = S.append_signature_batch(spark, empty, store)
     assert bid2 == 1
     assert S.candidates_for_batch(spark, store, 1).count() == 0
+
+
+def test_store_next_batch_id_from_partition_listing(spark, tmp_path):
+    """Sequential batch-id assignment now reads the partition directory
+    names (store_fs.max_partition_value) instead of an agg(max) scan
+    per append (round 11) — pin the equivalence: sequencing across
+    appends, gap-free after an explicit high id, and None on a fresh
+    root."""
+    from pulsar_internal_spark.operators import signature_store as S
+    from pulsar_internal_spark.operators import store_fs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sigstore_listing")
+    assert S.append_signature_batch(spark, docs, store) == 0
+    assert S.append_signature_batch(spark, docs, store) == 1
+    # explicit high id, then sequential resumes after it (same as the
+    # old agg(max) + 1 rule)
+    S.append_signature_batch(spark, docs, store, batch_id=7)
+    assert S.append_signature_batch(spark, docs, store) == 8
+    root = store_fs.resolve_current(store)
+    assert store_fs.max_partition_value(root, "batch_id") == 8
+    assert store_fs.max_partition_value(root, "nope") is None
 
 
 def test_ann_recall_regression_planted_neighbors(spark, tmp_path):
