@@ -5280,8 +5280,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worst bucket is bounded at 16^2 pairs regardless of corpus
     size."""
     docs = spread(_t(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", dedup_ops.simhash64("text").alias("simhash")
+    # the simhash frame feeds THREE lineages (drop_hot_keys' frequency
+    # aggregate plus both self-join sides; only the identical join
+    # exchanges reuse) — stage it so the per-token hash+vote pipeline
+    # runs once (round 11: 2.4 -> 1.8 s at sf0.1, results identical)
+    sh = stage(
+        docs.select("doc_id", dedup_ops.simhash64("text").alias("simhash"))
     )
     bands = F.array(
         *[
@@ -5434,7 +5438,12 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = toks.select(
         "doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh")
     )
-    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    # staged for the same reason as containment_candidates: the
+    # fingerprint frame feeds the hot-key frequency aggregate plus both
+    # self-join sides, and only the identical join exchanges reuse
+    sel = stage(
+        kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    )
     fp = sel.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
         F.col("fp").isNotNull()
     )
@@ -5905,7 +5914,15 @@ def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     kg = toks.select("doc_id", dedup_ops.kgram_hashes(F.col("w"), 4).alias("kh"))
-    sel = kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    # the selected-fingerprint frame feeds FOUR lineages (hot-key
+    # frequency aggregate, both pair-join sides, the per-doc size
+    # aggregate) — stage the doc-grain array form once so tokenize +
+    # per-k-gram sha2 + window minima never recompute per consumer
+    # (round 11: 4.6 -> 2.8 s at sf0.1, results identical); only the
+    # cheap explode replays
+    sel = stage(
+        kg.select("doc_id", dedup_ops.winnow(F.col("kh"), 5).alias("fps"))
+    )
     fp = sel.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
         F.col("fp").isNotNull()
     )
