@@ -15,7 +15,7 @@ is one job so lineage stays shallow (checkpoint if depth grows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..staging import stage
@@ -131,7 +131,11 @@ def descendants(
     parts = [frontier.withColumn("depth", F.lit(0))]
     seen_ids = frontier
     for depth in range(1, max_depth + 1):
-        nxt = (
+        # the empty-frontier stop rides the staging materialization as
+        # an observe metric (round 11) — isEmpty() was a separate job
+        # per round
+        _n = Observation()
+        nxt = stage(
             edges.join(
                 F.broadcast(frontier),
                 edges[parent_col] == frontier["id"],
@@ -140,9 +144,9 @@ def descendants(
             .select(F.col(child_col).alias("id"))
             .distinct()
             .join(seen_ids, "id", "left_anti")
-            .transform(stage)
+            .observe(_n, F.count(F.lit(1)).alias("n"))
         )
-        if nxt.isEmpty():
+        if _n.get["n"] == 0:
             break
         parts.append(nxt.withColumn("depth", F.lit(depth)))
         seen_ids = seen_ids.unionByName(nxt)

@@ -5819,29 +5819,31 @@ def segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     that whole-doc and near-dup hashing both miss (a doc can be 95%
     unique yet carry a viral footer). Scale shape: segments are narrow
     (doc_id, hash) rows; the frequency table is one partial-aggregated
-    groupBy; the join back is an equi join on the hash. The segment
-    pipeline is deliberately computed on both join inputs (no exchange
-    reuse — the agg side's partial aggregate sits below its exchange):
-    the single-pass alternative, count() OVER (PARTITION BY seg_hash),
-    computes segments once but pins every occurrence of a hot segment
-    to ONE window task — and viral boilerplate segments are exactly
-    the signal here — while the join form partial-aggregates the hot
-    key map-side and lets AQE skew-split the probe. Recompute costs a
-    second tokenize+sha2 scan; a hot-key straggler costs the stage. No
-    UDF, nothing quadratic."""
+    groupBy; the join back is an equi join on the hash. The
+    single-pass window alternative, count() OVER (PARTITION BY
+    seg_hash), stays rejected: it pins every occurrence of a hot
+    segment to ONE window task — and viral boilerplate segments are
+    exactly the signal here — while the join form partial-aggregates
+    the hot key map-side and lets AQE skew-split the probe. Round 11:
+    the segment frame is STAGED once instead of recomputed on both
+    join inputs (the agg side's partial aggregate sits below its
+    exchange, so nothing reused) — no window straggler AND no second
+    tokenize+sha2 scan. No UDF, nothing quadratic."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.sha2(
-                    F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)), 256
-                ),
-            )
-        ).alias("seg_hash"),
+    segs = stage(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.sha2(
+                        F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)), 256
+                    ),
+                )
+            ).alias("seg_hash"),
+        )
     )
     freq = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n"))
     dup = F.when(F.col("n") > 1, 1).otherwise(0)
@@ -6901,24 +6903,34 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_partkey (plan-tested: no per-row subquery survives); the
     nation/region dims broadcast; top-100 is TakeOrderedAndProject.
     """
-    for t in ("lineitem", "part", "supplier", "nation", "region"):
+    for t in ("part", "supplier", "nation", "region"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    # A SQL CTE is inlined per reference, so the derived bridge's
+    # lineitem aggregate ran TWICE (outer block + the correlated MIN's
+    # decorrelated copy; their exchanges differ, nothing reused).
+    # Stage the bridge once and let both references scan the
+    # materialized frame (round 11) — the correlated subquery below is
+    # untouched, so the decorrelation this query demonstrates (and its
+    # plan test) is unchanged.
+    stage(
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    ).createOrReplaceTempView("v_partsupp_q2")
     return spark.sql(
         """
-        WITH partsupp AS (
-          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                 MIN(l_extendedprice) AS ps_supplycost
-          FROM v_lineitem GROUP BY 1, 2
-        )
         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
-        FROM v_part, v_supplier, partsupp, v_nation, v_region
+        FROM v_part, v_supplier, v_partsupp_q2, v_nation, v_region
         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
           AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'EUROPE'
           AND ps_supplycost = (
             SELECT MIN(ps_supplycost)
-            FROM partsupp, v_supplier, v_nation, v_region
+            FROM v_partsupp_q2, v_supplier, v_nation, v_region
             WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
               AND r_name = 'EUROPE')
@@ -6961,22 +6973,34 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) compared against the grouped aggregate in a plain Filter."""
     for t in ("lineitem", "supplier", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    # natsupp (bridge aggregate + dim joins) is referenced by BOTH the
+    # grouped aggregate and the scalar total; as a CTE each reference
+    # re-ran the whole lineitem aggregate (a scalar subquery executes
+    # as its own pass — no exchange reuse across it). Stage it once
+    # (round 11); the HAVING-over-scalar-subquery shape this query
+    # demonstrates is untouched.
+    stage(
+        spark.sql(
+            """
+            SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+            FROM (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     CAST(FLOOR(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT)
+                       AS ps_cost_cents,
+                     CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS ps_availqty
+              FROM v_lineitem GROUP BY 1, 2
+            ) JOIN v_supplier ON ps_suppkey = s_suppkey
+              JOIN v_nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            """
+        )
+    ).createOrReplaceTempView("v_natsupp_q11")
     return spark.sql(
         """
-        WITH partsupp AS (
-          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                 CAST(FLOOR(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT) AS ps_cost_cents,
-                 CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS ps_availqty
-          FROM v_lineitem GROUP BY 1, 2
-        ), natsupp AS (
-          SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
-          FROM partsupp JOIN v_supplier ON ps_suppkey = s_suppkey
-                        JOIN v_nation ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_7'
-        )
         SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
-        FROM natsupp GROUP BY ps_partkey
-        HAVING CAST(SUM(v) AS BIGINT) > (SELECT CAST(SUM(v) AS BIGINT) FROM natsupp) * 0.001
+        FROM v_natsupp_q11 GROUP BY ps_partkey
+        HAVING CAST(SUM(v) AS BIGINT) >
+               (SELECT CAST(SUM(v) AS BIGINT) FROM v_natsupp_q11) * 0.001
         """
     )
 
@@ -7200,15 +7224,20 @@ def dedup_scrub_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
     nseg = F.ceil(F.size("w") / F.lit(5.0)).cast("int")
-    segs = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)),
-            )
-        ).alias("pos", "seg"),
-    ).withColumn("seg_hash", F.sha2(F.col("seg"), 256))
+    # segs feeds the frequency aggregate AND the reassembly join (no
+    # exchange reuse between them) — stage it so tokenize + segment
+    # concat + sha2 run once (round 11, segment-family discipline)
+    segs = stage(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)),
+                )
+            ).alias("pos", "seg"),
+        ).withColumn("seg_hash", F.sha2(F.col("seg"), 256))
+    )
     freq = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n"))
     kept = F.col("n") == 1
     return (
@@ -8232,7 +8261,12 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, AQE-coalesced. Thresholds compare ROUNDED doubles so the
     keep/drop frontier is engine-exact."""
     docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    # toks feeds FOUR lineages (base, tf, and segs' two consumers) —
+    # stage it so tokenization runs once per doc, not once per signal
+    # (round 11; the bigram queries already applied this discipline)
+    toks = stage(
+        docs.select("doc_id", dedup_ops.tokenized("text").alias("w"))
+    )
     base = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
     tf = (
         toks.select("doc_id", F.explode("w").alias("w2"))
@@ -8246,14 +8280,21 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nseg = F.ceil(F.size("w") / F.lit(5.0)).cast("int")
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.sha2(F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)), 256),
-            )
-        ).alias("sh"),
+    # segs feeds the frequency aggregate AND the scoring join (whose
+    # exchanges differ, so nothing reuses) — stage the hash-grain frame
+    # so the per-segment sha2 runs once
+    segs = stage(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.sha2(
+                        F.concat_ws(" ", F.slice("w", i * 5 + 1, 5)), 256
+                    ),
+                )
+            ).alias("sh"),
+        )
     )
     freq = segs.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
     dup = F.when(F.col("n") > 1, 1).otherwise(0)

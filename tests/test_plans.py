@@ -290,7 +290,13 @@ def test_q11_having_over_scalar_is_one_row_subquery(spark, sf_dir):
     assert "Subquery subquery" in plan, plan
     # the only single-partition funnel is the 1-row scalar total
     assert plan.count("Exchange SinglePartition") == 1, plan
-    assert "BroadcastHashJoin" in plan, plan
+    # round 11: the bridge (lineitem agg + broadcast dim joins) is
+    # STAGED once and shared by the grouped aggregate AND the scalar
+    # total — both references must scan the materialized frame, not
+    # re-run the lineitem aggregate (the dim broadcasts now live in
+    # the staged subplan, outside this final plan)
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "l_partkey" not in plan, plan  # no second lineitem aggregate
 
 
 def test_image_near_dup_is_banded_equi_join_with_cap(spark, sf_dir):
