@@ -2410,7 +2410,10 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.a", "p.b")
     )
-    uni = (
+    # uni feeds the scoring join AND the vocab-size aggregate — staged
+    # so the unigram aggregate runs once (round 11; the interp twin
+    # already did this)
+    uni = stage(
         toks.select(F.explode("w").alias("wd"))
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("c1"))
@@ -7303,12 +7306,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed aggregate. Nothing quadratic, no UDF, two shuffles
     total (vocab agg + per-doc agg)."""
     docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.explode(dedup_ops.tokenized("text")).alias("w")
+    # tokenization feeds both the LM aggregate and the scoring join —
+    # stage the doc-grain array once (round 11); only the cheap explode
+    # replays per consumer
+    tok_arrays = stage(
+        docs.select("doc_id", "lang", dedup_ops.tokenized("text").alias("ws"))
     )
-    vocab = toks.groupBy("w").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    toks = tok_arrays.select("doc_id", "lang", F.explode("ws").alias("w"))
+    # vocab feeds the totals aggregate AND the scoring join — staged so
+    # the token-grain LM aggregate runs once (vocab-sized frame, cheap)
+    vocab = stage(
+        toks.groupBy("w").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+        )
     )
     totals = vocab.agg(
         F.sum("c_raw").alias("t_raw"),
