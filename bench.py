@@ -101,6 +101,16 @@ def main() -> None:
     # round (propagate + hop + checkpoint) — first hit pays ~2-3 s of
     # codegen across the loop; warm the whole chain at sf0.001
     _materialize(QUERIES["near_dup_clusters"](spark, warm_sf))
+    # the WIDE sign-LSH banding (96-plane literal matrix -> 8 band
+    # projections) and the IVF+PQ serving plan (encode argmin + probed
+    # ADC folds) are the two largest Catalyst-analysis + codegen units
+    # the suite builds — a cold session pays ~10-20 s of JVM JIT on
+    # whichever of their queries runs first (measured round 11:
+    # embedding_near_dup_wide cold build 12.2 s + exec 8.1 s vs 2.3 s
+    # warm, same session). Warm both families at sf0.001 like the
+    # n-gram/codegen warmups above
+    _materialize(QUERIES["embedding_near_dup_wide"](spark, warm_sf))
+    _materialize(QUERIES["ivfpq_topk"](spark, warm_sf))
     # mapInPandas-over-binary is a distinct worker path from scalar
     # pandas UDFs (Arrow record batches + decode-module imports in every
     # worker) — first hit costs ~3-6 s; warm it at sf0.001

@@ -116,19 +116,89 @@ def _context_key() -> str | None:
 
 @functools.lru_cache(maxsize=16)
 def _plane_matrix_for(ctx_key, num_planes: int, dim: int):
-    return F.lit([_plane_weights(p, dim) for p in range(num_planes)])
+    # ONE py4j call: a SQL array-of-arrays literal parsed JVM-side.
+    # The former F.lit(list-of-lists) expanded into num_planes*dim
+    # element-wise py4j round trips — measured 24.6 s of pure
+    # Python-side plan build for the 96x64 wide-tier matrix on this
+    # box (round 11), landing on whichever query first used each
+    # geometry per session. ConstantFolding collapses the parsed
+    # CreateArray tree into the SAME single Literal the F.lit form
+    # produced (verified plan-identical modulo expression ids), so
+    # execution and results are unchanged; weights are exactly ±1.0,
+    # so the %r rendering is exact.
+    rows = (
+        "array(" + ",".join(f"{x!r}D" for x in _plane_weights(p, dim)) + ")"
+        for p in range(num_planes)
+    )
+    return F.expr("array(" + ",".join(rows) + ")")
+
+
+def _sql_double(x) -> str:
+    """A SQL double literal that parses back to EXACTLY this float:
+    repr() is the shortest string that round-trips through correctly
+    rounded decimal->binary conversion, and the JVM's parseDouble is
+    correctly rounded — so the parsed Literal is bit-identical to the
+    F.lit(float) it replaces."""
+    return f"{float(x)!r}D"
+
+
+@functools.lru_cache(maxsize=32)
+def _centroid_struct_literal_for(ctx_key, cents_key):
+    body = ",".join(
+        f"named_struct('cell',{i},'centroid',array("
+        + ",".join(_sql_double(x) for x in ctr)
+        + "))"
+        for i, ctr in enumerate(cents_key)
+    )
+    return F.expr(f"array({body})")
+
+
+def centroid_struct_literal(centroids):
+    """The (cell, centroid) array-of-structs plan literal, built by ONE
+    JVM-parsed expression and memoized per (context, values). The
+    per-element F.lit form cost ~1.4 s of py4j round trips per QUERY
+    INVOCATION at 8 cells x 64 dims (round 11) — pure driver-side plan
+    build, re-paid on every call because nothing memoized it. Same
+    folded Literal, same execution (see _plane_matrix_for)."""
+    return _centroid_struct_literal_for(
+        _context_key(), tuple(tuple(float(x) for x in c) for c in centroids)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _norms_matrix_literal_for(ctx_key, norms_key):
+    body = ",".join(
+        "array(" + ",".join(_sql_double(x) for x in row) + ")"
+        for row in norms_key
+    )
+    return F.expr(f"array({body})")
+
+
+def norms_matrix_literal(codebooks):
+    """The M x KSUB codebook-entry squared-norm matrix as one
+    JVM-parsed literal, memoized per (context, values) — the ADC
+    denominator table every PQ serving call folds over. Norms are
+    computed driver-side in the same index order as before; only the
+    literal's CONSTRUCTION changed (one parse instead of M x KSUB
+    py4j round trips)."""
+    return _norms_matrix_literal_for(
+        _context_key(),
+        tuple(
+            tuple(float(sum(x * x for x in ctr)) for ctr in book)
+            for book in codebooks
+        ),
+    )
 
 
 def _plane_matrix(num_planes: int, dim: int):
     """All plane weights as ONE 2-D array literal, MEMOIZED per
-    (context, planes, dim). Building the literal costs num_planes*dim
-    F.lit py4j round-trips (PySpark expands a list lit into element
-    lits) — measured ~2.7 s of pure Python-side PLAN BUILD per query
-    call at 64x64, dwarfing the 0.7 s execution. Column objects are
-    unresolved expressions, safely reusable across DataFrames within
-    one SparkContext, so the cache pays the construction once per
-    context (see _context_key). Catalyst constant-folds the tree into
-    a single Literal either way; execution is identical."""
+    (context, planes, dim) AND built by a single JVM-parsed expression
+    (see _plane_matrix_for — the per-element F.lit form cost ~25 s of
+    py4j round trips at 96x64). Column objects are unresolved
+    expressions, safely reusable across DataFrames within one
+    SparkContext, so the cache pays the construction once per context
+    (see _context_key). Catalyst constant-folds the tree into a single
+    Literal; execution is identical."""
     return _plane_matrix_for(_context_key(), num_planes, dim)
 
 
@@ -325,15 +395,7 @@ def ivf_topk(
     # query -> nprobe nearest cells. The trained centroids are plan
     # CONSTANTS, so inline them as a literal array-of-structs and explode
     # — no createDataFrame round-trip, no broadcast exchange.
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
-            )
-            for i, ctr in enumerate(model.clusterCenters())
-        ]
-    )
+    cent_lit = centroid_struct_literal(model.clusterCenters())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -403,15 +465,7 @@ def ivf_fixed_topk(
     Unlike the kmeans twin (ivf_topk), every arithmetic step here is
     expressible in ANSI SQL over the same literals, which is what makes
     the ivf_cosine_topk query value-oracle-checkable."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
-    )
+    cent_lit = centroid_struct_literal(centroids)
 
     def d2(vec, cent):
         return F.aggregate(
@@ -672,17 +726,7 @@ def pq_fixed_topk(
 
     # literal M x KSUB table of codebook-entry squared norms, folded in
     # index order (matches the oracle's list_sum over list_transform)
-    norms_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(float(sum(x * x for x in ctr)))
-                    for ctr in codebooks[j]
-                ]
-            )
-            for j in range(m)
-        ]
-    )
+    norms_lit = norms_matrix_literal(codebooks)
 
     # NEITHER join input is staged (round 11): each feeds exactly ONE
     # consumer (codes -> the ADC scan join, tables -> its broadcast), so
@@ -785,15 +829,7 @@ def ivfpq_fixed_topk(
     recall-checked."""
     m = len(codebooks)
 
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("centroid"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
-    )
+    cent_lit = centroid_struct_literal(centroids)
 
     def d2(vec, cent):
         return F.aggregate(
@@ -804,14 +840,7 @@ def ivfpq_fixed_topk(
             lambda acc, v: acc + v,
         )
 
-    norms_lit = F.array(
-        *[
-            F.array(
-                *[F.lit(float(sum(x * x for x in ctr))) for ctr in codebooks[j]]
-            )
-            for j in range(m)
-        ]
-    )
+    norms_lit = norms_matrix_literal(codebooks)
 
     # the encode subplan and the probed+tables subplan each feed ONE
     # consumer (the cell join / its broadcast), so neither is staged
@@ -1423,12 +1452,7 @@ def ivf_index_adc_topk(
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
 
-    norms_lit = F.array(
-        *[
-            F.array(*[F.lit(float(sum(x * x for x in ctr))) for ctr in books[j]])
-            for j in range(m)
-        ]
-    )
+    norms_lit = norms_matrix_literal(books)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
